@@ -1,0 +1,236 @@
+"""Typed configuration pytrees for the pricing stack.
+
+One frozen-dataclass config layer serving CLI, library, and UI alike — the unified
+replacement for the reference's four inconsistent config mechanisms (argparse
+namespaces, input() wizards, dataclasses, Streamlit widgets; SURVEY.md §5 "Config /
+flag system").
+
+All classes are `flax.struct.dataclass` pytrees so they can flow through `jax.jit`
+boundaries as static-or-traced leaves. Validation is *eager and explicit* via
+``validate()`` (never inside traced code): call it at the user-input boundary.
+
+Reference parity:
+- ``HestonParams`` bounds + Feller check: heston_calibration.py:34-73
+- LSM/NN hyper-parameters: options_model_3/options_model_3.py:339-374
+- calibration knobs: heston_calibration.py:75-90
+- IV-surface training knobs: NN_training_stock_iv.py:41-62
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+# Option type is a float "cp flag": +1 for call, -1 for put. Branch-free payoffs
+# (max(cp*(S-K), 0)) keep everything jit/vmap-friendly instead of string dispatch.
+CALL: float = 1.0
+PUT: float = -1.0
+
+
+def cp_from_str(option_type: str) -> float:
+    ot = option_type.strip().lower()
+    if ot in ("call", "c"):
+        return CALL
+    if ot in ("put", "p"):
+        return PUT
+    raise ValueError(f"option_type must be 'call' or 'put', got {option_type!r}")
+
+
+def cp_to_str(cp: float) -> str:
+    return "call" if cp > 0 else "put"
+
+
+@struct.dataclass
+class OptionSpec:
+    """A vanilla option contract + market environment.
+
+    Mirrors the scalar argument cluster (S0, K, T, r, sigma, option_type) threaded
+    through every reference pricer (e.g. options_model_3/options_model_3.py:439-445).
+    """
+
+    strike: float
+    rate: float
+    cp: float = CALL  # +1 call / -1 put
+    sigma: Optional[float] = None  # constant (BS) vol; None when Heston/local-vol drives
+
+    def validate(self) -> "OptionSpec":
+        if self.strike <= 0:
+            raise ValueError(f"strike must be positive, got {self.strike}")
+        if self.rate < 0:
+            raise ValueError(f"rate must be non-negative, got {self.rate}")
+        if self.cp not in (CALL, PUT):
+            raise ValueError(f"cp must be +1 (call) or -1 (put), got {self.cp}")
+        if self.sigma is not None and self.sigma <= 0:
+            raise ValueError(f"sigma must be positive, got {self.sigma}")
+        return self
+
+    def payoff(self, S):
+        return jnp.maximum(self.cp * (S - self.strike), 0.0)
+
+
+@struct.dataclass
+class HestonParams:
+    """Heston stochastic-volatility parameters.
+
+    dv = kappa (theta - v) dt + xi sqrt(v) dW2,   corr(dW1, dW2) = rho
+
+    Validation bounds follow the reference (heston_calibration.py:43-54); ``xi``
+    is the vol-of-vol (the reference's calibration module calls it ``sigma``).
+    """
+
+    kappa: float  # mean-reversion speed
+    theta: float  # long-run variance
+    xi: float     # vol of vol
+    rho: float    # spot/vol correlation
+    v0: float     # initial variance
+
+    def validate(self) -> "HestonParams":
+        if not (0 < self.kappa < 20):
+            raise ValueError(f"kappa={self.kappa} must be in (0, 20)")
+        if not (0 < self.theta < 2):
+            raise ValueError(f"theta={self.theta} must be in (0, 2)")
+        if not (0 < self.xi < 3):
+            raise ValueError(f"xi={self.xi} must be in (0, 3)")
+        if not (-1 < self.rho < 1):
+            raise ValueError(f"rho={self.rho} must be in (-1, 1)")
+        if not (0 < self.v0 < 2):
+            raise ValueError(f"v0={self.v0} must be in (0, 2)")
+        return self
+
+    def feller_condition(self) -> bool:
+        """2*kappa*theta >= xi^2 keeps the variance process strictly positive."""
+        return bool(2.0 * self.kappa * self.theta >= self.xi**2)
+
+    def to_array(self) -> jnp.ndarray:
+        return jnp.array([self.kappa, self.theta, self.xi, self.rho, self.v0])
+
+    @classmethod
+    def from_array(cls, x) -> "HestonParams":
+        return cls(kappa=float(x[0]), theta=float(x[1]), xi=float(x[2]),
+                   rho=float(x[3]), v0=float(x[4]))
+
+    def __str__(self) -> str:
+        feller = "ok" if self.feller_condition() else "VIOLATED"
+        return (f"HestonParams(kappa={self.kappa:.4f}, theta={self.theta:.4f}, "
+                f"xi={self.xi:.4f}, rho={self.rho:.4f}, v0={self.v0:.4f}) "
+                f"Feller: {feller}")
+
+
+@struct.dataclass
+class MCConfig:
+    """Monte-Carlo workload shape.
+
+    ``n_paths`` is rounded up internally to a multiple of ``2 * path_block`` so
+    antithetic pairing and TPU lane tiling stay exact (the reference instead
+    truncated to even and simulated an odd tail path separately,
+    options_model_3/options_model_3.py:235-249 — a shape-dynamic pattern XLA
+    cannot tile).
+    """
+
+    n_paths: int = 100_000
+    n_steps: int = 50
+    antithetic: bool = True
+    path_block: int = 4096   # paths per RNG/sharding block; multiple of 256
+    dtype: jnp.dtype = struct.field(pytree_node=False, default=jnp.float32)
+
+    def validate(self) -> "MCConfig":
+        if self.n_paths <= 0 or self.n_steps <= 0:
+            raise ValueError("n_paths and n_steps must be positive")
+        if self.path_block % 256 != 0:
+            raise ValueError("path_block must be a multiple of 256 (TPU lane tiling)")
+        return self
+
+
+@struct.dataclass
+class LSMConfig:
+    """Longstaff-Schwartz regression configuration.
+
+    regressor='poly' uses the masked weighted-least-squares polynomial basis (the
+    principled version of the vestigial ``lsm_poly_degree`` knob, Options_model.py:53);
+    regressor='nn' reproduces the reference's single shared continuation-value MLP
+    (SingleLSMNet, options_model_3/options_model_3.py:85-103) in Flax.
+    """
+
+    regressor: str = struct.field(pytree_node=False, default="poly")
+    nn_hidden: int = 128
+    nn_layers: int = 3
+    nn_epochs: int = 25
+    nn_lr: float = 1e-3
+    nn_batch: int = 4096
+    nn_dropout: float = 0.1
+    use_control_variate: bool = True
+    european_approximation: bool = False
+
+    def validate(self) -> "LSMConfig":
+        if self.regressor not in ("poly", "nn"):
+            raise ValueError(f"regressor must be 'poly' or 'nn', got {self.regressor}")
+        return self
+
+
+@struct.dataclass
+class SurfaceTrainConfig:
+    """IV-surface network training configuration (NN_training_stock_iv.py:41-62)."""
+
+    epochs: int = 50
+    batch_size: int = 128
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    lambda_butterfly: float = 1e-3
+    lambda_calendar: float = 1e-4
+    hidden_dim: int = 64
+    num_hidden_layers: int = 4
+    dropout: float = 0.1
+    epsilon: float = 1e-4       # IV floor applied at the network output
+    val_split: float = 0.15
+    patience: int = 8
+    use_cosine_schedule: bool = True
+    use_augmentation: bool = True
+    seed: int = 42
+    mc_dropout: bool = True
+    mc_samples: int = 20
+    use_vega_weighting: bool = True
+    grad_clip: float = 1.0
+
+    def validate(self) -> "SurfaceTrainConfig":
+        if not (0 < self.val_split < 1):
+            raise ValueError("val_split must be in (0, 1)")
+        if self.epochs <= 0 or self.batch_size <= 0:
+            raise ValueError("epochs and batch_size must be positive")
+        return self
+
+
+@struct.dataclass
+class CalibrationConfig:
+    """Heston calibration configuration (heston_calibration.py:75-90).
+
+    The pricing engine inside the objective is the COS characteristic-function
+    pricer (calibration/charfn.py) — not Monte Carlo — so ``max_iterations`` of a
+    few hundred is cheap.
+    """
+
+    use_vega_weighting: bool = True
+    min_vega_weight: float = 0.01
+    max_iterations: int = 2000
+    tolerance: float = 1e-8
+    cos_n: int = 256           # COS series terms
+    cos_L: float = 12.0        # truncation width in std devs
+    seed: int = 42
+    verbose: bool = False
+    regime_detection: bool = True
+    optimization_methods: Tuple[str, ...] = struct.field(
+        pytree_node=False,
+        default=("L-BFGS-B", "differential_evolution", "dual_annealing"),
+    )
+
+    def validate(self) -> "CalibrationConfig":
+        if self.cos_n < 16:
+            raise ValueError("cos_n must be >= 16")
+        return self
+
+
+def asdict(cfg) -> dict:
+    """Plain-dict view of any config pytree (for logging / serialization)."""
+    return dataclasses.asdict(cfg)

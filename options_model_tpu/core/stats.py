@@ -1,0 +1,81 @@
+"""Streaming statistics: Welford/Chan mean-variance as an associative pytree monoid.
+
+TPU-native rebuild of the reference's host-loop ``welford_batch_update``
+(options_model_3/options_model_3.py:33-49). The merge is Chan's parallel update,
+which is associative — so the same state type works for:
+
+- sequential chunk streaming (``lax.scan`` over path blocks),
+- tree reduction within a device,
+- cross-device reduction (``welford_psum`` inside ``shard_map``) — the collective
+  form of the reference's as_completed result-aggregation loop
+  (options_model_3/options_model_3.py:1055-1056).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class WelfordState:
+    count: jnp.ndarray  # float for exact psum merging
+    mean: jnp.ndarray
+    m2: jnp.ndarray
+
+    @property
+    def variance(self):
+        return jnp.where(self.count > 1, self.m2 / jnp.maximum(self.count - 1, 1), 0.0)
+
+    @property
+    def stderr(self):
+        return jnp.sqrt(self.variance / jnp.maximum(self.count, 1))
+
+
+def welford_empty(dtype=jnp.float32) -> WelfordState:
+    z = jnp.zeros((), dtype)
+    return WelfordState(count=z, mean=z, m2=z)
+
+
+def welford_from_batch(x: jnp.ndarray) -> WelfordState:
+    """State summarizing one batch (vectorized, no per-element loop)."""
+    x = x.reshape(-1)
+    n = jnp.asarray(x.size, x.dtype)
+    mean = jnp.mean(x)
+    m2 = jnp.sum((x - mean) ** 2)
+    return WelfordState(count=n, mean=mean, m2=m2)
+
+
+def welford_merge(a: WelfordState, b: WelfordState) -> WelfordState:
+    """Chan's parallel combine; exact and associative."""
+    n = a.count + b.count
+    safe_n = jnp.maximum(n, 1.0)
+    delta = b.mean - a.mean
+    mean = a.mean + delta * (b.count / safe_n)
+    m2 = a.m2 + b.m2 + delta**2 * (a.count * b.count / safe_n)
+    return WelfordState(count=n, mean=mean, m2=m2)
+
+
+def welford_psum(local: WelfordState, axis_name: str) -> WelfordState:
+    """Merge per-shard partial states across a mesh axis with psum collectives.
+
+    Algebraically identical to folding ``welford_merge`` over all shards:
+      N     = sum n_i
+      mean  = sum(n_i mean_i) / N
+      M2    = sum(m2_i) + sum(n_i mean_i^2) - N mean^2
+    """
+    n = jax.lax.psum(local.count, axis_name)
+    s1 = jax.lax.psum(local.count * local.mean, axis_name)
+    s2 = jax.lax.psum(local.count * local.mean**2, axis_name)
+    m2p = jax.lax.psum(local.m2, axis_name)
+    safe_n = jnp.maximum(n, 1.0)
+    mean = s1 / safe_n
+    m2 = m2p + s2 - safe_n * mean**2
+    return WelfordState(count=n, mean=mean, m2=m2)
+
+
+def welford_mean_stderr(state: WelfordState):
+    """(mean, stderr, n) triple matching monte_carlo_price_streaming's return
+    (options_model_3/options_model_3.py:61-63)."""
+    return state.mean, state.stderr, state.count

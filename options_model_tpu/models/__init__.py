@@ -1,0 +1,32 @@
+"""Dynamics layer (reference L4, SURVEY.md §1): path simulators for GBM, Heston
+(full-truncation Euler), and NN-learned local volatility.
+
+All simulators share the same contract:
+
+    simulate_X(key, S0, ..., cfg: MCConfig, return_paths: bool)
+      -> S_paths (n_steps+1, n_paths)  when return_paths
+      -> S_T     (n_paths,)            otherwise (terminal-only; no path matrix)
+
+RNG is block-structured: paths are organized into blocks of ``cfg.path_block``
+and block ``b`` uses ``fold_in(key, b)`` — so prices are invariant to chunking
+and sharding (core/rng.py). Antithetic pairing lives *inside* a block (first
+half +Z, second half -Z), mirroring the reference's Z || -Z concatenation
+(options_model_3/options_model_3.py:223-226) without odd-tail special cases.
+
+The XLA `scan`+`vmap` implementations here are the semantic reference; fused
+Pallas kernels in ops/ implement the same contract for the hot path.
+"""
+
+from options_model_tpu.models.gbm import simulate_gbm, gbm_terminal_exact
+from options_model_tpu.models.heston import simulate_heston
+from options_model_tpu.models.localvol import simulate_local_vol
+from options_model_tpu.models.blocks import num_blocks, paths_rounded
+
+__all__ = [
+    "simulate_gbm",
+    "gbm_terminal_exact",
+    "simulate_heston",
+    "simulate_local_vol",
+    "num_blocks",
+    "paths_rounded",
+]

@@ -1,0 +1,87 @@
+"""Heston stochastic-volatility path simulation, full-truncation Euler.
+
+Scheme (matches the reference semantics, options_model_3/options_model_3.py:211-251):
+
+    v_plus = max(v_{t-1}, 0)
+    v_t    = max(v_plus + kappa (theta - v_plus) dt + xi sqrt(v_plus dt) W2, 0)
+    S_t    = S_{t-1} exp((r - v_plus/2) dt + sqrt(v_plus dt) W1)
+    W1 = Z1,  W2 = rho Z1 + sqrt(1-rho^2) Z2,  Z antithetic-paired.
+
+The variance recursion is genuinely sequential, so the step loop is a
+``lax.scan`` (compiled once; no per-step Python). The log-price is carried (not
+exponentiated per step) and paths are emitted as scan outputs only when the
+caller needs the full matrix. The fused Pallas kernel in ops/pallas_heston.py
+implements the identical scheme with on-chip RNG.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from options_model_tpu.core.config import HestonParams, MCConfig
+from options_model_tpu.models.blocks import block_normals, num_blocks
+
+
+def simulate_heston(key: jax.Array, S0, r, T, params: HestonParams, cfg: MCConfig,
+                    return_paths: bool = True, return_variance: bool = False,
+                    first_block=0):
+    """Simulate Heston paths.
+
+    Returns:
+      return_paths=True:  S (n_steps+1, n_paths)  [and v likewise if return_variance]
+      return_paths=False: S_T (n_paths,)
+    """
+    dtype = cfg.dtype
+    n_steps = cfg.n_steps
+    dt = jnp.asarray(T, dtype) / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    half = cfg.path_block // 2
+    nb = num_blocks(cfg)
+
+    kappa = jnp.asarray(params.kappa, dtype)
+    theta = jnp.asarray(params.theta, dtype)
+    xi = jnp.asarray(params.xi, dtype)
+    rho = jnp.asarray(params.rho, dtype)
+    rho_bar = jnp.sqrt(1.0 - rho**2)
+    r_ = jnp.asarray(r, dtype)
+
+    def sim_block(block_key):
+        logS_init = jnp.full((cfg.path_block,), jnp.log(jnp.asarray(S0, dtype)), dtype)
+        v_init = jnp.full((cfg.path_block,), jnp.asarray(params.v0, dtype), dtype)
+
+        def step(carry, t):
+            logS, v = carry
+            z1, z2 = block_normals(block_key, t, half, 2, cfg.antithetic, dtype)
+            w1 = z1
+            w2 = rho * z1 + rho_bar * z2
+            v_plus = jnp.maximum(v, 0.0)
+            sqrt_v_dt = jnp.sqrt(v_plus) * sqrt_dt
+            v_new = jnp.maximum(v_plus + kappa * (theta - v_plus) * dt + xi * sqrt_v_dt * w2, 0.0)
+            logS_new = logS + (r_ - 0.5 * v_plus) * dt + sqrt_v_dt * w1
+            out = (logS_new, v_new) if return_paths else None
+            return (logS_new, v_new), out
+
+        (logS_T, v_T), ys = jax.lax.scan(step, (logS_init, v_init), jnp.arange(n_steps))
+        if return_paths:
+            logS_rows, v_rows = ys
+            S = jnp.exp(jnp.concatenate([logS_init[None], logS_rows], axis=0))
+            if return_variance:
+                v = jnp.concatenate([v_init[None], v_rows], axis=0)
+                return S, v
+            return S
+        if return_variance:
+            return jnp.exp(logS_T), v_T
+        return jnp.exp(logS_T)
+
+    block_keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(first_block + jnp.arange(nb))
+    out = jax.vmap(sim_block)(block_keys)
+
+    def merge(x):
+        if x.ndim == 3:  # (nb, n_steps+1, block) -> (n_steps+1, n_paths)
+            return jnp.transpose(x, (1, 0, 2)).reshape(n_steps + 1, nb * cfg.path_block)
+        return x.reshape(nb * cfg.path_block)
+
+    if isinstance(out, tuple):
+        return tuple(merge(x) for x in out)
+    return merge(out)

@@ -1,0 +1,47 @@
+// Native CRR binomial pricer.
+//
+// The binomial tree is a strictly sequential triangular recursion — a shape
+// that maps poorly onto the TPU's MXU/VPU — so the oracle runs host-side. This
+// C++ kernel is the fast path behind pricers/binomial.py (ctypes binding); the
+// NumPy implementation there is the semantic reference and fallback.
+//
+// Build: make -C options_model_tpu/native   (produces libcrr.so)
+
+#include <algorithm>
+#include <cmath>
+#include <vector>
+
+extern "C" {
+
+// cp: +1 call / -1 put. american: 1 = early exercise allowed.
+double crr_price(double S0, double K, double T, double r, double sigma,
+                 int cp, int n_steps, int american) {
+  const double dt = T / n_steps;
+  const double u = std::exp(sigma * std::sqrt(dt));
+  const double d = 1.0 / u;
+  const double disc = std::exp(-r * dt);
+  const double p = (std::exp(r * dt) - d) / (u - d);
+  const double q = 1.0 - p;
+
+  std::vector<double> value(n_steps + 1);
+  // Terminal layer: S = S0 * u^(2j - n)
+  for (int j = 0; j <= n_steps; ++j) {
+    const double S_T = S0 * std::exp(sigma * std::sqrt(dt) * (2.0 * j - n_steps));
+    value[j] = std::max(cp * (S_T - K), 0.0);
+  }
+
+  for (int step = n_steps - 1; step >= 0; --step) {
+    for (int j = 0; j <= step; ++j) {
+      double cont = disc * (p * value[j + 1] + q * value[j]);
+      if (american) {
+        const double S_t = S0 * std::exp(sigma * std::sqrt(dt) * (2.0 * j - step));
+        const double ex = cp * (S_t - K);
+        cont = std::max(cont, ex);
+      }
+      value[j] = cont;
+    }
+  }
+  return value[0];
+}
+
+}  // extern "C"

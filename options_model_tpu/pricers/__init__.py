@@ -1,0 +1,39 @@
+"""Pricing engines (reference L5, SURVEY.md §1).
+
+- blackscholes: closed form + Greeks (closed-form and autodiff)
+- european:     streaming Monte-Carlo European pricer
+- american:     Longstaff-Schwartz American pricer (poly + NN regressors), control variate
+- binomial:     CRR binomial oracle (accuracy ground truth, incl. native C++ build)
+- barrier:      barrier-option MC pricer (implements the reference's v2 stub)
+"""
+
+from options_model_tpu.pricers.blackscholes import (
+    bs_price,
+    bs_greeks,
+    bs_greeks_closed_form,
+    bs_vega,
+    bs_delta,
+)
+from options_model_tpu.pricers.binomial import crr_american, crr_price
+from options_model_tpu.pricers.european import price_european_mc
+from options_model_tpu.pricers.american import (
+    price_american_lsm,
+    price_american_with_control_variate,
+    price_american,
+)
+from options_model_tpu.pricers.barrier import price_barrier_mc
+
+__all__ = [
+    "bs_price",
+    "bs_greeks",
+    "bs_greeks_closed_form",
+    "bs_vega",
+    "bs_delta",
+    "crr_american",
+    "crr_price",
+    "price_european_mc",
+    "price_american_lsm",
+    "price_american_with_control_variate",
+    "price_american",
+    "price_barrier_mc",
+]

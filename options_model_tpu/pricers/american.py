@@ -1,0 +1,257 @@
+"""American option pricing via Longstaff-Schwartz Monte Carlo.
+
+Rebuilds AdvancedOptionPricer.price_american_enhanced_lsm and friends
+(options_model_3/options_model_3.py:439-695) as pure jitted functions with
+masked fixed shapes:
+
+- ``lsm_poly``: classic per-exercise-date regression LSM. One ``lax.scan``
+  backward over exercise dates carrying the cashflow vector; the dynamic ITM
+  subset of the reference becomes a 0/1 weight vector feeding a masked weighted
+  least squares on the 7-feature basis (regressors.masked_wls). Supports exact
+  path sharding: the (7,7) Gram blocks psum across the mesh axis.
+
+- ``lsm_nn``: the reference's two-pass shared-network scheme. Pass 1 collects
+  (features, discounted-terminal-cashflow) pairs at every ITM (date, path) —
+  exactly the reference's pass-1 targets (:482-516, where cashflows are only
+  discounted, never re-set, before training). Pass 2 evaluates the trained net
+  on the full (dates, paths) grid in one batched apply and takes the EARLIEST
+  date where immediate > continuation as the exercise time.
+
+Intended-behavior fixes over the reference (SURVEY.md §2.4 directive):
+- the final discount step from the first exercise date back to t=0 is applied
+  (the reference returned cashflows discounted only to t=dt, :619-651);
+- pass 2 uses the earliest exercise date per path; the reference's backward loop
+  with an ``exercised`` latch kept the LATEST date (:621-649), which is not the
+  stopping rule LSM defines.
+- the control variate uses the same paths' terminal values for the European MC
+  leg (perfectly correlated, so the variate actually cancels path noise); the
+  reference re-simulated an independent European run (:665).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from options_model_tpu.core.config import HestonParams, LSMConfig, MCConfig, OptionSpec
+from options_model_tpu.core.payoff import vanilla_payoff
+from options_model_tpu.ops.lsm_basis import regression_features, poly_features
+from options_model_tpu.pricers.blackscholes import bs_price
+from options_model_tpu.pricers.regressors import (
+    fit_continuation_mlp,
+    masked_wls_predict,
+    mlp_predict,
+)
+from options_model_tpu.models.gbm import simulate_gbm
+from options_model_tpu.models.heston import simulate_heston
+from options_model_tpu.models.localvol import simulate_local_vol
+
+
+def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
+                   rate=0.0, heston: Optional[HestonParams] = None, sigma_fn=None,
+                   first_block=0) -> jnp.ndarray:
+    """Full path matrix (n_steps+1, n_paths) under the chosen dynamics."""
+    if model == "gbm":
+        return simulate_gbm(key, S0, rate, sigma, T, cfg, return_paths=True,
+                            first_block=first_block)
+    if model == "heston":
+        return simulate_heston(key, S0, rate, T, heston, cfg, return_paths=True,
+                               first_block=first_block)
+    if model == "localvol":
+        return simulate_local_vol(key, S0, rate, T, sigma_fn, cfg, return_paths=True,
+                                  first_block=first_block)
+    raise ValueError(f"unknown model {model!r}")
+
+
+def _pmean(x, axis_name):
+    if axis_name is None:
+        return x
+    return jax.lax.pmean(x, axis_name)
+
+
+def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
+                      axis_name: Optional[str] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Classic LSM backward induction with per-date masked WLS regression.
+
+    S_paths: (n_steps+1, n_paths). Returns (price, stderr). With ``axis_name``
+    set (inside shard_map over the path axis) the result equals the unsharded
+    computation exactly.
+    """
+    n_steps = S_paths.shape[0] - 1
+    dtype = S_paths.dtype
+    dt = jnp.asarray(T, dtype) / n_steps
+    disc = jnp.exp(-jnp.asarray(spec.rate, dtype) * dt)
+    K = jnp.asarray(spec.strike, dtype)
+
+    cash = vanilla_payoff(S_paths[-1], K, spec.cp)  # value at t = n_steps
+
+    # Exercise dates t = n_steps-1 .. 1, visited backward.
+    ts = jnp.arange(n_steps - 1, 0, -1)
+
+    def allsum(v):
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
+    def step(cash, t):
+        cash = cash * disc  # roll value back one step to date t
+        S_t = S_paths[t]
+        immediate = vanilla_payoff(S_t, K, spec.cp)
+        itm = (immediate > 0).astype(dtype)
+        # Per-date basis [1, u, u^2, u^3, (x-1)^+] with u = x centered/scaled
+        # against the masked (ITM) distribution BEFORE taking powers. Two
+        # numerical traps this avoids (both observed as multi-percent price
+        # errors on TPU):
+        #  - within one date tau is constant, so the shared 7-feature basis's
+        #    sqrt(tau) columns are exactly collinear with [1, x] (singular Gram);
+        #  - powers of raw x on a narrow ITM range are near-affine in x, and
+        #    column-standardizing AFTER the power leaves cond(Gram) ~ 1e7+;
+        #    centering first brings it to O(10), safe for f32 normal equations.
+        # The tau features only add information for the shared-net regressor,
+        # where rows span many dates (lsm_nn_backward).
+        x = S_t / K
+        wsum = allsum(jnp.maximum(itm.sum(), 1.0))
+        x_mean = allsum((x * itm).sum()) / wsum
+        x_var = allsum(((x - x_mean) ** 2 * itm).sum()) / wsum
+        u = (x - x_mean) * jax.lax.rsqrt(jnp.maximum(x_var, 1e-12))
+        X = jnp.stack([jnp.ones_like(u), u, u**2, u**3,
+                       jnp.maximum(x - 1.0, 0.0)], axis=-1)
+        continuation = masked_wls_predict(X, cash, itm, axis_name=axis_name)
+        exercise = (immediate > continuation) & (immediate > 0)
+        cash = jnp.where(exercise, immediate, cash)
+        return cash, None
+
+    cash, _ = jax.lax.scan(step, cash, ts)
+    cash = cash * disc  # discount the final step t=dt -> 0
+
+    n = jnp.asarray(cash.size, dtype)
+    n_tot = jax.lax.psum(n, axis_name) if axis_name is not None else n
+    price = _pmean(jnp.mean(cash), axis_name)
+    var = _pmean(jnp.mean((cash - price) ** 2), axis_name)
+    stderr = jnp.sqrt(var / n_tot)
+    return price, stderr
+
+
+def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
+                    lsm: LSMConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-style two-pass LSM with one shared continuation-value MLP."""
+    n_steps = S_paths.shape[0] - 1
+    n_paths = S_paths.shape[1]
+    dtype = S_paths.dtype
+    dt = jnp.asarray(T, dtype) / n_steps
+    K = jnp.asarray(spec.strike, dtype)
+    r = jnp.asarray(spec.rate, dtype)
+
+    ts = jnp.arange(1, n_steps)                       # exercise dates
+    taus = jnp.asarray(T, dtype) - ts.astype(dtype) * dt
+
+    S_ex = S_paths[1:n_steps]                          # (n_dates, n_paths)
+    immediate = vanilla_payoff(S_ex, K, spec.cp)       # (n_dates, n_paths)
+    itm = (immediate > 0).astype(dtype)
+
+    # Pass 1 targets: terminal cashflow discounted back to each date
+    # (the reference's pass-1 cashflows are exactly this, :482-516).
+    terminal = vanilla_payoff(S_paths[-1], K, spec.cp)
+    disc_to_date = jnp.exp(-r * (jnp.asarray(T, dtype) - ts.astype(dtype) * dt))
+    targets = disc_to_date[:, None] * terminal[None, :]
+
+    feats = jax.vmap(lambda S_t, tau: regression_features(S_t, K, tau))(S_ex, taus)
+    X = feats.reshape(-1, feats.shape[-1])
+    Y = targets.reshape(-1)
+    W = itm.reshape(-1)
+
+    # Standardize over ITM rows (reference scales targets and features, :550-563).
+    wsum = jnp.maximum(W.sum(), 1.0)
+    x_mean = (X * W[:, None]).sum(0) / wsum
+    x_var = ((X - x_mean) ** 2 * W[:, None]).sum(0) / wsum
+    x_std = jnp.sqrt(jnp.maximum(x_var, 1e-12))
+    y_mean = (Y * W).sum() / wsum
+    y_var = ((Y - y_mean) ** 2 * W).sum() / wsum
+    y_std = jnp.sqrt(jnp.maximum(y_var, 1e-12))
+
+    Xn = (X - x_mean) / x_std
+    Yn = (Y - y_mean) / y_std
+
+    params, _ = fit_continuation_mlp(key, Xn, Yn, W, lsm)
+
+    # Pass 2: continuation values for every (date, path) in one batched apply.
+    cont = mlp_predict(params, Xn, lsm).reshape(immediate.shape) * y_std + y_mean
+
+    exercise = (immediate > cont) & (immediate > 0)    # (n_dates, n_paths)
+    any_ex = jnp.any(exercise, axis=0)
+    first_idx = jnp.argmax(exercise, axis=0)           # first True along dates
+    t_star = jnp.where(any_ex, ts[first_idx].astype(dtype), jnp.asarray(n_steps, dtype))
+    value_at_stop = jnp.where(
+        any_ex,
+        jnp.take_along_axis(immediate, first_idx[None, :], axis=0)[0],
+        terminal,
+    )
+    cash0 = jnp.exp(-r * t_star * dt) * value_at_stop
+
+    price = jnp.mean(cash0)
+    stderr = jnp.sqrt(jnp.mean((cash0 - price) ** 2) / n_paths)
+    return price, stderr
+
+
+def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
+                       lsm: LSMConfig, model: str = "gbm", *,
+                       heston: Optional[HestonParams] = None, sigma_fn=None,
+                       axis_name: Optional[str] = None,
+                       return_paths_stats: bool = False):
+    """Simulate + LSM backward induction. Returns (price, stderr[, S_paths])."""
+    sim_key, fit_key = jax.random.split(key)
+    S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
+                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn)
+    if lsm.regressor == "poly":
+        price, stderr = lsm_poly_backward(S_paths, spec, T, axis_name=axis_name)
+    else:
+        price, stderr = lsm_nn_backward(fit_key, S_paths, spec, T, lsm)
+    if return_paths_stats:
+        return price, stderr, S_paths
+    return price, stderr
+
+
+def price_american_with_control_variate(
+        key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig, lsm: LSMConfig,
+        model: str = "gbm", *, heston: Optional[HestonParams] = None,
+        sigma_fn=None, axis_name: Optional[str] = None):
+    """American price with the European control variate (beta = 1):
+
+        AM_cv = AM_lsm + (BS_closed_form - EU_mc_same_paths)
+
+    (price_american_with_control_variate, options_model_3/options_model_3.py:653-677;
+    requires a constant sigma, i.e. GBM dynamics, for the analytic leg.)
+    """
+    price, stderr, S_paths = price_american_lsm(
+        key, S0, T, spec, mc, lsm, model, heston=heston, sigma_fn=sigma_fn,
+        axis_name=axis_name, return_paths_stats=True)
+    if spec.sigma is None:
+        return price, stderr
+    dtype = S_paths.dtype
+    discount = jnp.exp(-jnp.asarray(spec.rate, dtype) * jnp.asarray(T, dtype))
+    eu_mc = _pmean(jnp.mean(vanilla_payoff(S_paths[-1], spec.strike, spec.cp)),
+                   axis_name) * discount
+    eu_bs = bs_price(S0, spec.strike, T, spec.rate, spec.sigma, spec.cp)
+    return price + (eu_bs - eu_mc), stderr
+
+
+def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
+                   lsm: LSMConfig, model: str = "gbm", *,
+                   heston: Optional[HestonParams] = None, sigma_fn=None,
+                   axis_name: Optional[str] = None):
+    """Dispatcher mirroring price_american_option
+    (options_model_3/options_model_3.py:679-695): European approximation when
+    requested, control variate when a constant sigma exists, plain LSM otherwise."""
+    if lsm.european_approximation:
+        from options_model_tpu.pricers.european import (
+            make_terminal_sampler, price_european_mc)
+        sampler = make_terminal_sampler(model, S0, spec.rate, T, sigma=spec.sigma,
+                                        heston=heston, sigma_fn=sigma_fn)
+        price, stderr, _ = price_european_mc(key, sampler, spec, T, mc)
+        return price, stderr
+    if lsm.use_control_variate and spec.sigma is not None and model == "gbm":
+        return price_american_with_control_variate(
+            key, S0, T, spec, mc, lsm, model, heston=heston, sigma_fn=sigma_fn,
+            axis_name=axis_name)
+    return price_american_lsm(key, S0, T, spec, mc, lsm, model, heston=heston,
+                              sigma_fn=sigma_fn, axis_name=axis_name)

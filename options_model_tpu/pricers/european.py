@@ -1,0 +1,100 @@
+"""European Monte-Carlo pricing with streaming Welford statistics.
+
+Rebuilds price_european_streaming / monte_carlo_price_streaming
+(options_model_3/options_model_3.py:382-437, :51-63) the TPU way: terminal-only
+simulation (no path matrix is ever materialized), chunked over path blocks with
+a ``lax.fori_loop`` carrying a Welford state — the whole stream compiles to one
+XLA program with O(chunk) memory, and the same Welford state psums across shards
+(parallel/batch.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from options_model_tpu.core.config import HestonParams, MCConfig, OptionSpec
+from options_model_tpu.core.payoff import vanilla_payoff
+from options_model_tpu.core.stats import (
+    WelfordState,
+    welford_empty,
+    welford_from_batch,
+    welford_merge,
+)
+from options_model_tpu.models.blocks import num_blocks
+from options_model_tpu.models.gbm import gbm_terminal_exact, simulate_gbm
+from options_model_tpu.models.heston import simulate_heston
+from options_model_tpu.models.localvol import simulate_local_vol
+
+# terminal_sampler(key, first_block, chunk_cfg) -> S_T (chunk_paths,)
+TerminalSampler = Callable[[jax.Array, jnp.ndarray, MCConfig], jnp.ndarray]
+
+
+def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
+                          heston: Optional[HestonParams] = None,
+                          sigma_fn=None) -> TerminalSampler:
+    """Terminal-price sampler for one of the three dynamics families."""
+    if model == "gbm":
+        if sigma is None:
+            raise ValueError("sigma is required for model='gbm'")
+        return lambda key, fb, c: simulate_gbm(key, S0, r, sigma, T, c,
+                                               return_paths=False, first_block=fb)
+    if model == "heston":
+        if heston is None:
+            raise ValueError("heston params required for model='heston'")
+        return lambda key, fb, c: simulate_heston(key, S0, r, T, heston, c,
+                                                  return_paths=False, first_block=fb)
+    if model == "localvol":
+        if sigma_fn is None:
+            raise ValueError("sigma_fn required for model='localvol'")
+        return lambda key, fb, c: simulate_local_vol(key, S0, r, T, sigma_fn, c,
+                                                     return_paths=False, first_block=fb)
+    raise ValueError(f"unknown model {model!r}")
+
+
+def price_european_mc(
+    key: jax.Array,
+    sampler: TerminalSampler,
+    spec: OptionSpec,
+    T,
+    cfg: MCConfig,
+    max_paths_per_chunk: int = 1 << 21,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Price a European option by streaming chunks of terminal samples.
+
+    Returns (price, stderr, n_paths) — the contract of the reference's
+    monte_carlo_price_streaming. Chunking only bounds memory; the price is
+    bitwise independent of the chunk size because RNG is keyed by global block id.
+    """
+    nb_total = num_blocks(cfg)
+    blocks_per_chunk = max(1, min(nb_total, max_paths_per_chunk // cfg.path_block))
+    n_chunks = math.ceil(nb_total / blocks_per_chunk)
+    # Round the workload up to whole chunks (static shapes; a few extra paths
+    # only tighten the estimate).
+    chunk_cfg = cfg.replace(n_paths=blocks_per_chunk * cfg.path_block)
+
+    discount = jnp.exp(-jnp.asarray(spec.rate, cfg.dtype) * jnp.asarray(T, cfg.dtype))
+
+    def body(c, state: WelfordState) -> WelfordState:
+        first = c * blocks_per_chunk
+        S_T = sampler(key, first, chunk_cfg)
+        payoffs = vanilla_payoff(S_T, spec.strike, spec.cp) * discount
+        return welford_merge(state, welford_from_batch(payoffs))
+
+    state = jax.lax.fori_loop(0, n_chunks, body, welford_empty(cfg.dtype))
+    return state.mean, state.stderr, state.count
+
+
+def price_european_gbm_exact(key: jax.Array, S0, spec: OptionSpec, T,
+                             n_paths: int = 1 << 20, antithetic: bool = True,
+                             dtype=jnp.float32):
+    """One-draw exact-terminal GBM European price (models/gbm.gbm_terminal_exact):
+    the statistically optimal European MC under constant vol."""
+    S_T = gbm_terminal_exact(key, S0, spec.rate, spec.sigma, T, n_paths,
+                             antithetic, dtype)
+    payoffs = vanilla_payoff(S_T, spec.strike, spec.cp) * jnp.exp(-spec.rate * jnp.asarray(T, dtype))
+    st = welford_from_batch(payoffs)
+    return st.mean, st.stderr, st.count

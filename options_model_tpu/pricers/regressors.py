@@ -1,0 +1,137 @@
+"""Continuation-value regressors for Longstaff-Schwartz.
+
+Two interchangeable regressors behind the same masked fixed-shape interface
+(the TPU answer to the reference's dynamic ITM gathers,
+options_model_3/options_model_3.py:490-516 — see SURVEY.md §7 "hard parts"):
+
+- masked weighted least squares on the 7-feature basis (normal equations;
+  cross-shard exact via psum of the tiny (7,7)/(7,) Gram blocks)
+- a Flax MLP re-implementing SingleLSMNet (7 -> hidden x layers -> 1, ReLU,
+  dropout; options_model_3/options_model_3.py:85-103) with a fully jitted
+  optax/AdamW training loop (fixed epoch budget, best-weights tracking — the
+  compiled-friendly version of the reference's early-stop-and-restore,
+  :579-613).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from options_model_tpu.core.config import LSMConfig
+
+
+def masked_wls_predict(X: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
+                       axis_name: Optional[str] = None,
+                       ridge: float = 1e-7) -> jnp.ndarray:
+    """Fitted values of argmin_theta sum_i w_i (X_i theta - y_i)^2 at all rows.
+
+    X: (n, d), y: (n,), w: (n,) non-negative weights (0 = excluded row).
+    With ``axis_name`` the sufficient statistics are psum-ed across the mesh
+    axis, making the sharded regression equivalent to the global one.
+
+    Numerical design (matters on TPU):
+    - all matmuls at HIGHEST precision — default bf16 MXU passes wreck the
+      Gram conditioning of a polynomial basis (observed: 40% LSM price error
+      on-chip vs <0.1% on CPU);
+    - columns are standardized against the masked mean/std before the normal
+      equations (cond(Gram) drops by orders of magnitude), with the intercept
+      handled by centering y; constant columns get zero weight automatically.
+    """
+    hi = jax.lax.Precision.HIGHEST
+
+    def allsum(v):
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
+    wsum = allsum(jnp.maximum(w.sum(), 1e-9))
+    x_mean = allsum((X * w[:, None]).sum(0)) / wsum
+    x_var = allsum(((X - x_mean) ** 2 * w[:, None]).sum(0)) / wsum
+    x_std = jnp.sqrt(jnp.maximum(x_var, 0.0))
+    # Constant columns (e.g. an explicit intercept) carry no information once
+    # y is centered — null them instead of dividing by ~0.
+    keep = x_std > 1e-6
+    inv_std = jnp.where(keep, 1.0 / jnp.maximum(x_std, 1e-6), 0.0)
+    y_mean = allsum((y * w).sum()) / wsum
+
+    Xs = (X - x_mean) * inv_std
+    yc = y - y_mean
+
+    Xw = Xs * w[:, None]
+    A = allsum(jnp.matmul(Xw.T, Xs, precision=hi))   # (d, d)
+    b = allsum(jnp.matmul(Xw.T, yc, precision=hi))   # (d,)
+    lam = ridge * (jnp.trace(A) / A.shape[0] + 1.0)
+    A = A + lam * jnp.eye(A.shape[0], dtype=A.dtype)
+    theta = jnp.linalg.solve(A, b)
+    return jnp.matmul(Xs, theta, precision=hi) + y_mean
+
+
+class ContinuationMLP(nn.Module):
+    """SingleLSMNet rebuilt in Flax: input_dim -> hidden x num_layers -> 1."""
+
+    hidden: int = 128
+    num_layers: int = 3
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for _ in range(self.num_layers):
+            x = nn.Dense(self.hidden)(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(1)(x)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fit_continuation_mlp(key: jax.Array, X: jnp.ndarray, y: jnp.ndarray,
+                         w: jnp.ndarray, cfg: LSMConfig):
+    """Train the continuation MLP on masked data; returns (params, model_static).
+
+    X: (n, d) standardized features; y: (n,) standardized targets; w: (n,)
+    weights (ITM mask). The loop is one lax.scan over epochs x steps with
+    best-loss parameter tracking — no host round-trips, compiled once per shape.
+    """
+    model = ContinuationMLP(hidden=cfg.nn_hidden, num_layers=cfg.nn_layers,
+                            dropout=cfg.nn_dropout)
+    n = X.shape[0]
+    batch = min(cfg.nn_batch, n)
+    steps_per_epoch = min(max(n // batch, 1), 512)
+
+    init_key, key = jax.random.split(key)
+    params = model.init(init_key, X[:1], deterministic=True)
+    tx = optax.adamw(cfg.nn_lr, weight_decay=1e-5)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, xb, yb, wb, dk):
+        pred = model.apply(p, xb, deterministic=False, rngs={"dropout": dk})[:, 0]
+        return jnp.sum(wb * (pred - yb) ** 2) / jnp.maximum(jnp.sum(wb), 1.0)
+
+    def train_step(carry, step_key):
+        params, opt_state, best_loss, best_params = carry
+        ik, dk = jax.random.split(step_key)
+        idx = jax.random.randint(ik, (batch,), 0, n)
+        xb, yb, wb = X[idx], y[idx], w[idx]
+        loss, grads = jax.value_and_grad(loss_fn)(params, xb, yb, wb, dk)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        better = loss < best_loss
+        best_loss = jnp.where(better, loss, best_loss)
+        best_params = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), params, best_params)
+        return (params, opt_state, best_loss, best_params), loss
+
+    total_steps = cfg.nn_epochs * steps_per_epoch
+    step_keys = jax.random.split(key, total_steps)
+    (params, _, _, best_params), losses = jax.lax.scan(
+        train_step, (params, opt_state, jnp.inf, params), step_keys)
+    return best_params, losses
+
+
+def mlp_predict(params, x, cfg: LSMConfig):
+    model = ContinuationMLP(hidden=cfg.nn_hidden, num_layers=cfg.nn_layers,
+                            dropout=cfg.nn_dropout)
+    return model.apply(params, x, deterministic=True)[:, 0]

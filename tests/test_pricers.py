@@ -1,0 +1,190 @@
+"""Pricing engines: European MC vs closed form, American LSM vs CRR binomial,
+control variates, barrier options — BASELINE.json configs[0-2]."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from options_model_tpu.core.config import (
+    CALL,
+    PUT,
+    HestonParams,
+    LSMConfig,
+    MCConfig,
+    OptionSpec,
+)
+from options_model_tpu.pricers import (
+    bs_price,
+    crr_american,
+    crr_price,
+    price_american,
+    price_american_lsm,
+    price_american_with_control_variate,
+    price_barrier_mc,
+    price_european_mc,
+)
+from options_model_tpu.pricers.european import (
+    make_terminal_sampler,
+    price_european_gbm_exact,
+)
+
+S0, K, T, R, SIG = 100.0, 100.0, 0.5, 0.05, 0.2
+PUT_SPEC = OptionSpec(strike=K, rate=R, cp=PUT, sigma=SIG)
+CALL_SPEC = OptionSpec(strike=K, rate=R, cp=CALL, sigma=SIG)
+HESTON = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+
+
+class TestCRROracle:
+    def test_european_tree_converges_to_bs(self):
+        bs = float(bs_price(S0, K, T, R, SIG, 1.0))
+        crr = crr_price(S0, K, T, R, SIG, cp=1.0, n_steps=4096, american=False,
+                        use_native=False)
+        np.testing.assert_allclose(crr, bs, rtol=2e-4)
+
+    def test_american_put_above_european(self):
+        am = crr_american(S0, K, T, R, SIG, cp=-1.0)
+        eu = float(bs_price(S0, K, T, R, SIG, -1.0))
+        assert am > eu
+
+    def test_american_call_no_dividends_equals_european(self):
+        am = crr_american(S0, K, T, R, SIG, cp=1.0)
+        eu = float(bs_price(S0, K, T, R, SIG, 1.0))
+        np.testing.assert_allclose(am, eu, rtol=5e-4)
+
+    def test_known_value(self):
+        # Widely-tabulated benchmark: American put S=36 K=40 r=6% sigma=20% T=1
+        # (Longstaff-Schwartz 2001 table 1): ~4.478-4.488.
+        am = crr_american(36.0, 40.0, 1.0, 0.06, 0.2, cp=-1.0, n_steps=4096)
+        assert 4.47 < am < 4.50
+
+
+class TestEuropeanMC:
+    def test_gbm_within_stderr_of_bs(self, key):
+        cfg = MCConfig(n_paths=2**17, n_steps=32, path_block=4096)
+        sampler = make_terminal_sampler("gbm", S0, R, T, sigma=SIG)
+        price, stderr, n = price_european_mc(key, sampler, CALL_SPEC, T, cfg)
+        bs = float(bs_price(S0, K, T, R, SIG, 1.0))
+        assert abs(float(price) - bs) < 4 * float(stderr)
+        assert float(stderr) < 0.05
+
+    def test_chunking_does_not_change_price(self, key):
+        cfg = MCConfig(n_paths=2**14, n_steps=16, path_block=1024)
+        sampler = make_terminal_sampler("gbm", S0, R, T, sigma=SIG)
+        p1, _, _ = price_european_mc(key, sampler, CALL_SPEC, T, cfg,
+                                     max_paths_per_chunk=1 << 20)
+        p2, _, _ = price_european_mc(key, sampler, CALL_SPEC, T, cfg,
+                                     max_paths_per_chunk=2048)
+        np.testing.assert_allclose(float(p1), float(p2), rtol=1e-5)
+
+    def test_exact_terminal_gbm(self, key):
+        price, stderr, _ = price_european_gbm_exact(key, S0, CALL_SPEC, T, n_paths=2**18)
+        bs = float(bs_price(S0, K, T, R, SIG, 1.0))
+        assert abs(float(price) - bs) < 4 * float(stderr)
+
+    def test_heston_put_call_parity(self, key):
+        cfg = MCConfig(n_paths=2**16, n_steps=64, path_block=4096)
+        sampler = make_terminal_sampler("heston", S0, R, T, heston=HESTON)
+        call, _, _ = price_european_mc(key, sampler, CALL_SPEC, T, cfg)
+        put, _, _ = price_european_mc(key, sampler, PUT_SPEC, T, cfg)
+        # C - P = S0 - K exp(-rT), model-independent.
+        np.testing.assert_allclose(float(call) - float(put),
+                                   S0 - K * np.exp(-R * T), atol=0.15)
+
+
+class TestAmericanLSM:
+    def test_poly_put_vs_crr(self, key):
+        mc = MCConfig(n_paths=2**16, n_steps=50, path_block=4096)
+        lsm = LSMConfig(regressor="poly", use_control_variate=False)
+        price, stderr = price_american_lsm(key, S0, T, PUT_SPEC, mc, lsm)
+        oracle = crr_american(S0, K, T, R, SIG, cp=-1.0, n_steps=4096)
+        assert abs(float(price) - oracle) / oracle < 0.01, (
+            f"LSM {float(price):.4f} vs CRR {oracle:.4f}")
+
+    def test_poly_put_vs_crr_with_cv(self, key):
+        mc = MCConfig(n_paths=2**16, n_steps=50, path_block=4096)
+        lsm = LSMConfig(regressor="poly")
+        price, stderr = price_american_with_control_variate(
+            key, S0, T, PUT_SPEC, mc, lsm)
+        oracle = crr_american(S0, K, T, R, SIG, cp=-1.0, n_steps=4096)
+        assert abs(float(price) - oracle) / oracle < 0.007, (
+            f"LSM+CV {float(price):.4f} vs CRR {oracle:.4f}")
+
+    def test_american_put_above_european(self, key):
+        mc = MCConfig(n_paths=2**15, n_steps=32, path_block=4096)
+        lsm = LSMConfig(regressor="poly", use_control_variate=False)
+        price, _ = price_american_lsm(key, S0, T, PUT_SPEC, mc, lsm)
+        eu = float(bs_price(S0, K, T, R, SIG, -1.0))
+        assert float(price) > eu - 0.02
+
+    def test_deep_itm_put_immediate_exercise(self, key):
+        # S0 far below K: American put ~ intrinsic value K - S0.
+        mc = MCConfig(n_paths=2**14, n_steps=32, path_block=4096)
+        lsm = LSMConfig(regressor="poly", use_control_variate=False)
+        price, _ = price_american_lsm(key, 60.0, T, PUT_SPEC, mc, lsm)
+        assert float(price) > 39.5
+
+    def test_nn_put_vs_crr(self, key):
+        mc = MCConfig(n_paths=2**14, n_steps=25, path_block=4096)
+        lsm = LSMConfig(regressor="nn", nn_epochs=8, nn_hidden=64,
+                        use_control_variate=False)
+        price, stderr = price_american_lsm(key, S0, T, PUT_SPEC, mc, lsm)
+        oracle = crr_american(S0, K, T, R, SIG, cp=-1.0, n_steps=2048)
+        assert abs(float(price) - oracle) / oracle < 0.03, (
+            f"NN-LSM {float(price):.4f} vs CRR {oracle:.4f}")
+
+    def test_heston_american_put_bounds(self, key):
+        mc = MCConfig(n_paths=2**15, n_steps=50, path_block=4096)
+        lsm = LSMConfig(regressor="poly", use_control_variate=False)
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=None)
+        price, _ = price_american_lsm(key, S0, T, spec, mc, lsm,
+                                      model="heston", heston=HESTON)
+        # v0=theta=0.04 -> vol ~20%: Heston American put should be near the
+        # BS-world value, certainly within sane bounds.
+        assert 3.0 < float(price) < 8.0
+
+    def test_dispatcher_european_approximation(self, key):
+        mc = MCConfig(n_paths=2**15, n_steps=32, path_block=4096)
+        lsm = LSMConfig(regressor="poly", european_approximation=True)
+        price, _ = price_american(key, S0, T, CALL_SPEC, mc, lsm)
+        bs = float(bs_price(S0, K, T, R, SIG, 1.0))
+        np.testing.assert_allclose(float(price), bs, atol=0.2)
+
+    def test_determinism(self, key):
+        mc = MCConfig(n_paths=2**13, n_steps=16, path_block=4096)
+        lsm = LSMConfig(regressor="poly", use_control_variate=False)
+        p1, _ = price_american_lsm(key, S0, T, PUT_SPEC, mc, lsm)
+        p2, _ = price_american_lsm(key, S0, T, PUT_SPEC, mc, lsm)
+        assert float(p1) == float(p2)
+
+
+class TestBarrier:
+    def test_knockout_below_vanilla(self, key):
+        mc = MCConfig(n_paths=2**15, n_steps=64, path_block=4096)
+        ko, _ = price_barrier_mc(key, S0, T, CALL_SPEC, barrier=130.0,
+                                 barrier_type="up-and-out", mc=mc)
+        vanilla = float(bs_price(S0, K, T, R, SIG, 1.0))
+        assert 0.0 < float(ko) < vanilla
+
+    def test_in_out_parity(self, key):
+        # KI + KO = vanilla when priced on the same paths.
+        mc = MCConfig(n_paths=2**15, n_steps=64, path_block=4096)
+        ko, _ = price_barrier_mc(key, S0, T, CALL_SPEC, barrier=120.0,
+                                 barrier_type="up-and-out", mc=mc)
+        ki, _ = price_barrier_mc(key, S0, T, CALL_SPEC, barrier=120.0,
+                                 barrier_type="up-and-in", mc=mc)
+        sampler = make_terminal_sampler("gbm", S0, R, T, sigma=SIG)
+        vanilla, _, _ = price_european_mc(key, sampler, CALL_SPEC, T, mc)
+        np.testing.assert_allclose(float(ko) + float(ki), float(vanilla), rtol=1e-4)
+
+    def test_distant_barrier_equals_vanilla(self, key):
+        mc = MCConfig(n_paths=2**15, n_steps=32, path_block=4096)
+        ko, _ = price_barrier_mc(key, S0, T, CALL_SPEC, barrier=1e6,
+                                 barrier_type="up-and-out", mc=mc)
+        bs = float(bs_price(S0, K, T, R, SIG, 1.0))
+        assert abs(float(ko) - bs) < 0.2
+
+    def test_bad_barrier_type(self, key):
+        with pytest.raises(ValueError):
+            price_barrier_mc(key, S0, T, CALL_SPEC, barrier=120.0,
+                             barrier_type="sideways", mc=MCConfig(n_paths=256))
