@@ -1,0 +1,32 @@
+"""Heston calibration (reference component #13, heston_calibration.py).
+
+The pricing engine inside the objective is the Fang-Oosterlee COS method on the
+Heston characteristic function — closed-form-fast, fully vectorized over the
+strike x maturity surface, and differentiable end to end (gradients via jax.grad
+flow through the complex char-fn and the implied-vol solver). The reference ran
+a 100k-path Monte Carlo per objective evaluation (heston_calibration.py:404-472);
+this replaces it with microseconds per surface, which is the single biggest
+algorithmic win available (SURVEY.md §3.4).
+"""
+
+from options_model_tpu.calibration.charfn import (
+    heston_charfn,
+    heston_cos_price,
+)
+from options_model_tpu.calibration.calibrator import (
+    HestonCalibrator,
+    MarketSurface,
+    calibrate_heston_to_data,
+    detect_regime,
+)
+from options_model_tpu.calibration.synthetic import create_synthetic_heston_surface
+
+__all__ = [
+    "heston_charfn",
+    "heston_cos_price",
+    "HestonCalibrator",
+    "MarketSurface",
+    "calibrate_heston_to_data",
+    "detect_regime",
+    "create_synthetic_heston_surface",
+]

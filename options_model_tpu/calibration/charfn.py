@@ -1,0 +1,131 @@
+"""Heston characteristic function and COS European pricing.
+
+Characteristic function in the numerically stable "little Heston trap"
+formulation (Albrecher et al. 2007): the branch choice with -d keeps the complex
+log single-valued for long maturities. Pricing via the COS method of Fang &
+Oosterlee (2008) with cumulant-based truncation.
+
+Everything is jnp-native (complex64/complex128), vectorizes over a strike x
+maturity surface in one shot, and is differentiable in the Heston parameters —
+which is what makes the calibrator's least squares gradient-driven instead of
+the reference's derivative-free MC cascade (heston_calibration.py:474-520).
+
+Validated against the framework's own Heston Monte Carlo (tests/test_calibration.py)
+and the Black-Scholes limit xi -> 0, v0 = theta.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from options_model_tpu.core.config import HestonParams
+
+
+def heston_charfn(u, T, r, params: HestonParams, dtype=jnp.complex64):
+    """phi(u) = E[exp(i u ln(S_T/S0))] under Heston risk-neutral dynamics.
+
+    u: (...,) real or complex frequencies. Returns complex array shaped like u
+    broadcast with T. The spot enters separately (pricing adds i*u*ln(S0/K)).
+    """
+    u = jnp.asarray(u, dtype)
+    T = jnp.asarray(T, jnp.real(jnp.zeros((), dtype)).dtype)
+    kappa = params.kappa
+    theta = params.theta
+    xi = params.xi
+    rho = params.rho
+    v0 = params.v0
+
+    iu = 1j * u
+    beta = kappa - rho * xi * iu
+    d = jnp.sqrt(beta**2 + xi**2 * (iu + u**2))
+    # (beta - d) computed via the exact identity (beta-d)(beta+d) = -xi^2(iu+u^2):
+    # the naive difference cancels catastrophically in complex64 for small xi.
+    ratio = -(iu + u**2) / (beta + d)        # == (beta - d) / xi^2
+    bmd = ratio * xi**2                       # == beta - d, stably
+    # Little-trap branch: g2 = (beta - d) / (beta + d)
+    g2 = bmd / (beta + d)
+    exp_dT = jnp.exp(-d * T)
+    log_term = jnp.log((1.0 - g2 * exp_dT) / (1.0 - g2))
+    A = kappa * theta * (ratio * T) - (2.0 * kappa * theta / xi**2) * log_term
+    B = ratio * ((1.0 - exp_dT) / (1.0 - g2 * exp_dT))
+    return jnp.exp(iu * r * T + A + B * v0)
+
+
+def _heston_cumulants(T, r, params: HestonParams):
+    """First two cumulants of ln(S_T/S0) (Fang & Oosterlee 2008, Table 11)."""
+    kappa, theta, xi, rho, v0 = (params.kappa, params.theta, params.xi,
+                                 params.rho, params.v0)
+    ekt = jnp.exp(-kappa * T)
+    c1 = r * T + (1.0 - ekt) * (theta - v0) / (2.0 * kappa) - 0.5 * theta * T
+    c2 = (1.0 / (8.0 * kappa**3)) * (
+        xi * T * kappa * ekt * (v0 - theta) * (8.0 * kappa * rho - 4.0 * xi)
+        + kappa * rho * xi * (1.0 - ekt) * (16.0 * theta - 8.0 * v0)
+        + 2.0 * theta * kappa * T * (-4.0 * kappa * rho * xi + xi**2 + 4.0 * kappa**2)
+        + xi**2 * ((theta - 2.0 * v0) * jnp.exp(-2.0 * kappa * T)
+                   + theta * (6.0 * ekt - 7.0) + 2.0 * v0)
+        + 8.0 * kappa**2 * (v0 - theta) * (1.0 - ekt)
+    )
+    return c1, jnp.maximum(c2, 1e-12)
+
+
+def _cos_coeffs_call(k, a, b):
+    """COS payoff coefficients U_k for a call on x = ln(S_T/K): payoff K(e^x - 1)^+
+    over [0, b]. chi/psi as in Fang-Oosterlee eq. (22)-(23)."""
+    c, d = 0.0, b
+    omega = k * jnp.pi / (b - a)
+    # chi_k(c, d) = int_c^d e^x cos(omega (x - a)) dx
+    chi = (1.0 / (1.0 + omega**2)) * (
+        jnp.cos(omega * (d - a)) * jnp.exp(d)
+        - jnp.cos(omega * (c - a)) * jnp.exp(c)
+        + omega * jnp.sin(omega * (d - a)) * jnp.exp(d)
+        - omega * jnp.sin(omega * (c - a)) * jnp.exp(c)
+    )
+    # psi_k(c, d) = int_c^d cos(omega (x - a)) dx
+    psi_k0 = d - c
+    psi_k = jnp.where(k == 0, psi_k0,
+                      (jnp.sin(omega * (d - a)) - jnp.sin(omega * (c - a)))
+                      / jnp.where(k == 0, 1.0, omega))
+    return (2.0 / (b - a)) * (chi - psi_k)
+
+
+@partial(jax.jit, static_argnames=("n_terms",))
+def heston_cos_price(S0, K, T, r, params: HestonParams, cp=1.0,
+                     n_terms: int = 256, L: float = 12.0):
+    """European option price(s) under Heston via the COS method.
+
+    K, T broadcast elementwise (price a whole surface in one call); cp likewise.
+    Puts are obtained from calls by put-call parity (exact, avoids a second
+    truncation range).
+    """
+    K = jnp.asarray(K, jnp.float32)
+    T = jnp.asarray(T, jnp.float32)
+    K, T = jnp.broadcast_arrays(K, T)
+    shape = K.shape
+    Kf = K.reshape(-1)
+    Tf = T.reshape(-1)
+
+    x0 = jnp.log(S0 / Kf)                              # (M,)
+    c1, c2 = _heston_cumulants(Tf, r, params)          # (M,)
+    a = x0 + c1 - L * jnp.sqrt(c2)
+    b = x0 + c1 + L * jnp.sqrt(c2)
+
+    k = jnp.arange(n_terms, dtype=jnp.float32)         # (N,)
+    omega = k[None, :] * jnp.pi / (b - a)[:, None]     # (M, N)
+
+    phi = heston_charfn(omega, Tf[:, None], r, params)  # (M, N)
+    # F_k = Re[phi(omega_k) * exp(i omega_k (x0 - a))]
+    Fk = jnp.real(phi * jnp.exp(1j * omega * (x0 - a)[:, None]))
+    Uk = _cos_coeffs_call(k[None, :], a[:, None], b[:, None])
+    weights = jnp.ones((n_terms,), jnp.float32).at[0].set(0.5)
+
+    call = Kf * jnp.exp(-r * Tf) * jnp.sum(weights[None, :] * Fk * Uk, axis=-1)
+    call = jnp.maximum(call, 0.0)
+    cp_f = jnp.broadcast_to(jnp.asarray(cp, jnp.float32), shape).reshape(-1)
+    # parity: P = C - S0 + K e^{-rT}
+    put = call - S0 + Kf * jnp.exp(-r * Tf)
+    price = jnp.where(cp_f > 0, call, jnp.maximum(put, 0.0))
+    return price.reshape(shape)

@@ -1,0 +1,47 @@
+"""Synthetic Heston surfaces with known true parameters — the calibration test
+oracle (create_synthetic_heston_data, heston_calibration.py:730-774), upgraded
+to the intended behavior: implied vols come from exact COS prices inverted
+through the IV solver, not the reference's ATM-vol + smile-effect approximation
+(:751-756) which never actually reflected the input parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from options_model_tpu.core.config import HestonParams
+from options_model_tpu.calibration.charfn import heston_cos_price
+from options_model_tpu.pricers.blackscholes import implied_vol
+
+
+def create_synthetic_heston_surface(
+    params: HestonParams,
+    S0: float = 100.0,
+    rate: float = 0.05,
+    strikes: Optional[np.ndarray] = None,
+    expiries_days=(30, 60, 90, 180),
+    noise_std: float = 0.0,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (strikes, expiries, ivs) flattened over the grid."""
+    if strikes is None:
+        strikes = np.linspace(80.0, 120.0, 15)
+    expiries = np.asarray(expiries_days, np.float64) / 365.0
+    K, T = np.meshgrid(strikes, expiries)
+    K, T = K.reshape(-1), T.reshape(-1)
+
+    prices = heston_cos_price(S0, jnp.asarray(K, jnp.float32),
+                              jnp.asarray(T, jnp.float32), rate, params, cp=1.0)
+    ivs = np.asarray(implied_vol(prices, S0, jnp.asarray(K, jnp.float32),
+                                 jnp.asarray(T, jnp.float32), rate, cp=1.0),
+                     np.float64)
+
+    if noise_std > 0:
+        rng = np.random.default_rng(seed)
+        ivs = ivs + rng.normal(0.0, noise_std, ivs.shape)
+
+    ivs = np.clip(ivs, 0.011, 1.99)
+    return K, T, ivs
