@@ -1,0 +1,22 @@
+"""Implied-volatility surface modeling (reference component #12,
+NN_training_stock_iv.py): a Flax residual MLP over (log-moneyness, tau) with
+vega-weighted loss, finite-difference no-arbitrage penalties, MC-dropout
+uncertainty, early stopping, and orbax checkpointing with a real restore path
+(the reference wrote checkpoints but never read them — SURVEY.md §5).
+"""
+
+from options_model_tpu.surface.scaler import SurfaceScaler
+from options_model_tpu.surface.network import IVNetwork
+from options_model_tpu.surface.loss import arbitrage_penalty_fd, vega_weights
+from options_model_tpu.surface.train import SurfaceTrainResult, train_iv_surface
+from options_model_tpu.surface.model import IVSurfaceModel
+
+__all__ = [
+    "SurfaceScaler",
+    "IVNetwork",
+    "arbitrage_penalty_fd",
+    "vega_weights",
+    "SurfaceTrainResult",
+    "train_iv_surface",
+    "IVSurfaceModel",
+]

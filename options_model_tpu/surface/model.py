@@ -1,0 +1,122 @@
+"""High-level IV-surface interface.
+
+Rebuilds IVSurfaceModel / IVModel (NN_training_stock_iv.py:713-772,
+options_model_3/options_model_3.py:263-298): fit on observations, predict IVs
+with optional MC-dropout uncertainty, and expose a jit-compatible ``sigma_fn``
+that plugs straight into the local-vol simulator (models/localvol.py) — the
+network stays device-resident inside the simulation scan instead of the
+reference's per-step host round trip.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from options_model_tpu.core.config import SurfaceTrainConfig
+from options_model_tpu.surface.network import make_network
+from options_model_tpu.surface.train import (
+    SurfaceTrainResult,
+    restore_checkpoint,
+    save_checkpoint,
+    train_iv_surface,
+)
+
+
+class IVSurfaceModel:
+    """Trained IV surface with prediction, uncertainty, and simulator adapters."""
+
+    def __init__(self, result: SurfaceTrainResult):
+        self._result = result
+        self._net = make_network(result.config)
+        self._apply = jax.jit(
+            lambda params, x: self._net.apply(params, x, deterministic=True))
+
+    # -- constructors ---------------------------------------------------------
+
+    @classmethod
+    def fit(cls, K, T, sigma_iv, S0: float,
+            cfg: Optional[SurfaceTrainConfig] = None, rate: float = 0.05
+            ) -> "IVSurfaceModel":
+        return cls(train_iv_surface(K, T, sigma_iv, S0, cfg, rate))
+
+    @classmethod
+    def restore(cls, path: str) -> "IVSurfaceModel":
+        return cls(restore_checkpoint(path))
+
+    def save(self, path: str) -> None:
+        save_checkpoint(path, self._result)
+
+    # -- properties -----------------------------------------------------------
+
+    @property
+    def S0(self) -> float:
+        return self._result.scaler.S0
+
+    @property
+    def scaler(self):
+        return self._result.scaler
+
+    @property
+    def best_val_loss(self) -> float:
+        return self._result.best_val_loss
+
+    # -- prediction -----------------------------------------------------------
+
+    def predict(self, K, tau, S: Optional[float] = None) -> np.ndarray:
+        """IV at strike(s) K and expiry tau (years), spot defaulting to the
+        fitted S0. Broadcasts elementwise."""
+        S = self.S0 if S is None else S
+        X = self._result.scaler.features(jnp.asarray(K, jnp.float32), S,
+                                         jnp.asarray(tau, jnp.float32))
+        out = self._apply(self._result.params, X.reshape(-1, 2))[:, 0]
+        return np.asarray(out).reshape(np.shape(np.broadcast_arrays(
+            np.asarray(K, np.float32), np.asarray(tau, np.float32))[0]))
+
+    def predict_surface(self, K_grid, tau_grid) -> np.ndarray:
+        """IV over a meshgrid of strikes x expiries."""
+        Km, Tm = np.meshgrid(np.asarray(K_grid), np.asarray(tau_grid))
+        return self.predict(Km, Tm)
+
+    def predict_with_uncertainty(self, K, tau, n_samples: Optional[int] = None,
+                                 seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """MC-dropout mean/std (NN_training_stock_iv.py:157-198): n forward
+        passes with dropout live, vmapped over sample keys."""
+        cfg = self._result.config
+        n = n_samples or cfg.mc_samples
+        X = self._result.scaler.features(jnp.asarray(K, jnp.float32), self.S0,
+                                         jnp.asarray(tau, jnp.float32)).reshape(-1, 2)
+
+        def one(k):
+            return self._net.apply(self._result.params, X, deterministic=False,
+                                   rngs={"dropout": k})[:, 0]
+
+        keys = jax.random.split(jax.random.key(seed), n)
+        samples = jax.vmap(one)(keys)  # (n, pts)
+        return (np.asarray(jnp.mean(samples, 0)), np.asarray(jnp.std(samples, 0)))
+
+    # -- simulator adapters ---------------------------------------------------
+
+    def sigma_fn(self, K: float) -> Callable:
+        """sigma(S_batch, tau) closure over a fixed strike for the local-vol
+        simulator — the pure-function analogue of IVModel.get_volatility_batch
+        (options_model_3/options_model_3.py:275-298): m = log(K / S_batch)."""
+        params = self._result.params
+        scaler = self._result.scaler
+        net = self._net
+
+        def fn(S, tau):
+            X = scaler.features(K, S, tau)
+            return jnp.maximum(net.apply(params, X.reshape(-1, 2))[:, 0], 1e-6
+                               ).reshape(S.shape)
+
+        return fn
+
+    def get_sigma_iv(self, K: float, S0: float, tau: float) -> float:
+        """Scalar IV lookup (get_sigma_iv, NN_training_stock_iv.py:855-900)."""
+        if K <= 0 or S0 <= 0 or tau <= 0:
+            raise ValueError("K, S0, and tau must be positive")
+        return float(self.predict(np.float32(K), np.float32(tau), S=S0))

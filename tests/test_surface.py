@@ -1,0 +1,189 @@
+"""IV-surface network: scaler invariants, training on the synthetic smile,
+vega weighting, arbitrage penalties, MC-dropout, checkpoint round trip, and the
+local-vol simulator adapter (reference test strategy, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from options_model_tpu.core.config import MCConfig, SurfaceTrainConfig
+from options_model_tpu.data.synthetic import synthetic_iv_smile, synthetic_smile_surface
+from options_model_tpu.surface import (
+    IVSurfaceModel,
+    SurfaceScaler,
+    arbitrage_penalty_fd,
+    train_iv_surface,
+    vega_weights,
+)
+from options_model_tpu.surface.network import init_params, make_network
+
+# Fit-quality fixture: unweighted loss (vega weighting is covered by its own
+# tests; it deliberately downweights the wings this fixture asserts on). The
+# synthetic grid is tiny (120 pts -> ~2 full batches/epoch with augmentation),
+# so "epochs" here are cheap single jitted steps.
+FAST = SurfaceTrainConfig(epochs=1200, batch_size=256, hidden_dim=32,
+                          num_hidden_layers=2, dropout=0.05, patience=1200,
+                          mc_samples=8, use_vega_weighting=False, lr=2e-3)
+
+
+@pytest.fixture(scope="module")
+def smile_model():
+    K, T, iv, S0 = synthetic_smile_surface()
+    return IVSurfaceModel.fit(K, T, iv, S0, FAST), (K, T, iv, S0)
+
+
+class TestScaler:
+    def test_centering(self):
+        m = np.array([-0.2, -0.1, 0.0, 0.1, 0.2])
+        tau = np.array([0.1, 0.2, 0.3, 0.4, 0.5])
+        sc = SurfaceScaler.fit(m, tau, S0=100.0)
+        mn, tn = sc.transform(m, tau)
+        np.testing.assert_allclose(np.mean(mn), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.std(mn), 1.0, rtol=1e-4)
+        np.testing.assert_allclose(np.mean(tn), 0.0, atol=1e-6)
+
+    def test_minimum_scales(self):
+        sc = SurfaceScaler.fit(np.zeros(5), np.zeros(5), S0=100.0)
+        assert sc.m_scale >= 1e-3 and sc.tau_scale >= 1e-4
+
+    def test_dict_round_trip(self):
+        sc = SurfaceScaler.fit(np.array([-0.1, 0.1]), np.array([0.1, 0.4]), 50.0)
+        sc2 = SurfaceScaler.from_dict(sc.to_dict())
+        assert sc2 == sc
+
+    def test_features_shape(self):
+        sc = SurfaceScaler.fit(np.array([-0.1, 0.1]), np.array([0.1, 0.4]), 100.0)
+        X = sc.features(jnp.array([90.0, 100.0, 110.0]), 100.0, 0.3)
+        assert X.shape == (3, 2)
+
+
+class TestVegaWeights:
+    def test_mean_one(self):
+        K, T, iv, S0 = synthetic_smile_surface()
+        w = vega_weights(K, T, iv, S0)
+        np.testing.assert_allclose(float(jnp.mean(w)), 1.0, rtol=1e-5)
+
+    def test_atm_weighted_highest(self):
+        K, T, iv, S0 = synthetic_smile_surface()
+        w = np.asarray(vega_weights(K, T, iv, S0))
+        atm = np.abs(K - S0) < 2.0
+        wing = np.abs(K - S0) > 30.0
+        assert w[atm].mean() > 3 * w[wing].mean()
+
+
+class TestArbitragePenalty:
+    def test_nonnegative_scalar(self, key):
+        cfg = FAST
+        params = init_params(cfg, key, 0.2)
+        net = make_network(cfg)
+        sc = SurfaceScaler(m_mean=0.0, m_scale=0.2, tau_mean=0.2, tau_scale=0.1, S0=100.0)
+        X = jax.random.normal(key, (32, 2))
+        pen = arbitrage_penalty_fd(lambda x: net.apply(params, x, deterministic=True),
+                                   X, sc)
+        assert pen.shape == ()
+        assert float(pen) >= 0.0
+
+    def test_zero_for_flat_surface(self):
+        # Constant IV surface has zero butterfly and zero calendar penalty.
+        sc = SurfaceScaler(m_mean=0.0, m_scale=0.2, tau_mean=0.2, tau_scale=0.1, S0=100.0)
+        X = jnp.zeros((16, 2))
+        pen = arbitrage_penalty_fd(lambda x: jnp.full((x.shape[0], 1), 0.2), X, sc)
+        np.testing.assert_allclose(float(pen), 0.0, atol=1e-6)
+
+    def test_penalizes_concavity_in_m(self):
+        sc = SurfaceScaler(m_mean=0.0, m_scale=1.0, tau_mean=0.0, tau_scale=1.0, S0=100.0)
+        X = jnp.zeros((8, 2))
+        concave = lambda x: (0.5 - x[:, :1] ** 2)       # d2w/dm2 = -2 < 0
+        convex = lambda x: (0.5 + x[:, :1] ** 2)
+        assert float(arbitrage_penalty_fd(concave, X, sc)) > 0.0
+        np.testing.assert_allclose(
+            float(arbitrage_penalty_fd(convex, X, sc)), 0.0, atol=1e-5)
+
+
+class TestTraining:
+    def test_fits_synthetic_smile(self, smile_model):
+        model, (K, T, iv, S0) = smile_model
+        pred = model.predict(K, T)
+        rmse = float(np.sqrt(np.mean((pred - iv) ** 2)))
+        assert rmse < 0.02, f"surface RMSE {rmse:.4f}"  # < 2 vol points
+        assert model.best_val_loss < 1e-3
+
+    def test_predictions_in_reasonable_range(self, smile_model):
+        model, _ = smile_model
+        Ks = np.linspace(70.0, 130.0, 13)
+        pred = model.predict(Ks, 0.25)
+        assert np.all(pred > 0.01) and np.all(pred < 1.0)
+
+    def test_smile_shape_learned(self, smile_model):
+        model, (_, _, _, S0) = smile_model
+        # wings above ATM for the synthetic smile
+        assert model.predict(70.0, 0.25) > model.predict(100.0, 0.25)
+        assert model.predict(130.0, 0.25) > model.predict(100.0, 0.25)
+
+    def test_early_stopping_restores_best(self):
+        K, T, iv, S0 = synthetic_smile_surface()
+        cfg = SurfaceTrainConfig(epochs=40, batch_size=256, hidden_dim=16,
+                                 num_hidden_layers=1, patience=3, dropout=0.0,
+                                 use_augmentation=False)
+        res = train_iv_surface(K, T, iv, S0, cfg)
+        assert res.epochs_run <= 40
+        assert res.best_val_loss <= min(res.val_losses) + 1e-9
+
+    def test_determinism(self):
+        K, T, iv, S0 = synthetic_smile_surface()
+        cfg = SurfaceTrainConfig(epochs=3, batch_size=256, hidden_dim=16,
+                                 num_hidden_layers=1, dropout=0.0,
+                                 use_augmentation=False)
+        r1 = train_iv_surface(K, T, iv, S0, cfg)
+        r2 = train_iv_surface(K, T, iv, S0, cfg)
+        assert r1.val_losses == r2.val_losses
+
+
+class TestUncertainty:
+    def test_mc_dropout_shapes_and_spread(self, smile_model):
+        model, _ = smile_model
+        mean, std = model.predict_with_uncertainty(np.array([90.0, 100.0, 110.0]),
+                                                   np.array([0.25, 0.25, 0.25]))
+        assert mean.shape == (3,) and std.shape == (3,)
+        assert np.all(std >= 0.0)
+
+
+class TestCheckpoint:
+    def test_save_restore_round_trip(self, smile_model, tmp_path):
+        model, (K, T, iv, S0) = smile_model
+        path = str(tmp_path / "ckpt")
+        model.save(path)
+        restored = IVSurfaceModel.restore(path)
+        a = model.predict(K[:20], T[:20])
+        b = restored.predict(K[:20], T[:20])
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+        assert restored.S0 == model.S0
+
+
+class TestLocalVolAdapter:
+    def test_sigma_fn_jittable_in_simulation(self, smile_model, key):
+        from options_model_tpu.models.localvol import simulate_local_vol
+
+        model, (_, _, _, S0) = smile_model
+        fn = model.sigma_fn(K=100.0)
+        cfg = MCConfig(n_paths=2048, n_steps=8, path_block=1024)
+        S_T = simulate_local_vol(key, S0, 0.05, 0.25, fn, cfg, return_paths=False)
+        assert S_T.shape == (2048,)
+        assert np.all(np.isfinite(np.asarray(S_T)))
+
+    def test_get_sigma_iv_validation(self, smile_model):
+        model, _ = smile_model
+        with pytest.raises(ValueError):
+            model.get_sigma_iv(-1.0, 100.0, 0.25)
+        v = model.get_sigma_iv(100.0, 100.0, 0.25)
+        assert 0.05 < v < 1.0
+
+
+class TestSyntheticOracle:
+    def test_smile_formula(self):
+        iv = synthetic_iv_smile(100.0, 30 / 365, S0=100.0)
+        np.testing.assert_allclose(iv, 0.2 + 0.02 * np.sqrt(30 / 365), rtol=1e-6)
+
+    def test_wings_higher(self):
+        assert synthetic_iv_smile(60.0, 0.25) > synthetic_iv_smile(100.0, 0.25)
