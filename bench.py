@@ -1,0 +1,124 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): Heston MC path-steps/sec/chip through the
+fused Pallas terminal kernel (full-truncation Euler, antithetic, on-chip
+Box-Muller RNG). vs_baseline is measured against the 1e9 path-steps/s/chip
+north star. Secondary details: GBM throughput, full-path-matrix throughput,
+and American-put accuracy vs the CRR binomial oracle (target <0.1%).
+
+Run: python bench.py            (real chip via the container's default backend)
+     python bench.py --quick    (skip the accuracy leg)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NORTH_STAR = 1e9  # Heston path-steps/sec/chip (BASELINE.json)
+
+
+def _time_per_call(kernel_call, k1: int = 2, k2: int = 12, reps: int = 3):
+    """Per-invocation device time via dependency-chained slope timing.
+
+    Runs the kernel k times inside ONE jit (each iteration's mean feeds an
+    accumulator, so iterations cannot overlap or be elided), forces completion
+    with a scalar host read, and takes the slope (t(k2)-t(k1))/(k2-k1). This
+    cancels constant dispatch/transfer overhead — essential on remote-relay
+    backends where block_until_ready may return before execution finishes.
+    """
+    def make(k):
+        @jax.jit
+        def f(seed0):
+            def body(i, acc):
+                return acc + jnp.mean(kernel_call(seed0 + i))
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return f
+
+    f1, f2 = make(k1), make(k2)
+    float(f1(0)); float(f2(0))  # compile
+    t1 = min(_walltime(f1, r) for r in range(reps))
+    t2 = min(_walltime(f2, r) for r in range(reps))
+    return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
+def _walltime(f, seed):
+    t0 = time.perf_counter()
+    float(f(seed * 100 + 1))
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="skip the accuracy leg")
+    ap.add_argument("--paths", type=int, default=1 << 22)
+    ap.add_argument("--steps", type=int, default=100)
+    args = ap.parse_args()
+
+    from options_model_tpu.core.config import (
+        HestonParams, LSMConfig, MCConfig, OptionSpec, PUT)
+    from options_model_tpu.ops.pallas_gbm import gbm_terminal_pallas
+    from options_model_tpu.ops.pallas_heston import (
+        heston_paths_pallas, heston_terminal_pallas)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+    n_paths, n_steps = args.paths, args.steps
+    if not on_tpu:  # CPU fallback: tiny workload through the XLA engine
+        n_paths, n_steps = 1 << 16, 25
+
+    details = {"backend": jax.default_backend(), "device": str(jax.devices()[0]),
+               "n_paths": n_paths, "n_steps": n_steps}
+
+    if on_tpu:
+        dt = _time_per_call(lambda s: heston_terminal_pallas(
+            s, 100.0, 0.05, 1.0, hp, n_paths, n_steps))
+        heston_rate = n_paths * n_steps / dt
+
+        dt_g = _time_per_call(lambda s: gbm_terminal_pallas(
+            s, 100.0, 0.05, 0.2, 1.0, n_paths, n_steps))
+        details["gbm_path_steps_per_sec"] = round(n_paths * n_steps / dt_g)
+
+        pp, ps = 1 << 19, n_steps
+        dt_p = _time_per_call(lambda s: heston_paths_pallas(
+            s, 100.0, 0.05, 1.0, hp, pp, ps)[-1], k1=1, k2=6)
+        details["heston_fullpath_steps_per_sec"] = round(pp * ps / dt_p)
+    else:
+        from options_model_tpu.models.heston import simulate_heston
+        cfg = MCConfig(n_paths=n_paths, n_steps=n_steps, path_block=4096)
+        key = jax.random.key(0)
+        heston_rate = n_paths * n_steps / _time_per_call(
+            lambda s: simulate_heston(
+                jax.random.fold_in(key, s), 100.0, 0.05, 1.0, hp, cfg,
+                return_paths=False), k1=1, k2=4, reps=2)
+
+    if not args.quick:
+        from options_model_tpu.pricers import (
+            crr_american, price_american_with_control_variate)
+        spec = OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=0.2)
+        mc = MCConfig(n_paths=1 << 19 if on_tpu else 1 << 15, n_steps=50,
+                      path_block=4096)
+        lsm = LSMConfig(regressor="poly")
+        price, _ = price_american_with_control_variate(
+            jax.random.key(2026), 100.0, 0.5, spec, mc, lsm)
+        oracle = crr_american(100.0, 100.0, 0.5, 0.05, 0.2, cp=-1.0, n_steps=4096)
+        details["american_put_rel_err_vs_crr"] = round(
+            abs(float(price) - oracle) / oracle, 6)
+        details["american_put_lsm_cv"] = round(float(price), 6)
+        details["american_put_crr"] = round(oracle, 6)
+
+    print(json.dumps({
+        "metric": "heston_mc_path_steps_per_sec_per_chip",
+        "value": round(heston_rate),
+        "unit": "path-steps/s/chip",
+        "vs_baseline": round(heston_rate / NORTH_STAR, 3),
+        "details": details,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,8 +47,12 @@ def simulate_heston(key: jax.Array, S0, r, T, params: HestonParams, cfg: MCConfi
     r_ = jnp.asarray(r, dtype)
 
     def sim_block(block_key):
-        logS_init = jnp.full((cfg.path_block,), jnp.log(jnp.asarray(S0, dtype)), dtype)
-        v_init = jnp.full((cfg.path_block,), jnp.asarray(params.v0, dtype), dtype)
+        # Tie the scan carries to the key's data so their sharding "varying"
+        # annotation matches the per-step randomness under shard_map/lax.map
+        # (constants would be axis-invariant and fail the scan carry check).
+        vary0 = (jax.random.key_data(block_key).astype(dtype) * 0).sum()
+        logS_init = jnp.full((cfg.path_block,), jnp.log(jnp.asarray(S0, dtype)), dtype) + vary0
+        v_init = jnp.full((cfg.path_block,), jnp.asarray(params.v0, dtype), dtype) + vary0
 
         def step(carry, t):
             logS, v = carry

@@ -38,7 +38,10 @@ def simulate_local_vol(key: jax.Array, S0, r, T, sigma_fn: SigmaFn, cfg: MCConfi
     r_ = jnp.asarray(r, dtype)
 
     def sim_block(block_key):
-        logS_init = jnp.full((cfg.path_block,), jnp.log(jnp.asarray(S0, dtype)), dtype)
+        # See models/heston.py: carry must share the randomness' sharding
+        # variance annotation under shard_map.
+        vary0 = (jax.random.key_data(block_key).astype(dtype) * 0).sum()
+        logS_init = jnp.full((cfg.path_block,), jnp.log(jnp.asarray(S0, dtype)), dtype) + vary0
 
         def step(logS, t):
             (z,) = block_normals(block_key, t, half, 1, cfg.antithetic, dtype)

@@ -1,0 +1,36 @@
+"""Engine selection: fused Pallas kernels on TPU, XLA scan elsewhere.
+
+Both engines implement the same simulator contract (models/__init__.py); they
+produce different (equally valid) random streams — the Pallas engine's RNG is
+the on-chip hardware PRNG keyed by (seed, tile), the XLA engine's is threefry
+keyed by (key, block, step). Prices agree within Monte-Carlo error; tests pin
+both to their oracles.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_PALLAS_BACKENDS = ("tpu", "axon")
+
+
+def pallas_available() -> bool:
+    try:
+        return jax.default_backend() in _PALLAS_BACKENDS
+    except Exception:
+        return False
+
+
+def resolve_engine(engine: str) -> str:
+    """'auto' -> 'pallas' on TPU-like backends else 'xla'."""
+    if engine == "auto":
+        return "pallas" if pallas_available() else "xla"
+    if engine not in ("xla", "pallas"):
+        raise ValueError(f"engine must be 'auto', 'xla' or 'pallas', got {engine!r}")
+    return engine
+
+
+def seed_from_key(key: jax.Array) -> jnp.ndarray:
+    """Deterministic int32 seed for the on-chip PRNG from a jax PRNG key."""
+    return jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)

@@ -1,0 +1,112 @@
+"""Fused GBM path-simulation Pallas kernels (SURVEY.md §2.3 kernel #1).
+
+Same architecture as ops/pallas_heston.py (tile-resident state, on-chip
+Box-Muller RNG seeded by (seed, tile_id), antithetic row mirroring) with the
+one-factor log-Euler recursion. The terminal kernel accumulates the log-return
+sum in registers — a single HBM store per tile for the whole simulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from options_model_tpu.ops.pallas_heston import (
+    _LANES,
+    _PATH_ROWS,
+    _TERM_ROWS,
+    _round_up,
+    _step_normals,
+)
+
+
+def _gbm_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
+    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    S0 = par_ref[0, 0]
+    drift = par_ref[0, 1]      # (r - sigma^2/2) dt
+    diffusion = par_ref[0, 2]  # sigma sqrt(dt)
+
+    acc = jnp.zeros((_TERM_ROWS, _LANES), jnp.float32)
+
+    def body(t, acc):
+        z1, _ = _step_normals(_TERM_ROWS, antithetic)
+        return acc + z1
+
+    acc = jax.lax.fori_loop(0, n_steps, body, acc)
+    out_ref[:] = S0 * jnp.exp(drift * n_steps + diffusion * acc)
+
+
+def _gbm_paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
+    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    S0 = par_ref[0, 0]
+    drift = par_ref[0, 1]
+    diffusion = par_ref[0, 2]
+
+    out_ref[0] = jnp.full((_PATH_ROWS, _LANES), S0, jnp.float32)
+
+    def body(t, logS):
+        z1, _ = _step_normals(_PATH_ROWS, antithetic)
+        logS = logS + drift + diffusion * z1
+        out_ref[t + 1] = S0 * jnp.exp(logS)
+        return logS
+
+    jax.lax.fori_loop(0, n_steps, body, jnp.zeros((_PATH_ROWS, _LANES), jnp.float32))
+
+
+def _gbm_params(S0, r, sigma, T, n_steps):
+    dt = jnp.float32(T) / n_steps
+    return jnp.array([[S0, (r - 0.5 * sigma**2) * dt, sigma * jnp.sqrt(dt),
+                       0.0]], jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
+                                             "interpret"))
+def gbm_terminal_pallas(seed, S0, r, sigma, T, n_paths: int, n_steps: int,
+                        antithetic: bool = True, interpret: bool = False):
+    """Terminal prices S_T (n_paths_rounded,)."""
+    tile = _TERM_ROWS * _LANES
+    n_pad = _round_up(n_paths, tile)
+    grid = n_pad // tile
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(_gbm_terminal_kernel, n_steps=n_steps,
+                               antithetic=antithetic)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((_TERM_ROWS, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * _TERM_ROWS, _LANES), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, _gbm_params(S0, r, sigma, T, n_steps))
+    return out.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
+                                             "interpret"))
+def gbm_paths_pallas(seed, S0, r, sigma, T, n_paths: int, n_steps: int,
+                     antithetic: bool = True, interpret: bool = False):
+    """Full path matrix (n_steps+1, n_paths_rounded)."""
+    tile = _PATH_ROWS * _LANES
+    n_pad = _round_up(n_paths, tile)
+    grid = n_pad // tile
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(_gbm_paths_kernel, n_steps=n_steps,
+                               antithetic=antithetic)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
+                               lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
+                                       jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, _gbm_params(S0, r, sigma, T, n_steps))
+    return out.reshape(n_steps + 1, -1)

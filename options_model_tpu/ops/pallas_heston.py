@@ -1,0 +1,192 @@
+"""Fused Heston path-simulation Pallas kernels (SURVEY.md §2.3 kernel #2).
+
+One kernel program owns a tile of paths resident in VMEM registers and runs the
+ENTIRE time loop on-chip: per step it draws raw bits from the hardware PRNG,
+Box-Mullers them into correlated normals, and advances (log S, v) with the
+full-truncation Euler scheme — zero HBM traffic until the final write. This is
+what the reference's memory-capped torch batching (option_model_3_gpu.py:150-248)
+becomes when the whole step loop fuses.
+
+RNG discipline: the PRNG is seeded with (user_seed, tile_index), so every tile's
+stream is a pure function of its GLOBAL tile id — results are independent of
+grid scheduling and, with tiles sharded across chips, of the device count.
+Antithetic pairing mirrors the top half of each tile's rows.
+
+Two variants share one body:
+- terminal-only: returns S_T (n_paths,) — the calibration/European hot path;
+  never materializes a path matrix (compute-bound, ~zero bytes moved).
+- full paths:    returns S (n_steps+1, n_paths) for the LSM backward pass
+  (HBM-write-bound; layout (T, P/128, 128) so each step's store is tiled).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from options_model_tpu.core.config import HestonParams, MCConfig
+
+# Tile geometry: ROWS x 128 paths per program instance. 128 rows won an
+# on-chip sweep (dependency-chained slope timing, v5e, 2^22 paths x 100 steps):
+# 46.9 G path-steps/s vs 44.1 at 64 rows, 41.9 at 32, 25.5 at 16 — small tiles
+# underfill the VPU pipeline, larger ones blow up compile time.
+_LANES = 128
+_TERM_ROWS = 128      # 16384 paths/tile for the terminal kernel
+_PATH_ROWS = 8        # 1024 paths/tile for the full-path kernel
+
+_TWO_PI = 6.283185307179586
+
+
+def _uniform_from_bits(bits):
+    """uint32 -> float32 uniform in [0, 1): set exponent to [1,2), subtract 1."""
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return f - 1.0
+
+
+def _box_muller(shape):
+    """Two independent N(0,1) arrays of ``shape`` from the seeded on-chip PRNG."""
+    u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+    u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+    # 1 - u1 in (0, 1] keeps the log finite.
+    rad = jnp.sqrt(-2.0 * jnp.log(1.0 - u1))
+    ang = _TWO_PI * u2
+    return rad * jnp.cos(ang), rad * jnp.sin(ang)
+
+
+def _step_normals(rows, antithetic):
+    """Correlated-normal building blocks z1, z2 of shape (rows, 128)."""
+    if antithetic:
+        z1h, z2h = _box_muller((rows // 2, _LANES))
+        z1 = jnp.concatenate([z1h, -z1h], axis=0)
+        z2 = jnp.concatenate([z2h, -z2h], axis=0)
+    else:
+        z1, z2 = _box_muller((rows, _LANES))
+    return z1, z2
+
+
+def _heston_body(par_ref, rows, n_steps, antithetic, emit):
+    """Shared step loop. ``emit(t, logS, v)`` stores per-step output (or None)."""
+    S0 = par_ref[0, 0]
+    r = par_ref[0, 1]
+    dt = par_ref[0, 2]
+    kappa = par_ref[0, 3]
+    theta = par_ref[0, 4]
+    xi = par_ref[0, 5]
+    rho = par_ref[0, 6]
+    rho_bar = par_ref[0, 7]
+    v0 = par_ref[0, 8]
+    sqrt_dt = jnp.sqrt(dt)
+
+    logS = jnp.zeros((rows, _LANES), jnp.float32)
+    v = jnp.full((rows, _LANES), v0, jnp.float32)
+
+    def body(t, carry):
+        logS, v = carry
+        z1, z2 = _step_normals(rows, antithetic)
+        w2 = rho * z1 + rho_bar * z2
+        v_plus = jnp.maximum(v, 0.0)
+        sq = jnp.sqrt(v_plus) * sqrt_dt
+        v_new = jnp.maximum(v_plus + kappa * (theta - v_plus) * dt + xi * sq * w2, 0.0)
+        logS_new = logS + (r - 0.5 * v_plus) * dt + sq * z1
+        if emit is not None:
+            emit(t, logS_new, v_new)
+        return logS_new, v_new
+
+    logS, v = jax.lax.fori_loop(0, n_steps, body, (logS, v))
+    return jnp.log(S0) + logS, v
+
+
+def _terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
+    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    logS, _ = _heston_body(par_ref, _TERM_ROWS, n_steps, antithetic, emit=None)
+    out_ref[:] = jnp.exp(logS)
+
+
+def _paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
+    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    S0 = par_ref[0, 0]
+
+    def emit(t, logS, v):
+        out_ref[t + 1] = jnp.exp(jnp.log(S0) + logS)
+
+    out_ref[0] = jnp.full((_PATH_ROWS, _LANES), S0, jnp.float32)
+    _heston_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
+
+
+def _params_array(S0, r, T, params: HestonParams, n_steps) -> jnp.ndarray:
+    dt = jnp.float32(T) / n_steps
+    rho = jnp.float32(params.rho)
+    return jnp.array([[S0, r, dt, params.kappa, params.theta, params.xi,
+                       params.rho, jnp.sqrt(1.0 - rho**2), params.v0,
+                       0.0, 0.0, 0.0]], jnp.float32)
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
+                                             "interpret"))
+def heston_terminal_pallas(seed, S0, r, T, params: HestonParams,
+                           n_paths: int, n_steps: int, antithetic: bool = True,
+                           interpret: bool = False):
+    """Terminal prices S_T (n_paths_rounded,) from the fused kernel.
+
+    ``seed`` is an int32 scalar; tile ids extend it on-chip. n_paths rounds up
+    to whole tiles of 32768.
+    """
+    tile = _TERM_ROWS * _LANES
+    n_pad = _round_up(n_paths, tile)
+    grid = n_pad // tile
+    par = _params_array(S0, r, T, params, n_steps)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    kernel = functools.partial(_terminal_kernel, n_steps=n_steps,
+                               antithetic=antithetic)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_TERM_ROWS, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * _TERM_ROWS, _LANES), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, par)
+    return out.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
+                                             "interpret"))
+def heston_paths_pallas(seed, S0, r, T, params: HestonParams,
+                        n_paths: int, n_steps: int, antithetic: bool = True,
+                        interpret: bool = False):
+    """Full path matrix (n_steps+1, n_paths_rounded) from the fused kernel."""
+    tile = _PATH_ROWS * _LANES
+    n_pad = _round_up(n_paths, tile)
+    grid = n_pad // tile
+    par = _params_array(S0, r, T, params, n_steps)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    kernel = functools.partial(_paths_kernel, n_steps=n_steps,
+                               antithetic=antithetic)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
+                               lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
+                                       jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, par)
+    return out.reshape(n_steps + 1, -1)

@@ -1,0 +1,140 @@
+"""Sharded batch pricers: task-parallel grids and path-parallel single pricings.
+
+Replaces the reference's ProcessPoolExecutor fan-out (SURVEY.md §2.2): the
+strike x maturity x S0 grid becomes a sharded task axis; a single huge pricing
+shards the independent paths axis with exact psum reductions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from options_model_tpu.core.config import HestonParams, LSMConfig, MCConfig, OptionSpec
+from options_model_tpu.core.payoff import vanilla_payoff
+from options_model_tpu.core.stats import welford_from_batch, welford_psum
+from options_model_tpu.models.blocks import num_blocks
+from options_model_tpu.pricers.american import (
+    lsm_poly_backward,
+    simulate_paths,
+)
+from options_model_tpu.pricers.european import make_terminal_sampler
+
+
+def _pad_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
+                        mesh: Mesh, *, cp: float = -1.0, sigma=None,
+                        heston: Optional[HestonParams] = None,
+                        model: str = "gbm", engine: str = "auto",
+                        axis: str = "tasks") -> jnp.ndarray:
+    """Price a batch of American options, task-sharded across the mesh.
+
+    S0s/strikes/taus: equal-length 1-D arrays — one task per row (a flattened
+    strike x maturity x spot grid; BASELINE.json configs[4]). All tasks share
+    (mc.n_steps, mc.n_paths) so shapes are static; group tasks by step count at
+    the orchestration layer (apps/curves.py) when steps vary.
+
+    Each task's RNG is fold_in(key, global_task_index) — the collective-free
+    rebuild of the reference's pre-derived worker seeds, invariant to the
+    device count. Returns prices (n_tasks,).
+    """
+    S0s = jnp.asarray(S0s, jnp.float32)
+    strikes = jnp.asarray(strikes, jnp.float32)
+    taus = jnp.asarray(taus, jnp.float32)
+    n_tasks = S0s.shape[0]
+    n_dev = mesh.devices.size
+    n_pad = _pad_to(n_tasks, n_dev)
+
+    def pad(x):
+        return jnp.concatenate([x, jnp.broadcast_to(x[-1:], (n_pad - n_tasks,))])
+
+    S0p, Kp, Tp = pad(S0s), pad(strikes), pad(taus)
+    task_ids = jnp.arange(n_pad)
+
+    def price_one(task):
+        S0, K, T, tid = task
+        task_key = jax.random.fold_in(key, tid.astype(jnp.int32))
+        spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma)
+        S_paths = simulate_paths(task_key, S0, T, mc, model, sigma=sigma,
+                                 rate=rate, heston=heston, engine=engine)
+        price, _ = lsm_poly_backward(S_paths, spec, T)
+        return price
+
+    def shard_body(S0_l, K_l, T_l, tid_l):
+        return jax.lax.map(price_one, (S0_l, K_l, T_l, tid_l))
+
+    prices = jax.jit(shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    ))(S0p, Kp, Tp, task_ids)
+    return prices[:n_tasks]
+
+
+def price_european_sharded(key: jax.Array, S0, T, spec: OptionSpec,
+                           mc: MCConfig, mesh: Mesh, *, model: str = "gbm",
+                           heston: Optional[HestonParams] = None,
+                           engine: str = "xla", axis: str = "paths"):
+    """One European pricing with the paths axis sharded across the mesh.
+
+    Each device simulates its own global block range (first_block = rank *
+    blocks_per_dev) and the Welford partials psum — bitwise equal to the
+    single-device result with the same total path count. Returns
+    (price, stderr, n).
+    """
+    n_dev = mesh.devices.size
+    nb_total = _pad_to(num_blocks(mc), n_dev)
+    per_dev = nb_total // n_dev
+    local_cfg = mc.replace(n_paths=per_dev * mc.path_block)
+    sampler = make_terminal_sampler(model, S0, spec.rate, T, sigma=spec.sigma,
+                                    heston=heston, engine=engine)
+    discount = jnp.exp(-jnp.asarray(spec.rate, mc.dtype) * jnp.asarray(T, mc.dtype))
+
+    def body():
+        rank = jax.lax.axis_index(axis)
+        S_T = sampler(key, rank * per_dev, local_cfg)
+        payoffs = vanilla_payoff(S_T, spec.strike, spec.cp) * discount
+        st = welford_psum(welford_from_batch(payoffs), axis)
+        return st.mean, st.stderr, st.count
+
+    mean, stderr, n = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(), out_specs=(P(), P(), P())))()
+    return mean, stderr, n
+
+
+def price_american_sharded_paths(key: jax.Array, S0, T, spec: OptionSpec,
+                                 mc: MCConfig, mesh: Mesh, *,
+                                 model: str = "gbm",
+                                 heston: Optional[HestonParams] = None,
+                                 axis: str = "paths"):
+    """One American LSM pricing with paths sharded across the mesh.
+
+    Per-date regression Gram blocks psum over the axis (regressors.masked_wls),
+    so every device sees the GLOBAL regression — the result equals the
+    unsharded pricing with the same total paths (tested on the virtual mesh).
+    Returns (price, stderr).
+    """
+    n_dev = mesh.devices.size
+    nb_total = _pad_to(num_blocks(mc), n_dev)
+    per_dev = nb_total // n_dev
+    local_cfg = mc.replace(n_paths=per_dev * mc.path_block)
+
+    def body():
+        rank = jax.lax.axis_index(axis)
+        S_paths = simulate_paths(key, S0, T, local_cfg, model, sigma=spec.sigma,
+                                 rate=spec.rate, heston=heston,
+                                 first_block=rank * per_dev, engine="xla")
+        return lsm_poly_backward(S_paths, spec, T, axis_name=axis)
+
+    price, stderr = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(), out_specs=(P(), P())))()
+    return price, stderr

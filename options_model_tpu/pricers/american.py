@@ -51,8 +51,28 @@ from options_model_tpu.models.localvol import simulate_local_vol
 
 def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
                    rate=0.0, heston: Optional[HestonParams] = None, sigma_fn=None,
-                   first_block=0) -> jnp.ndarray:
-    """Full path matrix (n_steps+1, n_paths) under the chosen dynamics."""
+                   first_block=0, engine: str = "auto") -> jnp.ndarray:
+    """Full path matrix (n_steps+1, n_paths) under the chosen dynamics.
+
+    engine='auto' picks the fused Pallas kernel on TPU backends (gbm/heston)
+    and the XLA scan elsewhere; localvol always uses XLA (the surface network
+    runs inside the scan).
+    """
+    from options_model_tpu.ops.engine import resolve_engine, seed_from_key
+
+    eng = resolve_engine(engine) if model in ("gbm", "heston") else "xla"
+    if eng == "pallas":
+        from options_model_tpu.models.blocks import paths_rounded
+        from options_model_tpu.ops.pallas_gbm import gbm_paths_pallas
+        from options_model_tpu.ops.pallas_heston import heston_paths_pallas
+
+        seed = seed_from_key(key)
+        n_paths = paths_rounded(cfg)
+        if model == "gbm":
+            return gbm_paths_pallas(seed, S0, rate, sigma, T, n_paths,
+                                    cfg.n_steps, cfg.antithetic)
+        return heston_paths_pallas(seed, S0, rate, T, heston, n_paths,
+                                   cfg.n_steps, cfg.antithetic)
     if model == "gbm":
         return simulate_gbm(key, S0, rate, sigma, T, cfg, return_paths=True,
                             first_block=first_block)
@@ -197,11 +217,12 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                        lsm: LSMConfig, model: str = "gbm", *,
                        heston: Optional[HestonParams] = None, sigma_fn=None,
                        axis_name: Optional[str] = None,
-                       return_paths_stats: bool = False):
+                       return_paths_stats: bool = False, engine: str = "auto"):
     """Simulate + LSM backward induction. Returns (price, stderr[, S_paths])."""
     sim_key, fit_key = jax.random.split(key)
     S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
-                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn)
+                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                             engine=engine)
     if lsm.regressor == "poly":
         price, stderr = lsm_poly_backward(S_paths, spec, T, axis_name=axis_name)
     else:
@@ -214,7 +235,7 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
 def price_american_with_control_variate(
         key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig, lsm: LSMConfig,
         model: str = "gbm", *, heston: Optional[HestonParams] = None,
-        sigma_fn=None, axis_name: Optional[str] = None):
+        sigma_fn=None, axis_name: Optional[str] = None, engine: str = "auto"):
     """American price with the European control variate (beta = 1):
 
         AM_cv = AM_lsm + (BS_closed_form - EU_mc_same_paths)
@@ -224,7 +245,7 @@ def price_american_with_control_variate(
     """
     price, stderr, S_paths = price_american_lsm(
         key, S0, T, spec, mc, lsm, model, heston=heston, sigma_fn=sigma_fn,
-        axis_name=axis_name, return_paths_stats=True)
+        axis_name=axis_name, return_paths_stats=True, engine=engine)
     if spec.sigma is None:
         return price, stderr
     dtype = S_paths.dtype
@@ -238,7 +259,7 @@ def price_american_with_control_variate(
 def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                    lsm: LSMConfig, model: str = "gbm", *,
                    heston: Optional[HestonParams] = None, sigma_fn=None,
-                   axis_name: Optional[str] = None):
+                   axis_name: Optional[str] = None, engine: str = "auto"):
     """Dispatcher mirroring price_american_option
     (options_model_3/options_model_3.py:679-695): European approximation when
     requested, control variate when a constant sigma exists, plain LSM otherwise."""
@@ -252,6 +273,7 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     if lsm.use_control_variate and spec.sigma is not None and model == "gbm":
         return price_american_with_control_variate(
             key, S0, T, spec, mc, lsm, model, heston=heston, sigma_fn=sigma_fn,
-            axis_name=axis_name)
+            axis_name=axis_name, engine=engine)
     return price_american_lsm(key, S0, T, spec, mc, lsm, model, heston=heston,
-                              sigma_fn=sigma_fn, axis_name=axis_name)
+                              sigma_fn=sigma_fn, axis_name=axis_name,
+                              engine=engine)

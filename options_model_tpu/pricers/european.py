@@ -35,8 +35,30 @@ TerminalSampler = Callable[[jax.Array, jnp.ndarray, MCConfig], jnp.ndarray]
 
 def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
                           heston: Optional[HestonParams] = None,
-                          sigma_fn=None) -> TerminalSampler:
-    """Terminal-price sampler for one of the three dynamics families."""
+                          sigma_fn=None, engine: str = "auto") -> TerminalSampler:
+    """Terminal-price sampler for one of the three dynamics families.
+
+    engine='auto' uses the fused Pallas terminal kernels on TPU backends for
+    gbm/heston (zero path-matrix traffic); localvol always runs the XLA scan.
+    """
+    from options_model_tpu.ops.engine import resolve_engine, seed_from_key
+    eng = resolve_engine(engine) if model in ("gbm", "heston") else "xla"
+    if eng == "pallas":
+        from options_model_tpu.models.blocks import paths_rounded
+        from options_model_tpu.ops.pallas_gbm import gbm_terminal_pallas
+        from options_model_tpu.ops.pallas_heston import heston_terminal_pallas
+
+        if model == "gbm":
+            if sigma is None:
+                raise ValueError("sigma is required for model='gbm'")
+            return lambda key, fb, c: gbm_terminal_pallas(
+                seed_from_key(jax.random.fold_in(key, fb)), S0, r, sigma, T,
+                paths_rounded(c), c.n_steps, c.antithetic)
+        if heston is None:
+            raise ValueError("heston params required for model='heston'")
+        return lambda key, fb, c: heston_terminal_pallas(
+            seed_from_key(jax.random.fold_in(key, fb)), S0, r, T, heston,
+            paths_rounded(c), c.n_steps, c.antithetic)
     if model == "gbm":
         if sigma is None:
             raise ValueError("sigma is required for model='gbm'")

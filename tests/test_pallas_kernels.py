@@ -1,0 +1,118 @@
+"""Pallas kernel checks.
+
+The TPU interpreter on CPU executes kernel structure faithfully but its
+hardware-PRNG emulation returns zero bits, so randomness-dependent assertions
+(moments, skew, seed sensitivity) only run on real TPU backends — they are
+exercised on-chip by scripts/drive_tpu.py and bench.py. Here: structural
+invariants under interpret mode (shapes, start rows, zero-noise degenerate
+dynamics) plus the TPU-gated statistical suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from options_model_tpu.core.config import HestonParams
+from options_model_tpu.ops.pallas_gbm import gbm_paths_pallas, gbm_terminal_pallas
+from options_model_tpu.ops.pallas_heston import (
+    heston_paths_pallas,
+    heston_terminal_pallas,
+)
+
+HESTON = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+I = dict(interpret=True)
+
+on_tpu = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="hardware PRNG only on TPU; interpreter emits zero bits",
+)
+
+
+class TestInterpretStructure:
+    """Zero-noise interpreter runs: the dynamics degenerate to their
+    deterministic skeletons, which have closed forms to pin."""
+
+    def test_gbm_terminal_zero_noise_is_forward_drift(self):
+        S = np.asarray(gbm_terminal_pallas(1, 100.0, 0.05, 0.2, 1.0, 8192, 16, **I))
+        assert S.shape[0] >= 8192
+        # z == 0 -> S_T = S0 exp((r - sigma^2/2) T)
+        np.testing.assert_allclose(S, 100.0 * np.exp(0.05 - 0.02), rtol=1e-5)
+
+    def test_gbm_paths_shape_and_start(self):
+        S = np.asarray(gbm_paths_pallas(2, 100.0, 0.05, 0.2, 1.0, 1024, 12, **I))
+        assert S.shape == (13, 1024)
+        np.testing.assert_allclose(S[0], 100.0)
+        assert np.isfinite(S).all() and (S > 0).all()
+
+    def test_heston_terminal_zero_noise_matches_ode(self):
+        # z == 0: v follows the deterministic mean reversion, logS integrates
+        # (r - v/2) dt — reproduce with the same Euler recursion in NumPy.
+        n_steps, T, r = 16, 1.0, 0.05
+        S = np.asarray(heston_terminal_pallas(1, 100.0, r, T, HESTON,
+                                              8192, n_steps, **I))
+        dt = T / n_steps
+        v, logS = HESTON.v0, 0.0
+        for _ in range(n_steps):
+            v_plus = max(v, 0.0)
+            v = max(v_plus + HESTON.kappa * (HESTON.theta - v_plus) * dt, 0.0)
+            logS += (r - 0.5 * v_plus) * dt
+        np.testing.assert_allclose(S, 100.0 * np.exp(logS), rtol=1e-5)
+
+    def test_heston_paths_shape(self):
+        S = np.asarray(heston_paths_pallas(3, 100.0, 0.05, 1.0, HESTON,
+                                           1024, 16, **I))
+        assert S.shape == (17, 1024)
+        np.testing.assert_allclose(S[0], 100.0)
+        assert np.isfinite(S).all() and (S > 0).all()
+
+    def test_rounds_up_paths(self):
+        S = np.asarray(gbm_terminal_pallas(1, 100.0, 0.05, 0.2, 1.0, 5000, 4, **I))
+        assert S.shape[0] >= 5000 and S.shape[0] % 128 == 0
+
+
+@on_tpu
+class TestOnChipStatistics:
+    def test_gbm_terminal_moments(self):
+        S = np.asarray(gbm_terminal_pallas(1, 100.0, 0.05, 0.2, 1.0, 1 << 17, 16))
+        logret = np.log(S / 100.0)
+        np.testing.assert_allclose(logret.mean(), 0.05 - 0.02, atol=0.01)
+        np.testing.assert_allclose(logret.std(), 0.2, rtol=0.05)
+
+    def test_heston_terminal_moments(self):
+        S = np.asarray(heston_terminal_pallas(1, 100.0, 0.05, 1.0, HESTON,
+                                              1 << 17, 64))
+        np.testing.assert_allclose(S.mean(), 100.0 * np.exp(0.05), rtol=0.01)
+        np.testing.assert_allclose(np.log(S / 100.0).std(), 0.2, rtol=0.1)
+
+    def test_seed_determinism_and_sensitivity(self):
+        a = np.asarray(gbm_terminal_pallas(9, 100.0, 0.05, 0.2, 1.0, 8192, 8))
+        b = np.asarray(gbm_terminal_pallas(9, 100.0, 0.05, 0.2, 1.0, 8192, 8))
+        c = np.asarray(gbm_terminal_pallas(10, 100.0, 0.05, 0.2, 1.0, 8192, 8))
+        np.testing.assert_array_equal(a, b)
+        assert not np.allclose(a, c)
+
+    def test_negative_rho_skew(self):
+        pn = HestonParams(kappa=2.0, theta=0.04, xi=0.8, rho=-0.9, v0=0.04)
+        pp = HestonParams(kappa=2.0, theta=0.04, xi=0.8, rho=0.9, v0=0.04)
+        Sn = np.asarray(heston_terminal_pallas(7, 100.0, 0.0, 1.0, pn, 1 << 16, 32))
+        Sp = np.asarray(heston_terminal_pallas(7, 100.0, 0.0, 1.0, pp, 1 << 16, 32))
+        from scipy.stats import skew
+        assert skew(np.log(Sn / 100.0)) < skew(np.log(Sp / 100.0))
+
+
+class TestEngineSelection:
+    def test_resolve(self):
+        from options_model_tpu.ops.engine import resolve_engine
+
+        assert resolve_engine("xla") == "xla"
+        assert resolve_engine("pallas") == "pallas"
+        assert resolve_engine("auto") in ("xla", "pallas")
+        with pytest.raises(ValueError):
+            resolve_engine("cuda")
+
+    def test_seed_from_key_deterministic(self, key):
+        from options_model_tpu.ops.engine import seed_from_key
+
+        assert int(seed_from_key(key)) == int(seed_from_key(key))
+        assert int(seed_from_key(key)) != int(seed_from_key(jax.random.key(1)))
