@@ -1,0 +1,234 @@
+"""Command-line interface (reference component #20).
+
+Mirrors the v2 argparse surface (options_model_2.py:463-484) and the v3 hybrid
+argparse+interactive pattern (option_model_3_gpu.py:1087-1192), unified over
+the one config layer:
+
+    python -m options_model_tpu.apps.cli --ticker AMD --expiry 2026-12-18 \
+        --K 125 --model both --num-simulations 500000
+
+Offline mode (no yfinance / no network): pass --spot and --iv explicitly; with
+--synthetic the IV-surface branch trains on the synthetic smile oracle instead
+of a live option chain.
+
+The volatility source resolution chain matches the reference
+(options_model_3/options_model_3.py:952-993): --iv nn -> train the IV-surface
+network (local-vol pricing); --iv <float> -> user-supplied; otherwise live IV
+at the nearest strike, falling back to historical vol.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+from options_model_tpu.core.config import HestonParams, SurfaceTrainConfig, cp_from_str
+from options_model_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        description="TPU-native American option pricer (LSM Monte Carlo)")
+    # Market / contract (options_model_2.py:464-470)
+    p.add_argument("--ticker", type=str, default="AMD")
+    p.add_argument("--expiry", type=str, default=None,
+                   help="Option expiry date YYYY-MM-DD")
+    p.add_argument("--K", type=float, default=125.0, help="Strike price")
+    p.add_argument("--r", type=float, default=0.05, help="Risk-free rate")
+    p.add_argument("--option-type", type=str, default="call",
+                   choices=["call", "put"])
+    # Monte Carlo workload (:470-471)
+    p.add_argument("--num-simulations", type=int, default=1_000_000)
+    p.add_argument("--seed", type=int, default=2025)
+    # S0 grid (:473-475)
+    p.add_argument("--s0-start", type=int, default=110)
+    p.add_argument("--s0-end", type=int, default=130)
+    p.add_argument("--s0-step", type=int, default=2)
+    p.add_argument("--intervals-per-day", type=int, default=4)
+    p.add_argument("--total-points", type=int, default=None,
+                   help="Curve points (default: days-to-expiry * intervals)")
+    # Models / engines
+    p.add_argument("--model", type=str, default="both",
+                   choices=["bs", "heston", "both"])
+    p.add_argument("--engine", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"])
+    p.add_argument("--iv", type=str, default=None,
+                   help="Implied vol: a float, 'nn' for the IV-surface network, "
+                        "or omit to fetch the live IV")
+    p.add_argument("--greeks", type=float, nargs=5, default=None,
+                   metavar=("DELTA", "GAMMA", "VEGA", "THETA", "RHO"),
+                   help="Override Greeks instead of computing them")
+    p.add_argument("--european-approximation", action="store_true")
+    p.add_argument("--no-control-variate", action="store_true")
+    # NN hyper-parameters (:476-478)
+    p.add_argument("--nn-hidden", type=int, default=64)
+    p.add_argument("--nn-epochs", type=int, default=100)
+    p.add_argument("--nn-lr", type=float, default=1e-3)
+    # Offline / testing
+    p.add_argument("--spot", type=float, default=None,
+                   help="Spot price (skips the live quote fetch)")
+    p.add_argument("--hist-vol", type=float, default=None,
+                   help="Historical vol fallback (skips the fetch)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="Use synthetic oracles instead of live data")
+    # Output
+    p.add_argument("--csv", type=str, default=None, help="Write results CSV")
+    p.add_argument("--html", type=str, default=None, help="Write Plotly HTML")
+    p.add_argument("--show-plot", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    return p.parse_args(argv)
+
+
+def _resolve_market(args) -> tuple:
+    """(S0_live, sigma_hist) from flags or yfinance."""
+    if args.spot is not None:
+        return float(args.spot), float(args.hist_vol or 0.2)
+    from options_model_tpu.data.market import fetch_live_quote
+    return fetch_live_quote(args.ticker)
+
+
+def _resolve_sigma(args, S0_live: float, sigma_hist: float, T_live: float):
+    """(sigma, iv_model) per the reference's fallback chain."""
+    if args.iv is not None and args.iv.lower() == "nn":
+        from options_model_tpu.surface.model import IVSurfaceModel
+        if args.synthetic:
+            from options_model_tpu.data.synthetic import synthetic_smile_surface
+            K_o, T_o, iv_o, S0_o = synthetic_smile_surface(S0=S0_live)
+        else:
+            from options_model_tpu.data.market import fetch_option_chain
+            K_o, T_o, iv_o, S0_o = fetch_option_chain(args.ticker)
+        cfg = SurfaceTrainConfig(hidden_dim=args.nn_hidden,
+                                 epochs=args.nn_epochs, lr=args.nn_lr)
+        log.info("Training IV-surface network...")
+        model = IVSurfaceModel.fit(K_o, T_o, iv_o, S0_o, cfg)
+        sigma = model.get_sigma_iv(args.K, S0_live, max(T_live, 1e-3))
+        log.info(f"NN-predicted starting IV at live spot: {sigma:.2%}")
+        return sigma, model
+    if args.iv is not None:
+        sigma = float(args.iv)
+        log.info(f"Using user-supplied implied volatility: {sigma:.2%}")
+        return sigma, None
+    if not args.synthetic and args.spot is None and args.expiry:
+        from options_model_tpu.data.market import fetch_live_iv
+        live_iv = fetch_live_iv(args.ticker, args.expiry, args.K,
+                                args.option_type)
+        if not np.isnan(live_iv):
+            log.info(f"Using live implied volatility: {live_iv:.2%}")
+            return live_iv, None
+    log.info(f"Falling back to historical volatility: {sigma_hist:.2%}")
+    return sigma_hist, None
+
+
+def run(args) -> Dict[str, "object"]:
+    """Execute the sweep(s); returns {'bs': df, 'heston': df} as requested."""
+    import jax
+
+    from options_model_tpu.apps.curves import CurveRequest, compute_curves
+    from options_model_tpu.pricers.blackscholes import bs_greeks
+
+    cp = cp_from_str(args.option_type)
+    if args.expiry:
+        expiry = datetime.datetime.strptime(args.expiry, "%Y-%m-%d").date()
+        days_to_expiry = max((expiry - datetime.date.today()).days, 1)
+    else:
+        days_to_expiry = 30
+    total_points = args.total_points or days_to_expiry * args.intervals_per_day
+    T_live = days_to_expiry / 365.0
+
+    S0_live, sigma_hist = _resolve_market(args)
+    sigma, iv_model = _resolve_sigma(args, S0_live, sigma_hist, T_live)
+
+    s0_list = sorted(set(list(range(args.s0_start, args.s0_end + 1,
+                                    args.s0_step)) + [int(S0_live)]))
+
+    if args.greeks is not None:
+        greeks = dict(zip(["Delta", "Gamma", "Vega", "Theta", "Rho"],
+                          args.greeks))
+        log.info("Using user-supplied Greeks:")
+    else:
+        greeks = {k: float(v) for k, v in
+                  bs_greeks(S0_live, args.K, T_live, args.r, sigma, cp).items()}
+        log.info("Black-Scholes Greeks at live spot (autodiff):")
+    for k, v in greeks.items():
+        log.info(f"  {k}: {v:.4f}")
+
+    # Heston params seeded from sigma^2 as in the reference main
+    # (options_model_3/options_model_3.py:948-996).
+    heston = HestonParams(kappa=2.0, theta=sigma**2, xi=0.3, rho=-0.7,
+                          v0=sigma**2)
+
+    out: Dict[str, object] = {"greeks": greeks, "S0_live": S0_live,
+                              "sigma": sigma}
+    common = dict(s0_list=s0_list, strike=args.K, rate=args.r, cp=cp,
+                  intervals_per_day=args.intervals_per_day,
+                  total_points=total_points,
+                  num_simulations=args.num_simulations,
+                  use_control_variate=not args.no_control_variate,
+                  engine=args.engine, seed=args.seed)
+
+    run_bs = args.model in ("bs", "both")
+    run_heston = args.model in ("heston", "both")
+
+    if run_bs:
+        if iv_model is not None:
+            # Local-vol pricing: per-S0 curves with the surface's sigma_fn.
+            import pandas as pd
+            from options_model_tpu.apps.curves import compute_curve_for_S0
+            records = []
+            for s0 in s0_list:
+                records.extend(compute_curve_for_S0(
+                    jax.random.key(args.seed + int(s0)), float(s0), args.K,
+                    args.r, cp, intervals_per_day=args.intervals_per_day,
+                    total_points=total_points,
+                    num_simulations=args.num_simulations, model="localvol",
+                    sigma_fn=iv_model.sigma_fn(args.K),
+                    use_control_variate=False))
+            out["bs"] = pd.DataFrame(records)
+        else:
+            out["bs"] = compute_curves(CurveRequest(
+                model="gbm", sigma=sigma, **common))
+    if run_heston:
+        out["heston"] = compute_curves(CurveRequest(
+            model="heston", heston=heston, sigma=None, **common))
+
+    for name in ("bs", "heston"):
+        df = out.get(name)
+        if df is None or len(df) == 0:
+            continue
+        if args.csv:
+            path = args.csv.replace(".csv", f"_{name}.csv")
+            df.to_csv(path, index=False)
+            log.info(f"Wrote {path}")
+        if args.html or args.show_plot:
+            from options_model_tpu.utils.plotting import plot_option_curves
+            plot_option_curves(
+                df, s0_list, S0_live, args.K, sigma, args.r, args.option_type,
+                args.ticker, "Black-Scholes" if name == "bs" else "Heston",
+                show=args.show_plot,
+                html_path=(args.html.replace(".html", f"_{name}.html")
+                           if args.html else None))
+    return out
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    try:
+        out = run(args)
+    except Exception as e:
+        log.error(f"Fatal error: {e}")
+        return 1
+    for name in ("bs", "heston"):
+        if name in out:
+            print(f"\n=== {name} sample ===")
+            print(out[name].head(10).to_string(index=False))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,143 @@
+"""Curve orchestration: option value vs days-to-expiry sweeps over an S0 grid.
+
+Reference semantics (compute_curve_for_S0, options_model_3/options_model_3.py:
+697-713 + the per-S0 process fan-out :1044-1056): point i of the curve sits at
+d = i/intervals_per_day days, T = d/365, with adaptive steps clamp(ceil(d),
+10, 130).
+
+TPU-first restructuring: instead of pricing points one-by-one in worker
+processes, ALL (S0, point) cells across the whole sweep are flattened into one
+task list, grouped by their adaptive step count (XLA needs static shapes per
+compile), and each group is priced in a single sharded batch on the mesh
+(parallel/batch.price_american_grid). The per-task RNG is fold_in(key,
+global_task_index) — the reference's pre-derived worker seeds, collectivized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+import pandas as pd
+
+from options_model_tpu.core.config import HestonParams, MCConfig
+from options_model_tpu.core.timegrid import adaptive_num_steps, curve_day_grid
+from options_model_tpu.parallel.batch import price_american_grid
+from options_model_tpu.parallel.mesh import make_mesh
+from options_model_tpu.utils.logging import get_logger
+from options_model_tpu.utils.profiling import Timer, estimate_total_runtime
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class CurveRequest:
+    """One sweep specification (the reference CLI argument cluster)."""
+
+    s0_list: Sequence[float]
+    strike: float
+    rate: float
+    cp: float = -1.0                  # +1 call / -1 put
+    intervals_per_day: int = 4
+    total_points: int = 8
+    num_simulations: int = 100_000
+    model: str = "gbm"                # gbm | heston | localvol
+    sigma: Optional[float] = None
+    heston: Optional[HestonParams] = None
+    use_control_variate: bool = True
+    engine: str = "auto"
+    steps_lo: int = 10
+    steps_hi: int = 130
+    seed: int = 42
+
+
+def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
+    """Price the full S0-grid x curve-point sweep.
+
+    Returns a DataFrame with columns ['S0', 'Days to Expiry', 'Option Value']
+    (the reference's record schema). ``progress`` is an optional callback
+    (done_fraction, eta_seconds) — feeds tqdm/streamlit progress bars.
+    """
+    mesh = mesh or make_mesh(("tasks",))
+    key = jax.random.key(req.seed)
+    days = curve_day_grid(req.total_points, req.intervals_per_day)
+
+    # Flatten to (task) rows and bucket by adaptive step count.
+    tasks: List[Dict] = []
+    for s0 in req.s0_list:
+        for d in days:
+            tasks.append({
+                "S0": float(s0),
+                "days": float(d),
+                "steps": adaptive_num_steps(d, req.steps_lo, req.steps_hi),
+            })
+    for gi, t in enumerate(tasks):
+        t["task_id"] = gi  # global id BEFORE grouping: RNG stays stable
+
+    buckets: Dict[int, List[Dict]] = {}
+    for t in tasks:
+        buckets.setdefault(t["steps"], []).append(t)
+
+    mc_base = MCConfig(n_paths=req.num_simulations).validate()
+    records: List[Dict] = []
+    t_start = time.time()
+    done = 0
+
+    for bi, (steps, group) in enumerate(sorted(buckets.items())):
+        mc = mc_base.replace(n_steps=steps)
+        S0s = np.array([t["S0"] for t in group], np.float32)
+        Ks = np.full(len(group), req.strike, np.float32)
+        Ts = np.array([t["days"] / 365.0 for t in group], np.float32)
+        with Timer() as tm:
+            # Per-task keys still come from each task's global id: fold the
+            # base key by id inside the grid pricer via the padded task index.
+            prices = np.asarray(price_american_grid(
+                key, S0s, Ks, Ts, req.rate, mc, mesh, cp=req.cp,
+                sigma=req.sigma, heston=req.heston, model=req.model,
+                engine=req.engine,
+                use_control_variate=req.use_control_variate,
+                task_ids=np.array([t["task_id"] for t in group], np.int32)))
+        done += len(group)
+        if progress is not None:
+            eta = estimate_total_runtime(time.time() - t_start, done,
+                                         len(tasks)) - (time.time() - t_start)
+            progress(done / len(tasks), max(eta, 0.0))
+        log.info(f"bucket steps={steps}: {len(group)} tasks in {tm.elapsed:.2f}s")
+        for t, p in zip(group, prices):
+            records.append({"S0": t["S0"], "Days to Expiry": t["days"],
+                            "Option Value": float(p)})
+
+    df = pd.DataFrame(records)
+    return df.sort_values(["S0", "Days to Expiry"],
+                          ascending=[True, False]).reset_index(drop=True)
+
+
+def compute_curve_for_S0(key, S0: float, strike: float, rate: float,
+                         cp: float = -1.0, *, intervals_per_day: int = 4,
+                         total_points: int = 8, num_simulations: int = 100_000,
+                         model: str = "gbm", sigma: Optional[float] = None,
+                         heston: Optional[HestonParams] = None,
+                         sigma_fn=None, use_control_variate: bool = True,
+                         engine: str = "auto") -> List[Dict]:
+    """Single-S0 curve, point-by-point (the reference's exact loop shape,
+    options_model_3/options_model_3.py:697-713) — used for the localvol model
+    (whose sigma_fn closure isn't batchable across strikes) and for tests."""
+    from options_model_tpu.core.config import LSMConfig, OptionSpec
+    from options_model_tpu.pricers.american import price_american
+
+    spec = OptionSpec(strike=strike, rate=rate, cp=cp, sigma=sigma)
+    lsm = LSMConfig(regressor="poly", use_control_variate=use_control_variate)
+    records = []
+    for i, d in enumerate(curve_day_grid(total_points, intervals_per_day)):
+        T = d / 365.0
+        steps = adaptive_num_steps(d)
+        mc = MCConfig(n_paths=num_simulations, n_steps=steps)
+        price, _ = price_american(jax.random.fold_in(key, i), S0, T, spec, mc,
+                                  lsm, model, heston=heston, sigma_fn=sigma_fn,
+                                  engine=engine)
+        records.append({"S0": S0, "Days to Expiry": float(d),
+                        "Option Value": float(price)})
+    return records

@@ -35,7 +35,8 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
                         mesh: Mesh, *, cp: float = -1.0, sigma=None,
                         heston: Optional[HestonParams] = None,
                         model: str = "gbm", engine: str = "auto",
-                        axis: str = "tasks") -> jnp.ndarray:
+                        use_control_variate: bool = False,
+                        task_ids=None, axis: str = "tasks") -> jnp.ndarray:
     """Price a batch of American options, task-sharded across the mesh.
 
     S0s/strikes/taus: equal-length 1-D arrays — one task per row (a flattened
@@ -58,7 +59,12 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
         return jnp.concatenate([x, jnp.broadcast_to(x[-1:], (n_pad - n_tasks,))])
 
     S0p, Kp, Tp = pad(S0s), pad(strikes), pad(taus)
-    task_ids = jnp.arange(n_pad)
+    # Global task ids drive per-task RNG; callers slicing a larger task list
+    # (e.g. the curve orchestrator's step buckets) pass their own so results
+    # don't depend on the bucketing.
+    if task_ids is None:
+        task_ids = jnp.arange(n_tasks)
+    task_ids = pad(jnp.asarray(task_ids, jnp.int32))
 
     def price_one(task):
         S0, K, T, tid = task
@@ -67,15 +73,25 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
         S_paths = simulate_paths(task_key, S0, T, mc, model, sigma=sigma,
                                  rate=rate, heston=heston, engine=engine)
         price, _ = lsm_poly_backward(S_paths, spec, T)
+        if use_control_variate and sigma is not None and model == "gbm":
+            # Same-path European leg + BS closed form, beta = 1
+            # (pricers/american.py:price_american_with_control_variate).
+            from options_model_tpu.pricers.blackscholes import bs_price
+            disc = jnp.exp(-jnp.asarray(rate, S_paths.dtype) * T)
+            eu_mc = jnp.mean(vanilla_payoff(S_paths[-1], K, cp)) * disc
+            price = price + (bs_price(S0, K, T, rate, sigma, cp) - eu_mc)
         return price
 
     def shard_body(S0_l, K_l, T_l, tid_l):
         return jax.lax.map(price_one, (S0_l, K_l, T_l, tid_l))
 
+    # check_vma=False: tasks are fully independent (no collectives), and the
+    # Pallas kernels' output avals carry no varying-mesh-axes annotation,
+    # which the checker would otherwise reject on TPU.
     prices = jax.jit(shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
+        out_specs=P(axis), check_vma=False,
     ))(S0p, Kp, Tp, task_ids)
     return prices[:n_tasks]
 

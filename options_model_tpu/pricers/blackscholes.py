@@ -50,25 +50,35 @@ def bs_vega(S, K, T, r, sigma):
     return S * _npdf(d1) * jnp.sqrt(T)
 
 
+@jax.jit
+def _greeks_impl(S, K, T, r, sigma, cp):
+    def price_of(x, s):
+        return bs_price(s, x[0], x[1], x[2], x[3], cp)
+
+    x = jnp.stack([jnp.asarray(K, jnp.float32), jnp.asarray(T, jnp.float32),
+                   jnp.asarray(r, jnp.float32), jnp.asarray(sigma, jnp.float32)])
+    S = jnp.asarray(S, jnp.float32)
+    gx = jax.grad(price_of, argnums=0)(x, S)
+    delta = jax.grad(price_of, argnums=1)(x, S)
+    gamma = jax.grad(jax.grad(price_of, argnums=1), argnums=1)(x, S)
+    return delta, gamma, gx[3], gx[1], gx[2]
+
+
 def bs_greeks(S, K, T, r, sigma, cp=1.0) -> Dict[str, jnp.ndarray]:
     """Greeks via autodiff, converted to the reference's reporting conventions:
     Theta per day, Vega and Rho per 1%.
 
     Replaces the closed-form-only Greeks of the reference with jax.grad — exact,
-    and applicable to any differentiable pricer.
+    applicable to any differentiable pricer, and compiled as ONE program (five
+    separate grad compilations are expensive on remote-compile backends).
     """
-    price = lambda S, K, T, r, sigma: bs_price(S, K, T, r, sigma, cp)
-    dS = jax.grad(price, argnums=0)
-    d2S = jax.grad(dS, argnums=0)
-    dT = jax.grad(price, argnums=2)
-    dr = jax.grad(price, argnums=3)
-    dsig = jax.grad(price, argnums=4)
+    delta, gamma, dsig, dT, dr = _greeks_impl(S, K, T, r, sigma, cp)
     return {
-        "Delta": dS(S, K, T, r, sigma),
-        "Gamma": d2S(S, K, T, r, sigma),
-        "Vega": dsig(S, K, T, r, sigma) / 100.0,
-        "Theta": -dT(S, K, T, r, sigma) / 365.0,  # value decay as calendar time passes
-        "Rho": dr(S, K, T, r, sigma) / 100.0,
+        "Delta": delta,
+        "Gamma": gamma,
+        "Vega": dsig / 100.0,
+        "Theta": -dT / 365.0,  # value decay as calendar time passes
+        "Rho": dr / 100.0,
     }
 
 

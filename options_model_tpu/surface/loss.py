@@ -48,10 +48,14 @@ def arbitrage_penalty_fd(apply_fn: Callable, X, scaler: SurfaceScaler,
     w_plus = apply_fn(X + e_m)[:, 0]
     w_minus = apply_fn(X - e_m)[:, 0]
     d2w_dm2 = (w_plus - 2.0 * w_center + w_minus) / (eps_m**2)
-    butterfly = jnp.sum(jnp.maximum(-d2w_dm2, 0.0))
+    # Per-sample MEAN (the reference summed over the batch,
+    # NN_training_stock_iv.py:265,270 — a penalty that scales with batch size
+    # and can dwarf the mean-scaled MSE by orders of magnitude, collapsing the
+    # fit; mean-scaling makes lambda batch-size-independent).
+    butterfly = jnp.mean(jnp.maximum(-d2w_dm2, 0.0))
 
     w_tau_plus = apply_fn(X + e_t)[:, 0]
     dw_dtau = (w_tau_plus - w_center) / eps_t
-    calendar = jnp.sum(jnp.maximum(-dw_dtau, 0.0))
+    calendar = jnp.mean(jnp.maximum(-dw_dtau, 0.0))
 
     return lambda_butterfly * butterfly + lambda_calendar * calendar

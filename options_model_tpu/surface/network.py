@@ -33,7 +33,12 @@ class IVNetwork(nn.Module):
                 b = nn.Dropout(self.dropout, deterministic=deterministic)(b)
             h = h + b
         out = nn.Dense(1, name="head")(h)
-        return jnp.maximum(out, self.epsilon)
+        # Leaky floor at epsilon: value ~= epsilon below the floor but the
+        # gradient stays alive (slope 0.01). A hard max — like the reference's
+        # .clamp(min=eps), NN_training_stock_iv.py:155 — has zero gradient
+        # below the floor, and a few large early penalty steps can pin the
+        # whole net there permanently (observed: all predictions == 1e-4).
+        return jnp.maximum(out, self.epsilon) + 0.01 * jnp.minimum(out - self.epsilon, 0.0)
 
 
 def make_network(cfg: SurfaceTrainConfig) -> IVNetwork:
@@ -43,10 +48,19 @@ def make_network(cfg: SurfaceTrainConfig) -> IVNetwork:
 
 
 def init_params(cfg: SurfaceTrainConfig, key: jax.Array, target_mean_iv: float):
-    """Init with output bias = mean target IV (NN_training_stock_iv.py:487-492)."""
+    """Init with output = mean target IV exactly: bias = mean, head kernel = 0.
+
+    The bias init follows the reference (NN_training_stock_iv.py:487-492); the
+    zero kernel is an intended-behavior upgrade: with a random head kernel the
+    initial output is mean +- O(0.4) — dropout noise then dominates the tiny
+    IV signal (target std ~0.02) and training collapses toward a constant
+    (observed). Zero head => exact-mean start and noise that only grows as the
+    head learns.
+    """
     net = make_network(cfg)
     params = net.init(key, jnp.zeros((1, 2)), deterministic=True)
     params = jax.tree_util.tree_map(lambda x: x, params)  # unfreeze-safe copy
     params["params"]["head"]["bias"] = (
-        params["params"]["head"]["bias"] + jnp.asarray(target_mean_iv, jnp.float32))
+        params["params"]["head"]["bias"] * 0.0 + jnp.asarray(target_mean_iv, jnp.float32))
+    params["params"]["head"]["kernel"] = params["params"]["head"]["kernel"] * 0.0
     return params

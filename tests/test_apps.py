@@ -1,0 +1,154 @@
+"""Application layer: curve orchestration, CLI (offline), plotting gates,
+profiling utilities."""
+
+import jax
+import numpy as np
+import pytest
+
+from options_model_tpu.apps.cli import parse_args, run
+from options_model_tpu.apps.curves import (
+    CurveRequest,
+    compute_curve_for_S0,
+    compute_curves,
+)
+from options_model_tpu.core.config import HestonParams
+from options_model_tpu.utils.profiling import (
+    Timer,
+    device_memory_stats,
+    estimate_total_runtime,
+)
+
+
+class TestCurves:
+    def test_sweep_schema_and_shape(self, key):
+        req = CurveRequest(s0_list=[95.0, 100.0, 105.0], strike=100.0,
+                           rate=0.05, cp=-1.0, intervals_per_day=2,
+                           total_points=4, num_simulations=4096,
+                           sigma=0.2, engine="xla", use_control_variate=False)
+        df = compute_curves(req)
+        assert list(df.columns) == ["S0", "Days to Expiry", "Option Value"]
+        assert len(df) == 3 * 4
+        # descending days within each S0 (reference record ordering)
+        one = df[df["S0"] == 95.0]["Days to Expiry"].values
+        assert one[0] > one[-1]
+
+    def test_put_value_decreasing_in_s0(self):
+        req = CurveRequest(s0_list=[90.0, 100.0, 110.0], strike=100.0,
+                           rate=0.05, cp=-1.0, intervals_per_day=1,
+                           total_points=2, num_simulations=8192, sigma=0.2,
+                           engine="xla")
+        df = compute_curves(req)
+        far = df[df["Days to Expiry"] == df["Days to Expiry"].max()]
+        vals = far.sort_values("S0")["Option Value"].values
+        assert vals[0] > vals[1] > vals[2]
+
+    def test_progress_callback_called(self):
+        calls = []
+        req = CurveRequest(s0_list=[100.0], strike=100.0, rate=0.05,
+                           cp=-1.0, intervals_per_day=1, total_points=2,
+                           num_simulations=2048, sigma=0.2, engine="xla")
+        compute_curves(req, progress=lambda f, eta: calls.append((f, eta)))
+        assert calls and calls[-1][0] == pytest.approx(1.0)
+
+    def test_single_s0_curve(self, key):
+        recs = compute_curve_for_S0(key, 100.0, 100.0, 0.05, -1.0,
+                                    intervals_per_day=1, total_points=3,
+                                    num_simulations=4096, sigma=0.2,
+                                    engine="xla")
+        assert len(recs) == 3
+        assert all(np.isfinite(r["Option Value"]) for r in recs)
+
+    def test_heston_sweep(self):
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+        req = CurveRequest(s0_list=[100.0], strike=100.0, rate=0.05, cp=-1.0,
+                           intervals_per_day=1, total_points=2,
+                           num_simulations=4096, model="heston", heston=hp,
+                           sigma=None, use_control_variate=False, engine="xla")
+        df = compute_curves(req)
+        assert np.isfinite(df["Option Value"]).all()
+
+
+class TestCLI:
+    def test_parse_defaults(self):
+        args = parse_args([])
+        assert args.model == "both" and args.K == 125.0
+
+    def test_offline_bs_run(self, tmp_path):
+        csv = str(tmp_path / "out.csv")
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.2", "--K", "100",
+            "--model", "bs", "--num-simulations", "4096",
+            "--s0-start", "95", "--s0-end", "105", "--s0-step", "5",
+            "--total-points", "2", "--intervals-per-day", "1",
+            "--engine", "xla", "--csv", csv, "--option-type", "put"])
+        out = run(args)
+        assert "bs" in out and len(out["bs"]) > 0
+        assert (tmp_path / "out_bs.csv").exists()
+        assert 0 < out["greeks"]["Gamma"] < 1
+
+    def test_offline_heston_run(self):
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.25", "--K", "100",
+            "--model", "heston", "--num-simulations", "4096",
+            "--s0-start", "100", "--s0-end", "100", "--s0-step", "1",
+            "--total-points", "1", "--intervals-per-day", "1",
+            "--engine", "xla"])
+        out = run(args)
+        assert np.isfinite(out["heston"]["Option Value"]).all()
+
+    def test_greeks_override(self):
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.2", "--model", "bs",
+            "--num-simulations", "2048", "--s0-start", "100", "--s0-end", "100",
+            "--total-points", "1", "--intervals-per-day", "1",
+            "--engine", "xla",
+            "--greeks", "0.5", "0.02", "0.3", "-0.01", "0.2"])
+        out = run(args)
+        assert out["greeks"]["Delta"] == 0.5
+
+    def test_synthetic_nn_iv_run(self):
+        # --iv nn with --synthetic: surface net trained on the smile oracle,
+        # then local-vol curves (exercises the whole NN-IV pipeline offline).
+        args = parse_args([
+            "--spot", "100", "--K", "100", "--model", "bs", "--iv", "nn",
+            "--synthetic", "--nn-epochs", "60", "--nn-hidden", "16",
+            "--num-simulations", "2048", "--s0-start", "100", "--s0-end", "100",
+            "--total-points", "1", "--intervals-per-day", "1",
+            "--engine", "xla", "--option-type", "put"])
+        out = run(args)
+        assert 0.01 < out["sigma"] < 1.0
+        assert np.isfinite(out["bs"]["Option Value"]).all()
+
+
+class TestUtils:
+    def test_timer(self):
+        with Timer("x") as t:
+            sum(range(1000))
+        assert t.elapsed >= 0.0
+
+    def test_eta(self):
+        assert estimate_total_runtime(10.0, 2, 10) == pytest.approx(50.0)
+        assert estimate_total_runtime(10.0, 2, 10, n_parallel=5) == pytest.approx(10.0)
+        assert estimate_total_runtime(1.0, 0, 10) == 0.0
+
+    def test_memory_stats_no_crash(self):
+        stats = device_memory_stats()
+        assert isinstance(stats, dict)
+
+    def test_plot_gates_no_crash(self):
+        import pandas as pd
+        from options_model_tpu.utils.plotting import (
+            plot_calibration_results,
+            plot_option_curves,
+            plot_training_diagnostics,
+        )
+        df = pd.DataFrame({"S0": [100.0, 100.0], "Days to Expiry": [2.0, 1.0],
+                           "Option Value": [5.0, 4.0]})
+        plot_option_curves(df, [100.0], 100.0, 100.0, 0.2, 0.05, "put",
+                           "TEST", "BS")
+        plot_training_diagnostics([1.0, 0.5], [1.1, 0.6],
+                                  np.array([100.0]), np.array([0.5]),
+                                  np.array([0.2]), np.array([0.21]))
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+        plot_calibration_results(np.array([0.2, 0.25]), np.array([0.21, 0.24]),
+                                 np.array([10.0, 12.0]), hp, 0.01, "normal_vol")
