@@ -55,6 +55,9 @@ def _walltime(f, seed):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="skip the accuracy leg")
+    ap.add_argument("--surface", action="store_true",
+                    help="also time the 64x64 American Heston grid "
+                         "(~7 min first-compile on the remote backend)")
     ap.add_argument("--paths", type=int, default=1 << 22)
     ap.add_argument("--steps", type=int, default=100)
     args = ap.parse_args()
@@ -110,6 +113,23 @@ def main():
             abs(float(price) - oracle) / oracle, 6)
         details["american_put_lsm_cv"] = round(float(price), 6)
         details["american_put_crr"] = round(oracle, 6)
+
+    if args.surface and on_tpu:
+        # BASELINE configs[4]: 64x64 strike x maturity American grid under
+        # Heston, all strikes sharing one path matrix per maturity.
+        from options_model_tpu.pricers.surface_american import (
+            price_american_surface)
+        Ks = jnp.linspace(70.0, 130.0, 64)
+        Ts = jnp.linspace(0.1, 1.0, 64)
+        mcfg = MCConfig(n_paths=16384, n_steps=50, path_block=4096)
+        run = lambda s: price_american_surface(
+            jax.random.key(s), 100.0, Ks, Ts, 0.05, mcfg, cp=-1.0, heston=hp)
+        np.asarray(run(0))  # compile
+        t0 = time.perf_counter()
+        np.asarray(run(1))
+        dt64 = time.perf_counter() - t0
+        details["american_64x64_heston_grid_seconds"] = round(dt64, 2)
+        details["american_options_per_sec"] = round(64 * 64 / dt64)
 
     print(json.dumps({
         "metric": "heston_mc_path_steps_per_sec_per_chip",

@@ -22,6 +22,10 @@ from options_model_tpu.pricers.american import (
     price_american,
 )
 from options_model_tpu.pricers.barrier import price_barrier_mc
+from options_model_tpu.pricers.surface_american import (
+    price_american_surface,
+    price_european_surface_mc,
+)
 
 __all__ = [
     "bs_price",
@@ -36,4 +40,6 @@ __all__ = [
     "price_american_with_control_variate",
     "price_american",
     "price_barrier_mc",
+    "price_american_surface",
+    "price_european_surface_mc",
 ]

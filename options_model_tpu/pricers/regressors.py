@@ -26,6 +26,51 @@ import optax
 from options_model_tpu.core.config import LSMConfig
 
 
+def solve_spd_small(A: jnp.ndarray, b: jnp.ndarray,
+                    refine: int = 1) -> jnp.ndarray:
+    """Solve A x = b for small SPD A (..., d, d) by fully unrolled Cholesky.
+
+    d is static and tiny (the LSM basis width), so the factorization unrolls
+    into pure elementwise arithmetic — it vmaps/batches perfectly and avoids
+    the LAPACK-style custom calls ``jnp.linalg.solve`` lowers to, which
+    compile and run poorly on TPU when batched inside scans. One step of
+    iterative refinement tightens f32 accuracy at negligible cost.
+    """
+    d = A.shape[-1]
+
+    def chol_solve(rhs):
+        L = [[None] * d for _ in range(d)]
+        for i in range(d):
+            for j in range(i + 1):
+                s = A[..., i, j]
+                for k in range(j):
+                    s = s - L[i][k] * L[j][k]
+                if i == j:
+                    L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+                else:
+                    L[i][j] = s / L[j][j]
+        yv = [None] * d
+        for i in range(d):
+            s = rhs[..., i]
+            for k in range(i):
+                s = s - L[i][k] * yv[k]
+            yv[i] = s / L[i][i]
+        xv = [None] * d
+        for i in reversed(range(d)):
+            s = yv[i]
+            for j in range(i + 1, d):
+                s = s - L[j][i] * xv[j]
+            xv[i] = s / L[i][i]
+        return jnp.stack(xv, axis=-1)
+
+    x = chol_solve(b)
+    for _ in range(refine):
+        r = b - jnp.einsum("...ij,...j->...i", A, x,
+                           precision=jax.lax.Precision.HIGHEST)
+        x = x + chol_solve(r)
+    return x
+
+
 def masked_wls_predict(X: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
                        axis_name: Optional[str] = None,
                        ridge: float = 1e-7) -> jnp.ndarray:
@@ -66,7 +111,7 @@ def masked_wls_predict(X: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
     b = allsum(jnp.matmul(Xw.T, yc, precision=hi))   # (d,)
     lam = ridge * (jnp.trace(A) / A.shape[0] + 1.0)
     A = A + lam * jnp.eye(A.shape[0], dtype=A.dtype)
-    theta = jnp.linalg.solve(A, b)
+    theta = solve_spd_small(A, b)
     return jnp.matmul(Xs, theta, precision=hi) + y_mean
 
 
