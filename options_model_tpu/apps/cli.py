@@ -82,7 +82,47 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--html", type=str, default=None, help="Write Plotly HTML")
     p.add_argument("--show-plot", action="store_true")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--interactive", action="store_true",
+                   help="Prompt for each parameter (v3-style wizard); "
+                        "entered values override the flags")
     return p.parse_args(argv)
+
+
+def interactive_wizard(args, input_fn=input) -> argparse.Namespace:
+    """The reference's input() wizard (get_user_inputs,
+    options_model_3/options_model_3.py:867-902) layered over parsed args:
+    blank answers keep the flag/default value. ``input_fn`` is injectable for
+    tests."""
+    def ask(prompt, cur, cast):
+        raw = input_fn(f"{prompt} [{cur}]: ").strip()
+        if not raw:
+            return cur
+        return cast(raw)
+
+    print("=== TPU American Option Pricer (interactive) ===")
+    args.ticker = ask("Ticker symbol", args.ticker, str.upper)
+    args.expiry = ask("Expiry date (YYYY-MM-DD)", args.expiry, str)
+    args.K = ask("Strike price", args.K, float)
+    args.r = ask("Risk-free rate (e.g. 0.03)", args.r, float)
+    args.option_type = ask("Option type (call/put)", args.option_type,
+                           str.lower)
+    args.num_simulations = ask("Monte Carlo simulations",
+                               args.num_simulations, int)
+    args.seed = ask("Random seed", args.seed, int)
+    args.s0_start = ask("S0 grid start", args.s0_start, int)
+    args.s0_end = ask("S0 grid end", args.s0_end, int)
+    args.s0_step = ask("S0 grid step", args.s0_step, int)
+    args.intervals_per_day = ask("Intervals per day", args.intervals_per_day,
+                                 int)
+    args.model = ask("Model (bs/heston/both)", args.model, str.lower)
+    iv = ask("Implied vol (float, 'nn', or blank to auto-fetch)",
+             args.iv or "", str)
+    args.iv = iv or None
+    args.european_approximation = ask(
+        "European approximation for speed? (y/n)",
+        "y" if args.european_approximation else "n",
+        str.lower) == "y"
+    return args
 
 
 def _resolve_market(args) -> tuple:
@@ -170,6 +210,7 @@ def run(args) -> Dict[str, "object"]:
                   total_points=total_points,
                   num_simulations=args.num_simulations,
                   use_control_variate=not args.no_control_variate,
+                  european_approximation=args.european_approximation,
                   engine=args.engine, seed=args.seed)
 
     run_bs = args.model in ("bs", "both")
@@ -218,6 +259,8 @@ def run(args) -> Dict[str, "object"]:
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.interactive:
+        args = interactive_wizard(args)
     try:
         out = run(args)
     except Exception as e:

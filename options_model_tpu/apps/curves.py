@@ -48,6 +48,7 @@ class CurveRequest:
     sigma: Optional[float] = None
     heston: Optional[HestonParams] = None
     use_control_variate: bool = True
+    european_approximation: bool = False
     engine: str = "auto"
     steps_lo: int = 10
     steps_hi: int = 130
@@ -99,6 +100,7 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
                 sigma=req.sigma, heston=req.heston, model=req.model,
                 engine=req.engine,
                 use_control_variate=req.use_control_variate,
+                european_approximation=req.european_approximation,
                 task_ids=np.array([t["task_id"] for t in group], np.int32)))
         done += len(group)
         if progress is not None:

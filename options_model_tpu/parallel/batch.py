@@ -36,6 +36,7 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
                         heston: Optional[HestonParams] = None,
                         model: str = "gbm", engine: str = "auto",
                         use_control_variate: bool = False,
+                        european_approximation: bool = False,
                         task_ids=None, axis: str = "tasks") -> jnp.ndarray:
     """Price a batch of American options, task-sharded across the mesh.
 
@@ -72,6 +73,11 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
         spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma)
         S_paths = simulate_paths(task_key, S0, T, mc, model, sigma=sigma,
                                  rate=rate, heston=heston, engine=engine)
+        if european_approximation:
+            # Discounted terminal payoff mean (the reference's streaming-mode
+            # shortcut, options_model_3/options_model_3.py:687-690).
+            disc_T = jnp.exp(-jnp.asarray(rate, S_paths.dtype) * T)
+            return jnp.mean(vanilla_payoff(S_paths[-1], K, cp)) * disc_T
         price, _ = lsm_poly_backward(S_paths, spec, T)
         if use_control_variate and sigma is not None and model == "gbm":
             # Same-path European leg + BS closed form, beta = 1

@@ -152,3 +152,31 @@ class TestUtils:
         hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
         plot_calibration_results(np.array([0.2, 0.25]), np.array([0.21, 0.24]),
                                  np.array([10.0, 12.0]), hp, 0.01, "normal_vol")
+
+
+class TestInteractiveWizard:
+    def test_wizard_overrides_and_defaults(self):
+        from options_model_tpu.apps.cli import interactive_wizard
+        args = parse_args(["--K", "100"])
+        answers = iter(["TSLA", "", "105", "", "put", "", "", "", "", "", "",
+                        "heston", "0.3", "y"])
+        out = interactive_wizard(args, input_fn=lambda prompt: next(answers))
+        assert out.ticker == "TSLA"
+        assert out.K == 105.0
+        assert out.option_type == "put"
+        assert out.model == "heston"
+        assert out.iv == "0.3"
+        assert out.european_approximation is True
+        assert out.r == 0.05  # blank kept the default
+
+    def test_european_approximation_grid(self, key):
+        # euro-approx sweep should track BS European closely
+        from options_model_tpu.pricers import bs_price
+        req = CurveRequest(s0_list=[100.0], strike=100.0, rate=0.05, cp=1.0,
+                           intervals_per_day=1, total_points=1,
+                           num_simulations=65536, sigma=0.2,
+                           european_approximation=True, engine="xla")
+        df = compute_curves(req)
+        T = 1.0 / 365.0
+        bs = float(bs_price(100.0, 100.0, T, 0.05, 0.2, 1.0))
+        assert abs(df["Option Value"].iloc[0] - bs) < 0.05
