@@ -17,6 +17,7 @@ from options_model_tpu.calibration.calibrator import (
     HestonCalibrator,
     MarketSurface,
     calibrate_heston_to_data,
+    calibrate_heston_to_ticker,
     detect_regime,
 )
 from options_model_tpu.calibration.synthetic import create_synthetic_heston_surface
@@ -27,6 +28,7 @@ __all__ = [
     "HestonCalibrator",
     "MarketSurface",
     "calibrate_heston_to_data",
+    "calibrate_heston_to_ticker",
     "detect_regime",
     "create_synthetic_heston_surface",
 ]

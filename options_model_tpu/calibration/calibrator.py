@@ -265,3 +265,14 @@ def calibrate_heston_to_data(strikes, expiries, ivs, S0, rate=0.05,
     calibrator = HestonCalibrator(config)
     params = calibrator.calibrate(surface)
     return params, calibrator.get_calibration_summary()
+
+
+def calibrate_heston_to_ticker(ticker: str, rate: float = 0.05,
+                               config: Optional[CalibrationConfig] = None
+                               ) -> Tuple[HestonParams, Dict[str, Any]]:
+    """Fetch the live option chain and calibrate
+    (calibrate_heston_to_ticker, heston_calibration.py:777-790)."""
+    from options_model_tpu.data.market import fetch_option_chain
+
+    K, T, iv, S0 = fetch_option_chain(ticker)
+    return calibrate_heston_to_data(K, T, iv, S0, rate, config)

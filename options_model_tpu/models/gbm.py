@@ -65,6 +65,26 @@ def simulate_gbm(key: jax.Array, S0, r, sigma, T, cfg: MCConfig,
     return out.reshape(nb * cfg.path_block)
 
 
+def gbm_step_normals(key: jax.Array, t, cfg: MCConfig, first_block=0):
+    """Regenerate the step-t normals (n_paths,) of the stream simulate_gbm
+    consumed — the RNG-counter rematerialization primitive behind the
+    matrix-free LSM (pricers/replay.py). Bitwise identical to the forward
+    pass's draws for the same (key, first_block, cfg)."""
+    dtype = cfg.dtype
+    half = cfg.path_block // 2
+    nb = num_blocks(cfg)
+
+    def block_draw(b):
+        bk = jax.random.fold_in(key, b)
+        k = jax.random.fold_in(jax.random.fold_in(bk, t), 0)
+        if cfg.antithetic:
+            zh = jax.random.normal(k, (half,), dtype)
+            return jnp.concatenate([zh, -zh])
+        return jax.random.normal(k, (cfg.path_block,), dtype)
+
+    return jax.vmap(block_draw)(first_block + jnp.arange(nb)).reshape(-1)
+
+
 def gbm_terminal_exact(key: jax.Array, S0, r, sigma, T, n_paths: int,
                        antithetic: bool = True, dtype=jnp.float32):
     """Single-draw exact terminal distribution S_T = S0 exp((r-sigma^2/2)T + sigma sqrt(T) Z).

@@ -36,7 +36,8 @@ from options_model_tpu.core.config import HestonParams, MCConfig
 # underfill the VPU pipeline, larger ones blow up compile time.
 _LANES = 128
 _TERM_ROWS = 128      # 16384 paths/tile for the terminal kernel
-_PATH_ROWS = 8        # 1024 paths/tile for the full-path kernel
+_PATH_ROWS = 32       # 4096 paths/tile for the full-path kernel (18.6 G
+                      # path-steps/s vs 8.3 at 8 rows; flat beyond 32)
 
 _TWO_PI = 6.283185307179586
 

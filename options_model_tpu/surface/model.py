@@ -44,6 +44,16 @@ class IVSurfaceModel:
         return cls(train_iv_surface(K, T, sigma_iv, S0, cfg, rate))
 
     @classmethod
+    def fit_ticker(cls, ticker: str, cfg: Optional[SurfaceTrainConfig] = None,
+                   rate: float = 0.05) -> "IVSurfaceModel":
+        """Fetch the live option chain and fit (IVSurfaceModel.fit,
+        NN_training_stock_iv.py:722-739)."""
+        from options_model_tpu.data.market import fetch_option_chain
+
+        K, T, iv, S0 = fetch_option_chain(ticker)
+        return cls.fit(K, T, iv, S0, cfg, rate)
+
+    @classmethod
     def restore(cls, path: str) -> "IVSurfaceModel":
         return cls(restore_checkpoint(path))
 

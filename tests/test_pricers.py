@@ -188,3 +188,49 @@ class TestBarrier:
         with pytest.raises(ValueError):
             price_barrier_mc(key, S0, T, CALL_SPEC, barrier=120.0,
                              barrier_type="sideways", mc=MCConfig(n_paths=256))
+
+
+class TestReplayLSM:
+    """Matrix-free LSM via RNG-counter rematerialization (pricers/replay.py)."""
+
+    def test_matches_stored_matrix_pricer(self, key):
+        from options_model_tpu.pricers.american import lsm_poly_backward, simulate_paths
+        from options_model_tpu.pricers.replay import price_american_lsm_gbm_replay
+
+        mc = MCConfig(n_paths=2**14, n_steps=25, path_block=4096)
+        p_replay, se_replay = price_american_lsm_gbm_replay(
+            key, S0, T, PUT_SPEC, mc)
+        S_paths = simulate_paths(key, S0, T, mc, "gbm", sigma=SIG, rate=R,
+                                 engine="xla")
+        p_stored, se_stored = lsm_poly_backward(S_paths, PUT_SPEC, T)
+        # identical streams; f32 replay roundoff can flip a handful of
+        # boundary exercise decisions (~2e-4 on the price), nothing more
+        np.testing.assert_allclose(float(p_replay), float(p_stored), rtol=1e-3)
+        np.testing.assert_allclose(float(se_replay), float(se_stored), rtol=5e-3)
+
+    def test_accuracy_vs_crr(self, key):
+        from options_model_tpu.pricers.replay import price_american_lsm_gbm_replay
+
+        mc = MCConfig(n_paths=2**16, n_steps=50, path_block=4096)
+        price, _ = price_american_lsm_gbm_replay(key, S0, T, PUT_SPEC, mc)
+        oracle = crr_american(S0, K, T, R, SIG, cp=-1.0, n_steps=4096)
+        assert abs(float(price) - oracle) / oracle < 0.01
+
+    def test_path_reconstruction_exact(self, key):
+        # Reverse replay must recover every intermediate row of the forward
+        # matrix to f32 roundoff.
+        import jax
+        import jax.numpy as jnp
+        from options_model_tpu.models.gbm import gbm_step_normals, simulate_gbm
+
+        mc = MCConfig(n_paths=2048, n_steps=10, path_block=1024)
+        S = simulate_gbm(key, S0, R, SIG, T, mc, return_paths=True)
+        dt = T / mc.n_steps
+        drift = (R - 0.5 * SIG**2) * dt
+        diffusion = SIG * np.sqrt(dt)
+        S_prev = S[-1]
+        for t in range(mc.n_steps - 1, 0, -1):
+            z = gbm_step_normals(key, t, mc)
+            S_prev = S_prev * jnp.exp(-(drift + diffusion * z))
+            np.testing.assert_allclose(np.asarray(S_prev), np.asarray(S[t]),
+                                       rtol=5e-6)
