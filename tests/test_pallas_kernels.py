@@ -40,8 +40,8 @@ class TestInterpretStructure:
         np.testing.assert_allclose(S, 100.0 * np.exp(0.05 - 0.02), rtol=1e-5)
 
     def test_gbm_paths_shape_and_start(self):
-        S = np.asarray(gbm_paths_pallas(2, 100.0, 0.05, 0.2, 1.0, 1024, 12, **I))
-        assert S.shape == (13, 1024)
+        S = np.asarray(gbm_paths_pallas(2, 100.0, 0.05, 0.2, 1.0, 4096, 12, **I))
+        assert S.shape == (13, 4096)
         np.testing.assert_allclose(S[0], 100.0)
         assert np.isfinite(S).all() and (S > 0).all()
 
@@ -61,8 +61,8 @@ class TestInterpretStructure:
 
     def test_heston_paths_shape(self):
         S = np.asarray(heston_paths_pallas(3, 100.0, 0.05, 1.0, HESTON,
-                                           1024, 16, **I))
-        assert S.shape == (17, 1024)
+                                           4096, 16, **I))
+        assert S.shape == (17, 4096)
         np.testing.assert_allclose(S[0], 100.0)
         assert np.isfinite(S).all() and (S > 0).all()
 
