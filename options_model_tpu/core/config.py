@@ -155,6 +155,7 @@ class LSMConfig:
     """
 
     regressor: str = struct.field(pytree_node=False, default="poly")
+    poly_degree: int = struct.field(pytree_node=False, default=3)
     nn_hidden: int = 128
     nn_layers: int = 3
     nn_epochs: int = 25
@@ -167,6 +168,8 @@ class LSMConfig:
     def validate(self) -> "LSMConfig":
         if self.regressor not in ("poly", "nn"):
             raise ValueError(f"regressor must be 'poly' or 'nn', got {self.regressor}")
+        if not (1 <= self.poly_degree <= 8):
+            raise ValueError(f"poly_degree must be in [1, 8], got {self.poly_degree}")
         return self
 
 

@@ -32,6 +32,21 @@ def make_mesh(axis_names: Tuple[str, ...] = ("tasks",),
     return Mesh(devs.reshape(shape), axis_names)
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Join the multi-host JAX runtime (single-controller-per-host).
+
+    On TPU pods the arguments are auto-detected from the environment; pass
+    them explicitly elsewhere. Call once, before any device use. After this,
+    jax.devices() spans the whole slice and every mesh in parallel/ scales
+    across hosts unchanged (collectives ride ICI within a slice, DCN across).
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def is_multihost() -> bool:
     return jax.process_count() > 1
 

@@ -92,12 +92,15 @@ def _pmean(x, axis_name):
 
 
 def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
-                      axis_name: Optional[str] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      axis_name: Optional[str] = None,
+                      poly_degree: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Classic LSM backward induction with per-date masked WLS regression.
 
     S_paths: (n_steps+1, n_paths). Returns (price, stderr). With ``axis_name``
     set (inside shard_map over the path axis) the result equals the unsharded
-    computation exactly.
+    computation exactly. ``poly_degree`` restores the reference's
+    lsm_poly_degree knob (Options_model.py:53); the basis is
+    [1, u, ..., u^degree, (x-1)^+] in the masked-centered variable u.
     """
     n_steps = S_paths.shape[0] - 1
     dtype = S_paths.dtype
@@ -134,8 +137,8 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
         x_mean = allsum((x * itm).sum()) / wsum
         x_var = allsum(((x - x_mean) ** 2 * itm).sum()) / wsum
         u = (x - x_mean) * jax.lax.rsqrt(jnp.maximum(x_var, 1e-12))
-        X = jnp.stack([jnp.ones_like(u), u, u**2, u**3,
-                       jnp.maximum(x - 1.0, 0.0)], axis=-1)
+        cols = [u**d for d in range(poly_degree + 1)]
+        X = jnp.stack(cols + [jnp.maximum(x - 1.0, 0.0)], axis=-1)
         continuation = masked_wls_predict(X, cash, itm, axis_name=axis_name)
         exercise = (immediate > continuation) & (immediate > 0)
         cash = jnp.where(exercise, immediate, cash)
@@ -224,7 +227,8 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                              rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
                              engine=engine)
     if lsm.regressor == "poly":
-        price, stderr = lsm_poly_backward(S_paths, spec, T, axis_name=axis_name)
+        price, stderr = lsm_poly_backward(S_paths, spec, T, axis_name=axis_name,
+                                          poly_degree=lsm.poly_degree)
     else:
         price, stderr = lsm_nn_backward(fit_key, S_paths, spec, T, lsm)
     if return_paths_stats:

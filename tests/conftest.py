@@ -9,15 +9,23 @@ is what makes the multi-device tests on a CPU-backed fake TPU mesh possible
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# OPTIONS_TPU_TEST_BACKEND=native runs the suite on the container's real
+# backend (enables the TPU-gated statistical kernel tests); default is the
+# hermetic virtual mesh.
+_NATIVE = os.environ.get("OPTIONS_TPU_TEST_BACKEND") == "native"
+
+if not _NATIVE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not _NATIVE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 

@@ -234,3 +234,18 @@ class TestReplayLSM:
             S_prev = S_prev * jnp.exp(-(drift + diffusion * z))
             np.testing.assert_allclose(np.asarray(S_prev), np.asarray(S[t]),
                                        rtol=5e-6)
+
+
+class TestPolyDegree:
+    def test_degree_knob(self, key):
+        # degree 2 (the v1 default) still prices within 1.5% of CRR
+        mc = MCConfig(n_paths=2**15, n_steps=32, path_block=4096)
+        lsm = LSMConfig(regressor="poly", poly_degree=2, use_control_variate=False)
+        price, _ = price_american_lsm(key, S0, T, PUT_SPEC, mc, lsm)
+        oracle = crr_american(S0, K, T, R, SIG, cp=-1.0, n_steps=2048)
+        assert abs(float(price) - oracle) / oracle < 0.015
+
+    def test_bad_degree_rejected(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            LSMConfig(poly_degree=0).validate()
