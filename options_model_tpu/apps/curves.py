@@ -95,22 +95,24 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
         with Timer() as tm:
             # Per-task keys still come from each task's global id: fold the
             # base key by id inside the grid pricer via the padded task index.
-            prices = np.asarray(price_american_grid(
+            prices, stderrs = price_american_grid(
                 key, S0s, Ks, Ts, req.rate, mc, mesh, cp=req.cp,
                 sigma=req.sigma, heston=req.heston, model=req.model,
                 engine=req.engine,
                 use_control_variate=req.use_control_variate,
                 european_approximation=req.european_approximation,
-                task_ids=np.array([t["task_id"] for t in group], np.int32)))
+                task_ids=np.array([t["task_id"] for t in group], np.int32),
+                return_stderr=True)
+            prices, stderrs = np.asarray(prices), np.asarray(stderrs)
         done += len(group)
         if progress is not None:
             eta = estimate_total_runtime(time.time() - t_start, done,
                                          len(tasks)) - (time.time() - t_start)
             progress(done / len(tasks), max(eta, 0.0))
         log.info(f"bucket steps={steps}: {len(group)} tasks in {tm.elapsed:.2f}s")
-        for t, p in zip(group, prices):
+        for t, p, se in zip(group, prices, stderrs):
             records.append({"S0": t["S0"], "Days to Expiry": t["days"],
-                            "Option Value": float(p)})
+                            "Option Value": float(p), "StdErr": float(se)})
 
     df = pd.DataFrame(records)
     return df.sort_values(["S0", "Days to Expiry"],

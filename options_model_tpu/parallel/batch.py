@@ -37,7 +37,8 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
                         model: str = "gbm", engine: str = "auto",
                         use_control_variate: bool = False,
                         european_approximation: bool = False,
-                        task_ids=None, axis: str = "tasks") -> jnp.ndarray:
+                        task_ids=None, return_stderr: bool = False,
+                        axis: str = "tasks") -> jnp.ndarray:
     """Price a batch of American options, task-sharded across the mesh.
 
     S0s/strikes/taus: equal-length 1-D arrays — one task per row (a flattened
@@ -77,8 +78,9 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
             # Discounted terminal payoff mean (the reference's streaming-mode
             # shortcut, options_model_3/options_model_3.py:687-690).
             disc_T = jnp.exp(-jnp.asarray(rate, S_paths.dtype) * T)
-            return jnp.mean(vanilla_payoff(S_paths[-1], K, cp)) * disc_T
-        price, _ = lsm_poly_backward(S_paths, spec, T)
+            pay = vanilla_payoff(S_paths[-1], K, cp) * disc_T
+            return jnp.mean(pay), jnp.std(pay) / jnp.sqrt(pay.size)
+        price, stderr = lsm_poly_backward(S_paths, spec, T)
         if use_control_variate and sigma is not None and model == "gbm":
             # Same-path European leg + BS closed form, beta = 1
             # (pricers/american.py:price_american_with_control_variate).
@@ -86,7 +88,7 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
             disc = jnp.exp(-jnp.asarray(rate, S_paths.dtype) * T)
             eu_mc = jnp.mean(vanilla_payoff(S_paths[-1], K, cp)) * disc
             price = price + (bs_price(S0, K, T, rate, sigma, cp) - eu_mc)
-        return price
+        return price, stderr
 
     def shard_body(S0_l, K_l, T_l, tid_l):
         return jax.lax.map(price_one, (S0_l, K_l, T_l, tid_l))
@@ -94,11 +96,13 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
     # check_vma=False: tasks are fully independent (no collectives), and the
     # Pallas kernels' output avals carry no varying-mesh-axes annotation,
     # which the checker would otherwise reject on TPU.
-    prices = jax.jit(shard_map(
+    prices, stderrs = jax.jit(shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis), check_vma=False,
+        out_specs=(P(axis), P(axis)), check_vma=False,
     ))(S0p, Kp, Tp, task_ids)
+    if return_stderr:
+        return prices[:n_tasks], stderrs[:n_tasks]
     return prices[:n_tasks]
 
 

@@ -53,6 +53,16 @@ def plot_option_curves(df, s0_list: Sequence[float], S0_live: float, K: float,
             name += f" (IV={ivs_for_plot[idx]:.2%})"
         if live:
             name += " (Live)"
+        if "StdErr" in curve.columns and live:
+            # +-1 sigma MC band on the live curve (options_ui.py:72-99).
+            x = list(curve["Days to Expiry"])
+            lo = list(curve["Option Value"] - curve["StdErr"])
+            hi = list(curve["Option Value"] + curve["StdErr"])
+            fig.add_trace(go.Scatter(
+                x=x + x[::-1], y=hi + lo[::-1], fill="toself",
+                fillcolor="rgba(99,110,250,0.15)",
+                line=dict(color="rgba(0,0,0,0)"), showlegend=False,
+                hoverinfo="skip", name=f"{name} +-1sd"))
         fig.add_trace(go.Scatter(
             x=curve["Days to Expiry"], y=curve["Option Value"], mode="lines",
             name=name,

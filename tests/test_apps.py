@@ -26,8 +26,11 @@ class TestCurves:
                            total_points=4, num_simulations=4096,
                            sigma=0.2, engine="xla", use_control_variate=False)
         df = compute_curves(req)
-        assert list(df.columns) == ["S0", "Days to Expiry", "Option Value"]
+        assert list(df.columns) == ["S0", "Days to Expiry", "Option Value",
+                                    "StdErr"]
         assert len(df) == 3 * 4
+        # >= 0 (exactly 0 when every payoff is identical, e.g. deep OTM)
+        assert (df["StdErr"] >= 0).all() and (df["StdErr"] > 0).any()
         # descending days within each S0 (reference record ordering)
         one = df[df["S0"] == 95.0]["Days to Expiry"].values
         assert one[0] > one[-1]
