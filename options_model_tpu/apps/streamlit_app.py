@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import io
 
-import numpy as np
-
 try:
     import streamlit as st
 except ImportError:  # pragma: no cover

@@ -17,7 +17,6 @@ and the Black-Scholes limit xi -> 0, v0 = theta.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Failure semantics follow the reference's degrade-and-continue pattern
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

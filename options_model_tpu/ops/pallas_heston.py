@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from options_model_tpu.core.config import HestonParams, MCConfig
+from options_model_tpu.core.config import HestonParams
 
 # Tile geometry: ROWS x 128 paths per program instance. 128 rows won an
 # on-chip sweep (dependency-chained slope timing, v5e, 2^22 paths x 100 steps):
@@ -138,7 +138,7 @@ def heston_terminal_pallas(seed, S0, r, T, params: HestonParams,
     """Terminal prices S_T (n_paths_rounded,) from the fused kernel.
 
     ``seed`` is an int32 scalar; tile ids extend it on-chip. n_paths rounds up
-    to whole tiles of 32768.
+    to whole tiles of _TERM_ROWS * 128 paths.
     """
     tile = _TERM_ROWS * _LANES
     n_pad = _round_up(n_paths, tile)

@@ -7,16 +7,14 @@ shards the independent paths axis with exact psum reductions.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from options_model_tpu.core.config import HestonParams, LSMConfig, MCConfig, OptionSpec
+from options_model_tpu.core.config import HestonParams, MCConfig, OptionSpec
 from options_model_tpu.core.payoff import vanilla_payoff
 from options_model_tpu.core.stats import welford_from_batch, welford_psum
 from options_model_tpu.models.blocks import num_blocks

@@ -30,14 +30,14 @@ Intended-behavior fixes over the reference (SURVEY.md §2.4 directive):
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from options_model_tpu.core.config import HestonParams, LSMConfig, MCConfig, OptionSpec
 from options_model_tpu.core.payoff import vanilla_payoff
-from options_model_tpu.ops.lsm_basis import regression_features, poly_features
+from options_model_tpu.ops.lsm_basis import regression_features
 from options_model_tpu.pricers.blackscholes import bs_price
 from options_model_tpu.pricers.regressors import (
     fit_continuation_mlp,

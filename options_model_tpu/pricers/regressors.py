@@ -4,8 +4,8 @@ Two interchangeable regressors behind the same masked fixed-shape interface
 (the TPU answer to the reference's dynamic ITM gathers,
 options_model_3/options_model_3.py:490-516 — see SURVEY.md §7 "hard parts"):
 
-- masked weighted least squares on the 7-feature basis (normal equations;
-  cross-shard exact via psum of the tiny (7,7)/(7,) Gram blocks)
+- masked weighted least squares on a small polynomial basis (normal
+  equations; cross-shard exact via psum of the tiny (d,d)/(d,) Gram blocks)
 - a Flax MLP re-implementing SingleLSMNet (7 -> hidden x layers -> 1, ReLU,
   dropout; options_model_3/options_model_3.py:85-103) with a fully jitted
   optax/AdamW training loop (fixed epoch budget, best-weights tracking — the
@@ -16,7 +16,7 @@ options_model_3/options_model_3.py:490-516 — see SURVEY.md §7 "hard parts"):
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,6 @@ All maturities share ``n_steps`` (dt varies) — one compile for the whole grid.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -11,7 +11,7 @@ where dispatch is asynchronous and block_until_ready is unreliable.
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
