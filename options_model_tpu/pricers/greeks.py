@@ -1,0 +1,84 @@
+"""Monte-Carlo Greeks via automatic differentiation.
+
+BASELINE.json's north star asks for "Greeks via AD instead of bump-and-reprice".
+Everything in the XLA pricing path is differentiable end to end — the
+simulators are smooth in (S0, sigma, r, T) and the LSM exercise rule enters
+through `where`, whose gradient holds the decisions fixed, which is exactly the
+first-order-correct pathwise estimator (envelope theorem: the stopping rule is
+optimal, so its sensitivity contributes zero to first order).
+
+One `jax.grad` over a packed parameter vector yields Delta/Vega/Rho/Theta in a
+single compiled program; Gamma comes from forward-over-reverse. Conventions
+match the reference (Theta per day, Vega/Rho per 1%). Uses the XLA engine (the
+Pallas kernels don't define a VJP).
+
+Validated against closed-form Black-Scholes Greeks for European MC and against
+central finite differences for American LSM (tests/test_mc_greeks.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from options_model_tpu.core.config import LSMConfig, MCConfig, OptionSpec
+from options_model_tpu.core.payoff import vanilla_payoff
+from options_model_tpu.models.gbm import simulate_gbm
+from options_model_tpu.pricers.american import lsm_poly_backward
+
+
+def _gbm_american_price(x, key, cp, mc: MCConfig, poly_degree: int):
+    """Price as a smooth function of x = (S0, K, T, r, sigma)."""
+    S0, K, T, r, sigma = x[0], x[1], x[2], x[3], x[4]
+    spec = OptionSpec(strike=K, rate=r, cp=cp, sigma=sigma)
+    S_paths = simulate_gbm(key, S0, r, sigma, T, mc, return_paths=True)
+    price, _ = lsm_poly_backward(S_paths, spec, T, poly_degree=poly_degree)
+    return price
+
+
+def _gbm_european_price(x, key, cp, mc: MCConfig):
+    S0, K, T, r, sigma = x[0], x[1], x[2], x[3], x[4]
+    S_T = simulate_gbm(key, S0, r, sigma, T, mc, return_paths=False)
+    return jnp.mean(vanilla_payoff(S_T, K, cp)) * jnp.exp(-r * T)
+
+
+@partial(jax.jit, static_argnames=("cp", "mc", "poly_degree", "style"))
+def _greeks_impl(x, key, cp, mc, poly_degree, style):
+    if style == "american":
+        f = lambda x: _gbm_american_price(x, key, cp, mc, poly_degree)
+    else:
+        f = lambda x: _gbm_european_price(x, key, cp, mc)
+    price, g = jax.value_and_grad(f)(x)
+    # Gamma: d2/dS0^2 via forward-over-reverse on the S0 component.
+    gamma = jax.jvp(lambda s: jax.grad(f)(x.at[0].set(s))[0], (x[0],),
+                    (jnp.float32(1.0),))[1]
+    return price, g, gamma
+
+
+def mc_greeks(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
+              style: str = "american",
+              lsm: Optional[LSMConfig] = None) -> Dict[str, jnp.ndarray]:
+    """Pathwise AD Greeks for a GBM-driven option (American LSM or European MC).
+
+    Returns {Price, Delta, Gamma, Vega, Theta, Rho} in the reference's
+    conventions. The same key prices and differentiates, so Greeks are
+    noise-consistent with the price (no bump/reprice seed mismatch).
+    """
+    if style not in ("american", "european"):
+        raise ValueError("style must be 'american' or 'european'")
+    if spec.sigma is None:
+        raise ValueError("mc_greeks requires a constant sigma (GBM dynamics)")
+    poly_degree = (lsm or LSMConfig()).poly_degree
+    x = jnp.array([S0, spec.strike, T, spec.rate, spec.sigma], jnp.float32)
+    price, g, gamma = _greeks_impl(x, key, spec.cp, mc, poly_degree, style)
+    return {
+        "Price": price,
+        "Delta": g[0],
+        "Gamma": gamma,
+        "Vega": g[4] / 100.0,
+        "Theta": -g[2] / 365.0,
+        "Rho": g[3] / 100.0,
+    }

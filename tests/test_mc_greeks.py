@@ -1,0 +1,62 @@
+"""Pathwise AD Greeks through the MC pricers vs closed forms and finite
+differences."""
+
+import jax
+import numpy as np
+import pytest
+
+from options_model_tpu.core.config import CALL, PUT, LSMConfig, MCConfig, OptionSpec
+from options_model_tpu.pricers.blackscholes import bs_greeks
+from options_model_tpu.pricers.greeks import mc_greeks
+
+S0, K, T, R, SIG = 100.0, 100.0, 0.5, 0.05, 0.2
+MC = MCConfig(n_paths=2**16, n_steps=25, path_block=4096)
+
+
+class TestEuropeanADGreeks:
+    def test_matches_closed_form(self, key):
+        spec = OptionSpec(strike=K, rate=R, cp=CALL, sigma=SIG)
+        g = mc_greeks(key, S0, T, spec, MC, style="european")
+        cf = bs_greeks(S0, K, T, R, SIG, CALL)
+        assert abs(float(g["Delta"]) - float(cf["Delta"])) < 0.01
+        assert abs(float(g["Vega"]) - float(cf["Vega"])) < 0.01
+        assert abs(float(g["Rho"]) - float(cf["Rho"])) < 0.01
+        assert abs(float(g["Theta"]) - float(cf["Theta"])) < 0.003
+
+    def test_put_delta_negative(self, key):
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=SIG)
+        g = mc_greeks(key, S0, T, spec, MC, style="european")
+        assert -1.0 < float(g["Delta"]) < 0.0
+
+
+class TestAmericanADGreeks:
+    def test_delta_vs_finite_difference(self, key):
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=SIG)
+        g = mc_greeks(key, S0, T, spec, MC, style="american")
+        # central bump with common random numbers
+        h = 0.5
+        gp = mc_greeks(key, S0 + h, T, spec, MC, style="american")
+        gm = mc_greeks(key, S0 - h, T, spec, MC, style="american")
+        fd_delta = (float(gp["Price"]) - float(gm["Price"])) / (2 * h)
+        assert abs(float(g["Delta"]) - fd_delta) < 0.02, (float(g["Delta"]), fd_delta)
+
+    def test_sane_signs_and_ranges(self, key):
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=SIG)
+        g = mc_greeks(key, S0, T, spec, MC, style="american")
+        assert -1.0 < float(g["Delta"]) < 0.0   # put delta
+        assert float(g["Vega"]) > 0.0           # long vol
+        assert float(g["Gamma"]) > 0.0
+        assert float(g["Theta"]) < 0.0          # time decay
+        assert float(g["Rho"]) < 0.0            # put rho
+
+    def test_american_delta_more_negative_than_european(self, key):
+        # Early exercise makes the ITM put behave closer to -1 delta.
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=SIG)
+        am = mc_greeks(key, 90.0, T, spec, MC, style="american")
+        eu = mc_greeks(key, 90.0, T, spec, MC, style="european")
+        assert float(am["Delta"]) <= float(eu["Delta"]) + 0.02
+
+    def test_requires_sigma(self, key):
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=None)
+        with pytest.raises(ValueError):
+            mc_greeks(key, S0, T, spec, MC)
