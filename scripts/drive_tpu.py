@@ -1,67 +1,183 @@
-"""Drive the library through its public API on the real TPU chip."""
+"""End-to-end drive of the public API on the real TPU chip.
+
+The canonical verification run (see .claude/skills/verify/SKILL.md):
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/drive_tpu.py [--full]
+
+Default covers the pricing core in ~5-10 min (first compiles dominate);
+--full adds the calibration round trip, the IV-surface training path, and the
+64x64 American surface (several extra minutes of remote compiles).
+"""
+
+import argparse
 import time
-import jax, jax.numpy as jnp
-print("devices:", jax.devices())
 
-from options_model_tpu.core import HestonParams, MCConfig, LSMConfig, OptionSpec
-from options_model_tpu.core.config import PUT, CALL
-from options_model_tpu.pricers import (
-    bs_price, bs_greeks, crr_american, price_american, price_european_mc,
-    price_barrier_mc)
-from options_model_tpu.pricers.european import make_terminal_sampler
+import numpy as np
 
-key = jax.random.key(2026)
-S0, K, T, r, sig = 100.0, 100.0, 0.5, 0.05, 0.2
-put = OptionSpec(strike=K, rate=r, cp=PUT, sigma=sig)
-call = OptionSpec(strike=K, rate=r, cp=CALL, sigma=sig)
 
-# 1. European MC vs BS closed form on TPU
-cfg = MCConfig(n_paths=262_144, n_steps=50)
-sampler = make_terminal_sampler("gbm", S0, r, T, sigma=sig)
-t0 = time.time()
-p, se, n = price_european_mc(key, sampler, call, T, cfg)
-p, se = float(p), float(se)
-t1 = time.time()
-bs = float(bs_price(S0, K, T, r, sig, 1.0))
-print(f"[EU ] MC {p:.4f} +- {se:.4f} (n={int(n)})  BS {bs:.4f}  |z|={abs(p-bs)/se:.2f}  {t1-t0:.1f}s")
-assert abs(p - bs) < 4*se
+def log(msg):
+    print(f"[drive] {msg}", flush=True)
 
-# 2. American put LSM+CV vs CRR binomial on TPU (BASELINE configs[0])
-mc = MCConfig(n_paths=500_000, n_steps=50)
-lsm = LSMConfig(regressor="poly")
-t0 = time.time()
-am, se2 = price_american(key, S0, T, put, mc, lsm)
-am = float(am); t1 = time.time()
-oracle = crr_american(S0, K, T, r, sig, cp=-1.0, n_steps=4096)
-rel = abs(am - oracle)/oracle
-print(f"[AM ] LSM+CV {am:.4f}  CRR {oracle:.4f}  rel err {rel*100:.3f}%  {t1-t0:.1f}s")
-assert rel < 0.001, f"American not within 0.1%: {rel}"
 
-# 3. Heston American put (BASELINE configs[2])
-hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04).validate()
-spec_h = OptionSpec(strike=K, rate=r, cp=PUT, sigma=None)
-t0=time.time()
-amh, _ = price_american(key, S0, T, spec_h, mc, LSMConfig(regressor="poly", use_control_variate=False), model="heston", heston=hp)
-print(f"[AMH] Heston American put {float(amh):.4f}  {time.time()-t0:.1f}s")
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    args = ap.parse_args()
 
-# 4. Greeks via AD
-g = {k: float(v) for k, v in bs_greeks(S0, K, T, r, sig, 1.0).items()}
-print("[GRK]", {k: round(v,4) for k,v in g.items()})
+    import jax
+    import jax.numpy as jnp
 
-# 5. Barrier
-ko, _ = price_barrier_mc(key, S0, T, call, barrier=120.0, barrier_type="up-and-out", mc=MCConfig(n_paths=200_000, n_steps=64))
-print(f"[BAR] up-and-out 120 call {float(ko):.4f} (vanilla {bs:.4f})")
+    log(f"devices: {jax.devices()}")
+    t_start = time.time()
 
-# Probes: invalid inputs must raise cleanly
-for bad in [lambda: OptionSpec(strike=-5.0, rate=r).validate(),
-            lambda: HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-2.0, v0=0.04).validate(),
-            lambda: MCConfig(path_block=100).validate()]:
-    try:
-        bad(); print("PROBE FAIL: no error raised")
-    except ValueError as e:
-        print("[PRB] ValueError:", str(e)[:60])
+    from options_model_tpu.core.config import (
+        CALL, PUT, HestonParams, LSMConfig, MCConfig, OptionSpec)
+    from options_model_tpu.pricers import (
+        bs_price, crr_american, price_american, price_barrier_mc,
+        price_european_mc)
+    from options_model_tpu.pricers.european import make_terminal_sampler
 
-# Probe: odd path count rounds up, still prices
-podd, _, nodd = price_european_mc(key, sampler, call, T, MCConfig(n_paths=12_345, n_steps=10))
-print(f"[PRB] n_paths=12345 -> n={int(nodd)} price {float(podd):.4f}")
-print("ALL DRIVES OK")
+    key = jax.random.key(2026)
+    S0, K, T, r, sig = 100.0, 100.0, 0.5, 0.05, 0.2
+    put = OptionSpec(strike=K, rate=r, cp=PUT, sigma=sig)
+    call = OptionSpec(strike=K, rate=r, cp=CALL, sigma=sig)
+    hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04).validate()
+
+    # 1. European MC through the fused Pallas terminal kernel vs BS.
+    cfg = MCConfig(n_paths=262_144, n_steps=50)
+    sampler = make_terminal_sampler("gbm", S0, r, T, sigma=sig)  # engine auto
+    p, se, n = price_european_mc(key, sampler, call, T, cfg)
+    bs = float(bs_price(S0, K, T, r, sig, 1.0))
+    z = abs(float(p) - bs) / float(se)
+    log(f"EU pallas: {float(p):.4f} +- {float(se):.4f} vs BS {bs:.4f} |z|={z:.2f}")
+    assert z < 4
+
+    # 2. American put LSM+CV (XLA engine) vs CRR — the 0.1% north star.
+    mc = MCConfig(n_paths=500_000, n_steps=50)
+    am, _ = price_american(key, S0, T, put, mc, LSMConfig(regressor="poly"),
+                           engine="xla")
+    oracle = crr_american(S0, K, T, r, sig, cp=-1.0, n_steps=4096)
+    rel = abs(float(am) - oracle) / oracle
+    log(f"AM xla: LSM+CV {float(am):.4f} vs CRR {oracle:.4f} rel {rel*100:.3f}%")
+    assert rel < 0.001, f"American beyond 0.1%: {rel}"
+
+    # 3. Same pricing through the Pallas full-path engine.
+    am_p, _ = price_american(key, S0, T, put, mc, LSMConfig(regressor="poly"),
+                             engine="pallas")
+    rel_p = abs(float(am_p) - oracle) / oracle
+    log(f"AM pallas: {float(am_p):.4f} rel {rel_p*100:.3f}%")
+    assert rel_p < 0.002
+
+    # 4. Matrix-free replay LSM agrees with the stored-matrix price.
+    from options_model_tpu.pricers.replay import price_american_lsm_gbm_replay
+    mc_r = MCConfig(n_paths=131_072, n_steps=50)
+    p_rep, _ = price_american_lsm_gbm_replay(key, S0, T, put, mc_r)
+    rel_r = abs(float(p_rep) - oracle) / oracle
+    log(f"AM replay (O(paths) memory): {float(p_rep):.4f} rel {rel_r*100:.3f}%")
+    assert rel_r < 0.01
+
+    # 5. Heston: American via LSM + European COS cross-check.
+    amh, _ = price_american(key, S0, T, OptionSpec(strike=K, rate=r, cp=PUT,
+                                                   sigma=None),
+                            mc, LSMConfig(regressor="poly",
+                                          use_control_variate=False),
+                            model="heston", heston=hp)
+    log(f"AM heston: {float(amh):.4f}")
+    from options_model_tpu.calibration import heston_cos_price
+    cos = float(heston_cos_price(S0, K, T, r, hp, 1.0))
+    cfg_h = MCConfig(n_paths=262_144, n_steps=100)
+    sampler_h = make_terminal_sampler("heston", S0, r, T, heston=hp)
+    ph_, seh, _ = price_european_mc(key, sampler_h, call, T, cfg_h)
+    zz = abs(float(ph_) - cos) / max(float(seh), 1e-6)
+    log(f"EU heston: pallas MC {float(ph_):.4f} vs COS {cos:.4f} |z|={zz:.2f}")
+    assert zz < 5
+
+    # 6. AD Greeks: European matches closed form; American delta sane.
+    from options_model_tpu.pricers.blackscholes import bs_greeks
+    from options_model_tpu.pricers.greeks import mc_greeks
+    g_eu = mc_greeks(key, S0, T, call, MCConfig(n_paths=65_536, n_steps=25),
+                     style="european")
+    cf = bs_greeks(S0, K, T, r, sig, 1.0)
+    dd = abs(float(g_eu["Delta"]) - float(cf["Delta"]))
+    log(f"AD Greeks: EU delta {float(g_eu['Delta']):.4f} vs BS "
+        f"{float(cf['Delta']):.4f} (diff {dd:.4f})")
+    assert dd < 0.02
+    g_am = mc_greeks(key, S0, T, put, MCConfig(n_paths=65_536, n_steps=25),
+                     style="american")
+    log(f"AD Greeks: AM put delta {float(g_am['Delta']):.4f} "
+        f"vega {float(g_am['Vega']):.4f}")
+    assert -1 < float(g_am["Delta"]) < 0 and float(g_am["Vega"]) > 0
+
+    # 7. Barrier parity.
+    mc_b = MCConfig(n_paths=131_072, n_steps=64)
+    ko, _ = price_barrier_mc(key, S0, T, call, barrier=120.0,
+                             barrier_type="up-and-out", mc=mc_b)
+    ki, _ = price_barrier_mc(key, S0, T, call, barrier=120.0,
+                             barrier_type="up-and-in", mc=mc_b)
+    log(f"barrier: KO {float(ko):.4f} + KI {float(ki):.4f} (vanilla {bs:.4f})")
+    assert abs(float(ko) + float(ki) - bs) < 0.15
+
+    # 8. Validation errors raise cleanly.
+    for bad in (lambda: OptionSpec(strike=-5.0, rate=r).validate(),
+                lambda: HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-2.0,
+                                     v0=0.04).validate(),
+                lambda: MCConfig(path_block=100).validate(),
+                lambda: LSMConfig(poly_degree=0).validate()):
+        try:
+            bad()
+            raise AssertionError("validation did not raise")
+        except ValueError as e:
+            log(f"probe ValueError ok: {str(e)[:50]}")
+
+    if args.full:
+        # 9. Calibration round trip on synthetic COS surface.
+        from options_model_tpu.core.config import CalibrationConfig
+        from options_model_tpu.calibration import (
+            calibrate_heston_to_data, create_synthetic_heston_surface)
+        true = HestonParams(kappa=2.5, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+        Ks, Ts, ivs = create_synthetic_heston_surface(true)
+        params, summary = calibrate_heston_to_data(
+            Ks, Ts, ivs, S0=100.0,
+            config=CalibrationConfig(optimization_methods=("L-BFGS-B",)))
+        log(f"calibration: fit {params} err {summary['error']:.5f}")
+        assert summary["error"] < 0.01
+
+        # 10. IV-surface training + local-vol pricing.
+        from options_model_tpu.core.config import SurfaceTrainConfig
+        from options_model_tpu.data.synthetic import synthetic_smile_surface
+        from options_model_tpu.surface.model import IVSurfaceModel
+        Ko, To, ivo, S0o = synthetic_smile_surface()
+        model = IVSurfaceModel.fit(Ko, To, ivo, S0o, SurfaceTrainConfig(
+            hidden_dim=32, num_hidden_layers=2, epochs=300, dropout=0.05,
+            use_vega_weighting=False, patience=300))
+        rmse = float(np.sqrt(np.mean((model.predict(Ko, To) - ivo) ** 2)))
+        log(f"surface NN: RMSE {rmse:.4f}")
+        assert rmse < 0.05
+        lv, _ = price_american(key, S0, 0.25, OptionSpec(strike=K, rate=r,
+                                                         cp=PUT, sigma=None),
+                               MCConfig(n_paths=16_384, n_steps=25),
+                               LSMConfig(regressor="poly",
+                                         use_control_variate=False),
+                               model="localvol", sigma_fn=model.sigma_fn(K))
+        log(f"local-vol AM put: {float(lv):.4f}")
+
+        # 11. 64x64 American Heston surface.
+        from options_model_tpu.pricers.surface_american import (
+            price_american_surface)
+        Kg = jnp.linspace(70.0, 130.0, 64)
+        Tg = jnp.linspace(0.1, 1.0, 64)
+        P = np.asarray(price_american_surface(
+            key, S0, Kg, Tg, r, MCConfig(n_paths=16_384, n_steps=50),
+            cp=-1.0, heston=hp))
+        t0 = time.time()
+        P = np.asarray(price_american_surface(
+            jax.random.key(1), S0, Kg, Tg, r,
+            MCConfig(n_paths=16_384, n_steps=50), cp=-1.0, heston=hp))
+        log(f"64x64 surface: {time.time()-t0:.1f}s warm, "
+            f"monotone-K {bool(np.all(np.diff(P, 1) > -1e-3))}")
+
+    log(f"ALL DRIVES OK in {time.time()-t_start:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
