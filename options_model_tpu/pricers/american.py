@@ -41,7 +41,7 @@ from options_model_tpu.ops.lsm_basis import regression_features
 from options_model_tpu.pricers.blackscholes import bs_price
 from options_model_tpu.pricers.regressors import (
     fit_continuation_mlp,
-    masked_wls_predict,
+    masked_wls_predict_centered,
     mlp_predict,
 )
 from options_model_tpu.models.gbm import simulate_gbm
@@ -139,7 +139,8 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
         u = (x - x_mean) * jax.lax.rsqrt(jnp.maximum(x_var, 1e-12))
         cols = [u**d for d in range(poly_degree + 1)]
         X = jnp.stack(cols + [jnp.maximum(x - 1.0, 0.0)], axis=-1)
-        continuation = masked_wls_predict(X, cash, itm, axis_name=axis_name)
+        continuation = masked_wls_predict_centered(X, cash, itm,
+                                                   axis_name=axis_name)
         exercise = (immediate > continuation) & (immediate > 0)
         cash = jnp.where(exercise, immediate, cash)
         return cash, None

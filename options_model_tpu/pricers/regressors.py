@@ -71,6 +71,33 @@ def solve_spd_small(A: jnp.ndarray, b: jnp.ndarray,
     return x
 
 
+def masked_wls_predict_centered(X: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
+                                axis_name: Optional[str] = None,
+                                ridge: float = 1e-7) -> jnp.ndarray:
+    """Fast masked WLS for a basis the CALLER has already conditioned.
+
+    Contract: X's columns are an explicit intercept plus well-scaled,
+    near-centered features (e.g. powers of the masked-centered u in
+    lsm_poly_backward) — no internal standardization is performed. Everything
+    reduces to ONE augmented Gram matmul G = [X|y]^T W [X|y] (a single psum
+    under sharding) plus a tiny unrolled-Cholesky solve: ~2 big ops per
+    regression instead of ~12 separate masked reductions, which is what the
+    per-(date, strike) LSM backward pass is latency-bound on.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    d = X.shape[-1]
+    Z = jnp.concatenate([X, y[:, None]], axis=-1)
+    G = jnp.matmul((Z * w[:, None]).T, Z, precision=hi)   # (d+1, d+1)
+    if axis_name is not None:
+        G = jax.lax.psum(G, axis_name)
+    A = G[:d, :d]
+    b = G[:d, d]
+    lam = ridge * (jnp.trace(A) / d + 1.0)
+    A = A + lam * jnp.eye(d, dtype=A.dtype)
+    theta = solve_spd_small(A, b)
+    return jnp.matmul(X, theta, precision=hi)
+
+
 def masked_wls_predict(X: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
                        axis_name: Optional[str] = None,
                        ridge: float = 1e-7) -> jnp.ndarray:

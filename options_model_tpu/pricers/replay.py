@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from options_model_tpu.core.config import MCConfig, OptionSpec
 from options_model_tpu.core.payoff import vanilla_payoff
 from options_model_tpu.models.gbm import gbm_step_normals, simulate_gbm
-from options_model_tpu.pricers.regressors import masked_wls_predict
+from options_model_tpu.pricers.regressors import masked_wls_predict_centered
 
 
 def price_american_lsm_gbm_replay(key: jax.Array, S0, T, spec: OptionSpec,
@@ -69,7 +69,8 @@ def price_american_lsm_gbm_replay(key: jax.Array, S0, T, spec: OptionSpec,
         u = (x - x_mean) * jax.lax.rsqrt(jnp.maximum(x_var, 1e-12))
         X = jnp.stack([jnp.ones_like(u), u, u**2, u**3,
                        jnp.maximum(x - 1.0, 0.0)], axis=-1)
-        continuation = masked_wls_predict(X, cash, itm, axis_name=axis_name)
+        continuation = masked_wls_predict_centered(X, cash, itm,
+                                                   axis_name=axis_name)
         exercise = (immediate > continuation) & (immediate > 0)
         cash = jnp.where(exercise, immediate, cash)
         return (cash, S_t), None
