@@ -52,9 +52,14 @@ def _greeks_impl(x, key, cp, mc, poly_degree, style):
     else:
         f = lambda x: _gbm_european_price(x, key, cp, mc)
     price, g = jax.value_and_grad(f)(x)
-    # Gamma: d2/dS0^2 via forward-over-reverse on the S0 component.
-    gamma = jax.jvp(lambda s: jax.grad(f)(x.at[0].set(s))[0], (x[0],),
-                    (jnp.float32(1.0),))[1]
+    # Gamma cannot come from pure pathwise AD: GBM paths are LINEAR in S0, so
+    # per-path payoffs are piecewise linear and the second derivative is zero
+    # almost everywhere. Standard fix: central difference of the (pathwise-AD)
+    # Delta under common random numbers — Delta is already an expectation, so
+    # the difference quotient is smooth and low-variance.
+    h = 0.005 * x[0]
+    delta_at = lambda s: jax.grad(f)(x.at[0].set(s))[0]
+    gamma = (delta_at(x[0] + h) - delta_at(x[0] - h)) / (2.0 * h)
     return price, g, gamma
 
 

@@ -28,6 +28,12 @@ class TestEuropeanADGreeks:
         g = mc_greeks(key, S0, T, spec, MC, style="european")
         assert -1.0 < float(g["Delta"]) < 0.0
 
+    def test_gamma_matches_closed_form(self, key):
+        spec = OptionSpec(strike=K, rate=R, cp=CALL, sigma=SIG)
+        g = mc_greeks(key, S0, T, spec, MC, style="european")
+        cf = bs_greeks(S0, K, T, R, SIG, CALL)
+        assert abs(float(g["Gamma"]) - float(cf["Gamma"])) < 0.005
+
 
 class TestAmericanADGreeks:
     def test_delta_vs_finite_difference(self, key):
