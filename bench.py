@@ -57,7 +57,7 @@ def main():
     ap.add_argument("--quick", action="store_true", help="skip the accuracy leg")
     ap.add_argument("--surface", action="store_true",
                     help="also time the 64x64 American Heston grid "
-                         "(~7 min first-compile on the remote backend)")
+                         "(~2 min first-compile on the remote backend)")
     ap.add_argument("--paths", type=int, default=1 << 22)
     ap.add_argument("--steps", type=int, default=100)
     args = ap.parse_args()
