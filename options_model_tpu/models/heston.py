@@ -23,6 +23,25 @@ from options_model_tpu.core.config import HestonParams, MCConfig
 from options_model_tpu.models.blocks import block_normals, num_blocks
 
 
+@jax.custom_jvp
+def _safe_sqrt(x):
+    """sqrt with a bounded derivative at 0.
+
+    The full-truncation scheme pins v at 0 on some paths; sqrt'(0) = inf turns
+    every AD sensitivity (pricers/greeks.mc_greeks_heston) into NaN. The
+    primal is exact; the tangent uses the valid subgradient 0 at the boundary.
+    """
+    return jnp.sqrt(x)
+
+
+@_safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,), (xdot,) = primals, tangents
+    y = jnp.sqrt(x)
+    dydx = jnp.where(x > 1e-12, 0.5 / jnp.maximum(y, 1e-6), 0.0)
+    return y, dydx * xdot
+
+
 def simulate_heston(key: jax.Array, S0, r, T, params: HestonParams, cfg: MCConfig,
                     return_paths: bool = True, return_variance: bool = False,
                     first_block=0):
@@ -60,7 +79,7 @@ def simulate_heston(key: jax.Array, S0, r, T, params: HestonParams, cfg: MCConfi
             w1 = z1
             w2 = rho * z1 + rho_bar * z2
             v_plus = jnp.maximum(v, 0.0)
-            sqrt_v_dt = jnp.sqrt(v_plus) * sqrt_dt
+            sqrt_v_dt = _safe_sqrt(v_plus) * sqrt_dt
             v_new = jnp.maximum(v_plus + kappa * (theta - v_plus) * dt + xi * sqrt_v_dt * w2, 0.0)
             logS_new = logS + (r_ - 0.5 * v_plus) * dt + sqrt_v_dt * w1
             out = (logS_new, v_new) if return_paths else None

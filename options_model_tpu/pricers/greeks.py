@@ -63,6 +63,80 @@ def _greeks_impl(x, key, cp, mc, poly_degree, style):
     return price, g, gamma
 
 
+def _heston_american_price(x, key, cp, mc: MCConfig, poly_degree: int):
+    """Price as a smooth function of x = (S0, K, T, r, kappa, theta, xi, rho, v0)."""
+    from options_model_tpu.core.config import HestonParams
+    from options_model_tpu.models.heston import simulate_heston
+
+    S0, K, T, r = x[0], x[1], x[2], x[3]
+    hp = HestonParams(kappa=x[4], theta=x[5], xi=x[6], rho=x[7], v0=x[8])
+    spec = OptionSpec(strike=K, rate=r, cp=cp, sigma=None)
+    S_paths = simulate_heston(key, S0, r, T, hp, mc, return_paths=True)
+    price, _ = lsm_poly_backward(S_paths, spec, T, poly_degree=poly_degree)
+    return price
+
+
+@partial(jax.jit, static_argnames=("cp", "mc", "poly_degree"))
+def _heston_greeks_impl(x, key, cp, mc, poly_degree):
+    f = lambda x: _heston_american_price(x, key, cp, mc, poly_degree)
+    price, g = jax.value_and_grad(f)(x)
+    h = 0.005 * x[0]
+    delta_at = lambda s: jax.grad(f)(x.at[0].set(s))[0]
+    gamma = (delta_at(x[0] + h) - delta_at(x[0] - h)) / (2.0 * h)
+    return price, g, gamma
+
+
+def mc_greeks_heston(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
+                     heston, lsm: Optional[LSMConfig] = None
+                     ) -> Dict[str, jnp.ndarray]:
+    """Pathwise AD sensitivities of an American option under Heston: price,
+    spot Greeks, and gradients in every model parameter (dKappa/dTheta/dXi/
+    dRho/dV0) — the AD replacement for bump-and-reprice parameter hedging.
+    The variance clamps contribute valid subgradients."""
+    poly_degree = (lsm or LSMConfig()).poly_degree
+    x = jnp.array([S0, spec.strike, T, spec.rate, heston.kappa, heston.theta,
+                   heston.xi, heston.rho, heston.v0], jnp.float32)
+    price, g, gamma = _heston_greeks_impl(x, key, spec.cp, mc, poly_degree)
+    return {
+        "Price": price,
+        "Delta": g[0],
+        "Gamma": gamma,
+        "Theta": -g[2] / 365.0,
+        "Rho": g[3] / 100.0,
+        "dKappa": g[4], "dTheta": g[5], "dXi": g[6], "dRhoCorr": g[7],
+        "dV0": g[8],
+        # vol-units convenience: dPrice/d(sqrt(v0)) = dV0 * 2 sqrt(v0), per 1%
+        "Vega": g[8] * 2.0 * jnp.sqrt(x[8]) / 100.0,
+    }
+
+
+def cos_greeks_heston(S0, K, T, r, heston, cp=1.0) -> Dict[str, jnp.ndarray]:
+    """EXACT European Heston Greeks: jax.grad through the COS pricer
+    (calibration/charfn.py) — no Monte Carlo, no bumping."""
+    from options_model_tpu.core.config import HestonParams
+    from options_model_tpu.calibration.charfn import heston_cos_price
+
+    def f(x):
+        hp = HestonParams(kappa=x[4], theta=x[5], xi=x[6], rho=x[7], v0=x[8])
+        return heston_cos_price(x[0], x[1], x[2], x[3], hp, cp).sum()
+
+    x = jnp.array([S0, K, T, r, heston.kappa, heston.theta, heston.xi,
+                   heston.rho, heston.v0], jnp.float32)
+    price, g = jax.value_and_grad(f)(x)
+    gamma = jax.grad(lambda s: jax.grad(
+        lambda s2: f(x.at[0].set(s2)))(s))(x[0])
+    return {
+        "Price": price,
+        "Delta": g[0],
+        "Gamma": gamma,
+        "Theta": -g[2] / 365.0,
+        "Rho": g[3] / 100.0,
+        "dKappa": g[4], "dTheta": g[5], "dXi": g[6], "dRhoCorr": g[7],
+        "dV0": g[8],
+        "Vega": g[8] * 2.0 * jnp.sqrt(x[8]) / 100.0,
+    }
+
+
 def mc_greeks(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
               style: str = "american",
               lsm: Optional[LSMConfig] = None) -> Dict[str, jnp.ndarray]:

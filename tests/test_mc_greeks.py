@@ -66,3 +66,46 @@ class TestAmericanADGreeks:
         spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=None)
         with pytest.raises(ValueError):
             mc_greeks(key, S0, T, spec, MC)
+
+
+class TestHestonGreeks:
+    HP = None  # set below
+
+    def test_cos_greeks_exact_vs_fd(self):
+        from options_model_tpu.core.config import HestonParams
+        from options_model_tpu.pricers.greeks import cos_greeks_heston
+        from options_model_tpu.calibration import heston_cos_price
+
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.5, rho=-0.7, v0=0.04)
+        g = cos_greeks_heston(S0, K, T, R, hp, 1.0)
+        # finite-difference delta on the closed-form pricer
+        h = 0.01
+        fd = (float(heston_cos_price(S0 + h, K, T, R, hp, 1.0))
+              - float(heston_cos_price(S0 - h, K, T, R, hp, 1.0))) / (2 * h)
+        assert abs(float(g["Delta"]) - fd) < 1e-3
+        assert float(g["dV0"]) > 0 and float(g["Gamma"]) > 0
+
+    def test_cos_bs_limit_matches_bs_greeks(self):
+        from options_model_tpu.core.config import HestonParams
+        from options_model_tpu.pricers.greeks import cos_greeks_heston
+
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.02, rho=0.0, v0=0.04)
+        g = cos_greeks_heston(S0, K, T, R, hp, 1.0)
+        cf = bs_greeks(S0, K, T, R, SIG, 1.0)
+        assert abs(float(g["Delta"]) - float(cf["Delta"])) < 0.01
+        assert abs(float(g["Gamma"]) - float(cf["Gamma"])) < 0.005
+
+    def test_mc_heston_american_sensitivities(self, key):
+        from options_model_tpu.core.config import HestonParams
+        from options_model_tpu.pricers.greeks import mc_greeks_heston
+
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.5, rho=-0.7, v0=0.04)
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=None)
+        g = mc_greeks_heston(key, S0, T, spec,
+                             MCConfig(n_paths=2**15, n_steps=32,
+                                      path_block=4096), hp)
+        assert -1.0 < float(g["Delta"]) < 0.0
+        assert float(g["dV0"]) > 0.0      # more variance -> dearer put
+        assert float(g["dTheta"]) > 0.0
+        assert float(g["Theta"]) < 0.0
+        assert np.isfinite(float(g["dXi"])) and np.isfinite(float(g["dRhoCorr"]))
