@@ -51,7 +51,8 @@ from options_model_tpu.models.localvol import simulate_local_vol
 
 def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
                    rate=0.0, heston: Optional[HestonParams] = None, sigma_fn=None,
-                   first_block=0, engine: str = "auto") -> jnp.ndarray:
+                   first_block=0, engine: str = "auto",
+                   heston_scheme: str = "euler") -> jnp.ndarray:
     """Full path matrix (n_steps+1, n_paths) under the chosen dynamics.
 
     engine='auto' picks the fused Pallas kernel on TPU backends (gbm/heston)
@@ -61,6 +62,8 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
     from options_model_tpu.ops.engine import resolve_engine, seed_from_key
 
     eng = resolve_engine(engine) if model in ("gbm", "heston") else "xla"
+    if model == "heston" and heston_scheme != "euler":
+        eng = "xla"  # the fused kernel implements the Euler scheme only
     if eng == "pallas":
         from options_model_tpu.models.blocks import paths_rounded
         from options_model_tpu.ops.pallas_gbm import gbm_paths_pallas
@@ -78,7 +81,7 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
                             first_block=first_block)
     if model == "heston":
         return simulate_heston(key, S0, rate, T, heston, cfg, return_paths=True,
-                               first_block=first_block)
+                               first_block=first_block, scheme=heston_scheme)
     if model == "localvol":
         return simulate_local_vol(key, S0, rate, T, sigma_fn, cfg, return_paths=True,
                                   first_block=first_block)

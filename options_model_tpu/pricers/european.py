@@ -35,7 +35,8 @@ TerminalSampler = Callable[[jax.Array, jnp.ndarray, MCConfig], jnp.ndarray]
 
 def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
                           heston: Optional[HestonParams] = None,
-                          sigma_fn=None, engine: str = "auto") -> TerminalSampler:
+                          sigma_fn=None, engine: str = "auto",
+                          heston_scheme: str = "euler") -> TerminalSampler:
     """Terminal-price sampler for one of the three dynamics families.
 
     engine='auto' uses the fused Pallas terminal kernels on TPU backends for
@@ -43,6 +44,8 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
     """
     from options_model_tpu.ops.engine import resolve_engine, seed_from_key
     eng = resolve_engine(engine) if model in ("gbm", "heston") else "xla"
+    if model == "heston" and heston_scheme != "euler":
+        eng = "xla"  # the fused kernel implements the Euler scheme only
     if eng == "pallas":
         from options_model_tpu.models.blocks import paths_rounded
         from options_model_tpu.ops.pallas_gbm import gbm_terminal_pallas
@@ -68,7 +71,8 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
         if heston is None:
             raise ValueError("heston params required for model='heston'")
         return lambda key, fb, c: simulate_heston(key, S0, r, T, heston, c,
-                                                  return_paths=False, first_block=fb)
+                                                  return_paths=False, first_block=fb,
+                                                  scheme=heston_scheme)
     if model == "localvol":
         if sigma_fn is None:
             raise ValueError("sigma_fn required for model='localvol'")
