@@ -90,6 +90,11 @@ def main():
         dt_p = _time_per_call(lambda s: heston_paths_pallas(
             s, 100.0, 0.05, 1.0, hp, pp, ps)[-1], k1=1, k2=6)
         details["heston_fullpath_steps_per_sec"] = round(pp * ps / dt_p)
+
+        from options_model_tpu.ops.pallas_heston import heston_terminal_qe_pallas
+        dt_qe = _time_per_call(lambda s: heston_terminal_qe_pallas(
+            s, 100.0, 0.05, 1.0, hp, n_paths, n_steps))
+        details["heston_qe_path_steps_per_sec"] = round(n_paths * n_steps / dt_qe)
     else:
         from options_model_tpu.models.heston import simulate_heston
         cfg = MCConfig(n_paths=n_paths, n_steps=n_steps, path_block=4096)

@@ -191,3 +191,128 @@ def heston_paths_pallas(seed, S0, r, T, params: HestonParams,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, par)
     return out.reshape(n_steps + 1, -1)
+
+
+# --- Andersen QE-M variant -----------------------------------------------
+
+def _qe_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
+    """Fused QE-M Heston terminal kernel (scheme of models/heston._simulate_
+    heston_qe). Per step: one Box-Muller pair (z_v, z_s) + one raw uniform for
+    the exponential-mixture branch — the hardware PRNG supplies the uniform
+    directly, no ndtr needed. Constants are precomputed host-side and read
+    from SMEM."""
+    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    S0 = par_ref[0, 0]
+    r = par_ref[0, 1]
+    dt = par_ref[0, 2]
+    theta = par_ref[0, 4]
+    v0 = par_ref[0, 8]
+    ekt = par_ref[0, 9]
+    c1 = par_ref[0, 10]
+    c2 = par_ref[0, 11]
+    K1 = par_ref[0, 12]
+    K2 = par_ref[0, 13]
+    K3 = par_ref[0, 14]
+    K4 = par_ref[0, 15]
+    A = K2 + 0.5 * K4
+    rows = _TERM_ROWS
+    half = rows // 2
+
+    logS = jnp.zeros((rows, _LANES), jnp.float32)
+    v = jnp.full((rows, _LANES), v0, jnp.float32)
+
+    def body(t, carry):
+        logS, v = carry
+        if antithetic:
+            z_vh, z_sh = _box_muller((half, _LANES))
+            z_v = jnp.concatenate([z_vh, -z_vh], axis=0)
+            z_s = jnp.concatenate([z_sh, -z_sh], axis=0)
+            uh = _uniform_from_bits(pltpu.bitcast(
+                pltpu.prng_random_bits((half, _LANES)), jnp.uint32))
+            u = jnp.concatenate([uh, 1.0 - uh], axis=0)
+        else:
+            z_v, z_s = _box_muller((rows, _LANES))
+            u = _uniform_from_bits(pltpu.bitcast(
+                pltpu.prng_random_bits((rows, _LANES)), jnp.uint32))
+
+        m = theta + (v - theta) * ekt
+        s2 = v * c1 + c2
+        psi = s2 / jnp.maximum(m**2, 1e-20)
+
+        two_over = 2.0 / jnp.maximum(psi, 1e-12)
+        b2 = jnp.maximum(two_over - 1.0
+                         + jnp.sqrt(jnp.maximum(two_over, 0.0))
+                         * jnp.sqrt(jnp.maximum(two_over - 1.0, 0.0)), 0.0)
+        a = m / (1.0 + b2)
+        b = jnp.sqrt(b2)
+        v_quad = a * (b + z_v) ** 2
+
+        p = jnp.clip((psi - 1.0) / (psi + 1.0), 0.0, 1.0 - 1e-7)
+        beta = (1.0 - p) / jnp.maximum(m, 1e-20)
+        v_exp = jnp.where(u <= p, 0.0,
+                          jnp.log((1.0 - p) / jnp.maximum(1.0 - u, 1e-12))
+                          / jnp.maximum(beta, 1e-20))
+
+        quad = psi <= 1.5
+        v_new = jnp.where(quad, v_quad, v_exp)
+
+        Aa = A * a
+        k0_quad = (-Aa * b2 / jnp.maximum(1.0 - 2.0 * Aa, 1e-6)
+                   + 0.5 * jnp.log(jnp.maximum(1.0 - 2.0 * Aa, 1e-6)))
+        k0_exp = -jnp.log(jnp.maximum(
+            p + beta * (1.0 - p) / jnp.maximum(beta - A, 1e-12), 1e-12))
+        K0_star = jnp.where(quad, k0_quad, k0_exp) - (K1 + 0.5 * K3) * v
+
+        logS_new = (logS + r * dt + K0_star + K1 * v + K2 * v_new
+                    + jnp.sqrt(jnp.maximum(K3 * v + K4 * v_new, 0.0)) * z_s)
+        return logS_new, v_new
+
+    logS, v = jax.lax.fori_loop(0, n_steps, body, (logS, v))
+    out_ref[:] = jnp.exp(jnp.log(S0) + logS)
+
+
+def _qe_params_array(S0, r, T, params: HestonParams, n_steps) -> jnp.ndarray:
+    dt = jnp.float32(T) / n_steps
+    kappa = jnp.float32(params.kappa)
+    theta = jnp.float32(params.theta)
+    xi = jnp.float32(params.xi)
+    rho = jnp.float32(params.rho)
+    ekt = jnp.exp(-kappa * dt)
+    c1 = xi**2 * ekt * (1.0 - ekt) / kappa
+    c2 = theta * xi**2 * (1.0 - ekt) ** 2 / (2.0 * kappa)
+    g = 0.5
+    K1 = g * dt * (kappa * rho / xi - 0.5) - rho / xi
+    K2 = g * dt * (kappa * rho / xi - 0.5) + rho / xi
+    K3 = g * dt * (1.0 - rho**2)
+    K4 = K3
+    return jnp.array([[S0, r, dt, kappa, theta, xi, rho, 0.0, params.v0,
+                       ekt, c1, c2, K1, K2, K3, K4]], jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
+                                             "interpret"))
+def heston_terminal_qe_pallas(seed, S0, r, T, params: HestonParams,
+                              n_paths: int, n_steps: int,
+                              antithetic: bool = True, interpret: bool = False):
+    """Terminal prices under the fused QE-M kernel (n_paths_rounded,)."""
+    tile = _TERM_ROWS * _LANES
+    n_pad = _round_up(n_paths, tile)
+    grid = n_pad // tile
+    par = _qe_params_array(S0, r, T, params, n_steps)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    kernel = functools.partial(_qe_terminal_kernel, n_steps=n_steps,
+                               antithetic=antithetic)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_TERM_ROWS, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * _TERM_ROWS, _LANES), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, par)
+    return out.reshape(-1)

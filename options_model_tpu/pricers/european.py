@@ -44,8 +44,6 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
     """
     from options_model_tpu.ops.engine import resolve_engine, seed_from_key
     eng = resolve_engine(engine) if model in ("gbm", "heston") else "xla"
-    if model == "heston" and heston_scheme != "euler":
-        eng = "xla"  # the fused kernel implements the Euler scheme only
     if eng == "pallas":
         from options_model_tpu.models.blocks import paths_rounded
         from options_model_tpu.ops.pallas_gbm import gbm_terminal_pallas
@@ -59,6 +57,12 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
                 paths_rounded(c), c.n_steps, c.antithetic)
         if heston is None:
             raise ValueError("heston params required for model='heston'")
+        if heston_scheme == "qe":
+            from options_model_tpu.ops.pallas_heston import (
+                heston_terminal_qe_pallas)
+            return lambda key, fb, c: heston_terminal_qe_pallas(
+                seed_from_key(jax.random.fold_in(key, fb)), S0, r, T, heston,
+                paths_rounded(c), c.n_steps, c.antithetic)
         return lambda key, fb, c: heston_terminal_pallas(
             seed_from_key(jax.random.fold_in(key, fb)), S0, r, T, heston,
             paths_rounded(c), c.n_steps, c.antithetic)

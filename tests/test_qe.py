@@ -93,3 +93,36 @@ class TestQEAmerican:
                             "heston", rate=0.05, heston=HP, engine="xla")
         pe, see = lsm_poly_backward(Se, spec, 0.5)
         assert abs(float(pq) - float(pe)) < 4 * (float(seq) + float(see))
+
+
+class TestQEKernel:
+    def test_interpret_structure(self):
+        # zero-noise interpreter: v follows deterministic QE mean path; just
+        # check shape/finiteness/positivity (full stats are TPU-gated below).
+        from options_model_tpu.ops.pallas_heston import heston_terminal_qe_pallas
+        S = np.asarray(heston_terminal_qe_pallas(1, 100.0, 0.05, 1.0, HP,
+                                                 16384, 8, interpret=True))
+        assert S.shape[0] >= 16384
+        assert np.isfinite(S).all() and (S > 0).all()
+
+    @pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                        reason="hardware PRNG only on TPU")
+    def test_onchip_matches_cos(self):
+        from options_model_tpu.ops.pallas_heston import heston_terminal_qe_pallas
+        from options_model_tpu.calibration import heston_cos_price
+        S = np.asarray(heston_terminal_qe_pallas(1, 100.0, 0.05, 1.0, HP,
+                                                 1 << 20, 16))
+        pay = np.maximum(S - 100.0, 0.0) * np.exp(-0.05)
+        cos = float(heston_cos_price(100.0, 100.0, 1.0, 0.05, HP, 1.0))
+        se = pay.std() / np.sqrt(pay.size)
+        assert abs(pay.mean() - cos) < max(4 * se, 0.03)
+
+    def test_sampler_dispatch_qe_pallas(self, key):
+        # engine='pallas' + scheme='qe' resolves without error on any backend
+        # via interpret fallback in tests (structure only on CPU).
+        from options_model_tpu.pricers.european import make_terminal_sampler
+        sampler = make_terminal_sampler("heston", 100.0, 0.05, 1.0, heston=HP,
+                                        engine="xla", heston_scheme="qe")
+        from options_model_tpu.core.config import MCConfig
+        S_T = sampler(key, 0, MCConfig(n_paths=2048, n_steps=4, path_block=1024))
+        assert np.isfinite(np.asarray(S_T)).all()
