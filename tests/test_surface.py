@@ -187,3 +187,16 @@ class TestSyntheticOracle:
 
     def test_wings_higher(self):
         assert synthetic_iv_smile(60.0, 0.25) > synthetic_iv_smile(100.0, 0.25)
+
+
+class TestBf16SigmaFn:
+    def test_bf16_close_to_f32(self, smile_model, key):
+        import jax.numpy as jnp
+        model, _ = smile_model
+        f32 = model.sigma_fn(100.0)
+        bf16 = model.sigma_fn(100.0, compute_dtype=jnp.bfloat16)
+        S = jnp.linspace(70.0, 130.0, 256)
+        a = np.asarray(f32(S, jnp.float32(0.25)))
+        b = np.asarray(bf16(S, jnp.float32(0.25)))
+        assert b.dtype == np.float32  # output cast back
+        np.testing.assert_allclose(a, b, rtol=0.02, atol=0.002)
