@@ -50,6 +50,12 @@ class CurveRequest:
     use_control_variate: bool = True
     european_approximation: bool = False
     engine: str = "auto"
+    # 'calendar': steps = clamp(ceil(days), 10, 130)   (v3 rule, :709)
+    # 'trading':  steps = clamp(ceil(days * intervals_per_day), 2, 500)
+    #             with days measured in trading days (v1.5 rule, :221 —
+    #             pair with timegrid.compute_trading_hours_remaining to set
+    #             total_points from an expiry)
+    grid_mode: str = "calendar"
     steps_lo: int = 10
     steps_hi: int = 130
     seed: int = 42
@@ -67,13 +73,18 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
     days = curve_day_grid(req.total_points, req.intervals_per_day)
 
     # Flatten to (task) rows and bucket by adaptive step count.
+    def steps_for(d: float) -> int:
+        if req.grid_mode == "trading":
+            return adaptive_num_steps(d * req.intervals_per_day, 2, 500)
+        return adaptive_num_steps(d, req.steps_lo, req.steps_hi)
+
     tasks: List[Dict] = []
     for s0 in req.s0_list:
         for d in days:
             tasks.append({
                 "S0": float(s0),
                 "days": float(d),
-                "steps": adaptive_num_steps(d, req.steps_lo, req.steps_hi),
+                "steps": steps_for(d),
             })
     for gi, t in enumerate(tasks):
         t["task_id"] = gi  # global id BEFORE grouping: RNG stays stable

@@ -164,6 +164,9 @@ class LSMConfig:
     nn_dropout: float = 0.1
     use_control_variate: bool = True
     european_approximation: bool = False
+    # True: fit regressions on half the paths, price on the other half — the
+    # low-biased Longstaff-Schwartz estimator (no foresight bias).
+    out_of_sample: bool = struct.field(pytree_node=False, default=False)
 
     def validate(self) -> "LSMConfig":
         if self.regressor not in ("poly", "nn"):

@@ -96,7 +96,8 @@ def _pmean(x, axis_name):
 
 def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
                       axis_name: Optional[str] = None,
-                      poly_degree: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      poly_degree: int = 3,
+                      out_of_sample: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Classic LSM backward induction with per-date masked WLS regression.
 
     S_paths: (n_steps+1, n_paths). Returns (price, stderr). With ``axis_name``
@@ -104,6 +105,11 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
     computation exactly. ``poly_degree`` restores the reference's
     lsm_poly_degree knob (Options_model.py:53); the basis is
     [1, u, ..., u^degree, (x-1)^+] in the masked-centered variable u.
+
+    ``out_of_sample=True`` fits the per-date regressions on the first half of
+    the paths and prices on the second half only — eliminating the foresight
+    (look-ahead) bias of in-sample LSM at the cost of 2x the MC variance of
+    the estimate (the classic Longstaff-Schwartz low-biased estimator).
     """
     n_steps = S_paths.shape[0] - 1
     dtype = S_paths.dtype
@@ -112,6 +118,13 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
     K = jnp.asarray(spec.strike, dtype)
 
     cash = vanilla_payoff(S_paths[-1], K, spec.cp)  # value at t = n_steps
+
+    n_paths = S_paths.shape[1]
+    if out_of_sample:
+        train_mask = (jnp.arange(n_paths) < n_paths // 2).astype(dtype)
+        eval_mask = 1.0 - train_mask
+    else:
+        train_mask = eval_mask = jnp.ones((n_paths,), dtype)
 
     # Exercise dates t = n_steps-1 .. 1, visited backward.
     ts = jnp.arange(n_steps - 1, 0, -1)
@@ -123,7 +136,7 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
         cash = cash * disc  # roll value back one step to date t
         S_t = S_paths[t]
         immediate = vanilla_payoff(S_t, K, spec.cp)
-        itm = (immediate > 0).astype(dtype)
+        itm = (immediate > 0).astype(dtype) * train_mask
         # Per-date basis [1, u, u^2, u^3, (x-1)^+] with u = x centered/scaled
         # against the masked (ITM) distribution BEFORE taking powers. Two
         # numerical traps this avoids (both observed as multi-percent price
@@ -151,10 +164,12 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
     cash, _ = jax.lax.scan(step, cash, ts)
     cash = cash * disc  # discount the final step t=dt -> 0
 
-    n = jnp.asarray(cash.size, dtype)
-    n_tot = jax.lax.psum(n, axis_name) if axis_name is not None else n
-    price = _pmean(jnp.mean(cash), axis_name)
-    var = _pmean(jnp.mean((cash - price) ** 2), axis_name)
+    def allsum_(v):
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
+    n_tot = allsum_(eval_mask.sum())
+    price = allsum_((cash * eval_mask).sum()) / n_tot
+    var = allsum_(((cash - price) ** 2 * eval_mask).sum()) / n_tot
     stderr = jnp.sqrt(var / n_tot)
     return price, stderr
 
@@ -232,7 +247,8 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                              engine=engine)
     if lsm.regressor == "poly":
         price, stderr = lsm_poly_backward(S_paths, spec, T, axis_name=axis_name,
-                                          poly_degree=lsm.poly_degree)
+                                          poly_degree=lsm.poly_degree,
+                                          out_of_sample=lsm.out_of_sample)
     else:
         price, stderr = lsm_nn_backward(fit_key, S_paths, spec, T, lsm)
     if return_paths_stats:

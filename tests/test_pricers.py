@@ -249,3 +249,27 @@ class TestPolyDegree:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             LSMConfig(poly_degree=0).validate()
+
+
+class TestOutOfSampleLSM:
+    def test_low_biased_and_accurate(self, key):
+        from options_model_tpu.pricers.american import (
+            lsm_poly_backward, simulate_paths)
+
+        mc = MCConfig(n_paths=2**17, n_steps=50, path_block=4096)
+        S_paths = simulate_paths(key, S0, T, mc, "gbm", sigma=SIG, rate=R,
+                                 engine="xla")
+        p_in, _ = lsm_poly_backward(S_paths, PUT_SPEC, T)
+        p_oos, se = lsm_poly_backward(S_paths, PUT_SPEC, T, out_of_sample=True)
+        oracle = crr_american(S0, K, T, R, SIG, cp=-1.0, n_steps=4096)
+        # OOS estimator is low-biased: must not exceed the in-sample estimate
+        # by more than MC noise, and must stay within 1% of CRR.
+        assert float(p_oos) <= float(p_in) + 3 * float(se)
+        assert abs(float(p_oos) - oracle) / oracle < 0.01
+
+    def test_config_plumb(self, key):
+        mc = MCConfig(n_paths=2**14, n_steps=16, path_block=4096)
+        lsm = LSMConfig(regressor="poly", out_of_sample=True,
+                        use_control_variate=False)
+        p, _ = price_american_lsm(key, S0, T, PUT_SPEC, mc, lsm)
+        assert np.isfinite(float(p))
