@@ -73,6 +73,10 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
     days = curve_day_grid(req.total_points, req.intervals_per_day)
 
     # Flatten to (task) rows and bucket by adaptive step count.
+    if req.grid_mode not in ("calendar", "trading"):
+        raise ValueError(f"grid_mode must be 'calendar' or 'trading', "
+                         f"got {req.grid_mode!r}")
+
     def steps_for(d: float) -> int:
         if req.grid_mode == "trading":
             return adaptive_num_steps(d * req.intervals_per_day, 2, 500)

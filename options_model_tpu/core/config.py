@@ -173,6 +173,9 @@ class LSMConfig:
             raise ValueError(f"regressor must be 'poly' or 'nn', got {self.regressor}")
         if not (1 <= self.poly_degree <= 8):
             raise ValueError(f"poly_degree must be in [1, 8], got {self.poly_degree}")
+        if self.out_of_sample and self.regressor != "poly":
+            raise ValueError("out_of_sample is only implemented for the poly "
+                             "regressor; the nn two-pass scheme is in-sample")
         return self
 
 

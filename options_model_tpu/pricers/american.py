@@ -88,16 +88,44 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
     raise ValueError(f"unknown model {model!r}")
 
 
+def _pair_block(mc: MCConfig, model: str, engine: str) -> int:
+    """Antithetic-pair granularity of the paths the resolved engine produces:
+    the Pallas full-path kernels mirror within their own tile (ops/
+    pallas_heston._PATH_ROWS x 128 paths), the XLA simulators within
+    mc.path_block. The out-of-sample split must respect whichever applies."""
+    from options_model_tpu.ops.engine import resolve_engine
+
+    if model in ("gbm", "heston") and resolve_engine(engine) == "pallas":
+        from options_model_tpu.ops.pallas_heston import _LANES, _PATH_ROWS
+        return max(mc.path_block, _PATH_ROWS * _LANES)
+    return mc.path_block
+
+
 def _pmean(x, axis_name):
     if axis_name is None:
         return x
     return jax.lax.pmean(x, axis_name)
 
 
+def oos_masks(n_paths: int, pair_block: int, dtype=jnp.float32):
+    """(train_mask, eval_mask) for the out-of-sample estimator.
+
+    Alternating whole path blocks: antithetic pairs live INSIDE a block (+Z
+    rows mirrored by -Z rows of the same block), so assigning entire blocks
+    keeps every pair on one side of the split — a contiguous half-split would
+    put mirror paths of training paths into the eval set, silently restoring
+    the foresight correlation the estimator exists to remove.
+    """
+    block_id = jnp.arange(n_paths) // pair_block
+    train = (block_id % 2 == 0).astype(dtype)
+    return train, 1.0 - train
+
+
 def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
                       axis_name: Optional[str] = None,
                       poly_degree: int = 3,
-                      out_of_sample: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      out_of_sample: bool = False,
+                      pair_block: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Classic LSM backward induction with per-date masked WLS regression.
 
     S_paths: (n_steps+1, n_paths). Returns (price, stderr). With ``axis_name``
@@ -106,10 +134,12 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
     lsm_poly_degree knob (Options_model.py:53); the basis is
     [1, u, ..., u^degree, (x-1)^+] in the masked-centered variable u.
 
-    ``out_of_sample=True`` fits the per-date regressions on the first half of
-    the paths and prices on the second half only — eliminating the foresight
-    (look-ahead) bias of in-sample LSM at the cost of 2x the MC variance of
-    the estimate (the classic Longstaff-Schwartz low-biased estimator).
+    ``out_of_sample=True`` fits the per-date regressions on alternating path
+    blocks and prices on the others — eliminating the foresight (look-ahead)
+    bias of in-sample LSM at the cost of 2x the MC variance of the estimate
+    (the classic Longstaff-Schwartz low-biased estimator). ``pair_block``
+    (the simulator's path_block / kernel tile size) is REQUIRED then: the
+    split must respect antithetic pairing (see oos_masks).
     """
     n_steps = S_paths.shape[0] - 1
     dtype = S_paths.dtype
@@ -121,8 +151,13 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
 
     n_paths = S_paths.shape[1]
     if out_of_sample:
-        train_mask = (jnp.arange(n_paths) < n_paths // 2).astype(dtype)
-        eval_mask = 1.0 - train_mask
+        if pair_block is None:
+            raise ValueError(
+                "out_of_sample=True requires pair_block (the simulator's "
+                "path_block) so the train/eval split respects antithetic pairs")
+        if n_paths < 2 * pair_block:
+            raise ValueError("out_of_sample needs at least two path blocks")
+        train_mask, eval_mask = oos_masks(n_paths, pair_block, dtype)
     else:
         train_mask = eval_mask = jnp.ones((n_paths,), dtype)
 
@@ -164,12 +199,9 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
     cash, _ = jax.lax.scan(step, cash, ts)
     cash = cash * disc  # discount the final step t=dt -> 0
 
-    def allsum_(v):
-        return jax.lax.psum(v, axis_name) if axis_name is not None else v
-
-    n_tot = allsum_(eval_mask.sum())
-    price = allsum_((cash * eval_mask).sum()) / n_tot
-    var = allsum_(((cash - price) ** 2 * eval_mask).sum()) / n_tot
+    n_tot = allsum(eval_mask.sum())
+    price = allsum((cash * eval_mask).sum()) / n_tot
+    var = allsum(((cash - price) ** 2 * eval_mask).sum()) / n_tot
     stderr = jnp.sqrt(var / n_tot)
     return price, stderr
 
@@ -248,7 +280,8 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     if lsm.regressor == "poly":
         price, stderr = lsm_poly_backward(S_paths, spec, T, axis_name=axis_name,
                                           poly_degree=lsm.poly_degree,
-                                          out_of_sample=lsm.out_of_sample)
+                                          out_of_sample=lsm.out_of_sample,
+                                          pair_block=_pair_block(mc, model, engine))
     else:
         price, stderr = lsm_nn_backward(fit_key, S_paths, spec, T, lsm)
     if return_paths_stats:
@@ -274,8 +307,17 @@ def price_american_with_control_variate(
         return price, stderr
     dtype = S_paths.dtype
     discount = jnp.exp(-jnp.asarray(spec.rate, dtype) * jnp.asarray(T, dtype))
-    eu_mc = _pmean(jnp.mean(vanilla_payoff(S_paths[-1], spec.strike, spec.cp)),
-                   axis_name) * discount
+    pay_T = vanilla_payoff(S_paths[-1], spec.strike, spec.cp)
+    if lsm.out_of_sample and lsm.regressor == "poly":
+        # The European leg must average the SAME eval paths as the American
+        # leg: averaging all paths would halve the control-variate correlation
+        # and inject train-half noise uncorrelated with the American estimate.
+        _, eval_mask = oos_masks(S_paths.shape[1],
+                                 _pair_block(mc, model, engine), dtype)
+        eu_raw = jnp.sum(pay_T * eval_mask) / jnp.maximum(eval_mask.sum(), 1.0)
+    else:
+        eu_raw = jnp.mean(pay_T)
+    eu_mc = _pmean(eu_raw, axis_name) * discount
     eu_bs = bs_price(S0, spec.strike, T, spec.rate, spec.sigma, spec.cp)
     return price + (eu_bs - eu_mc), stderr
 

@@ -260,7 +260,8 @@ class TestOutOfSampleLSM:
         S_paths = simulate_paths(key, S0, T, mc, "gbm", sigma=SIG, rate=R,
                                  engine="xla")
         p_in, _ = lsm_poly_backward(S_paths, PUT_SPEC, T)
-        p_oos, se = lsm_poly_backward(S_paths, PUT_SPEC, T, out_of_sample=True)
+        p_oos, se = lsm_poly_backward(S_paths, PUT_SPEC, T, out_of_sample=True,
+                                      pair_block=4096)
         oracle = crr_american(S0, K, T, R, SIG, cp=-1.0, n_steps=4096)
         # OOS estimator is low-biased: must not exceed the in-sample estimate
         # by more than MC noise, and must stay within 1% of CRR.
@@ -273,3 +274,33 @@ class TestOutOfSampleLSM:
                         use_control_variate=False)
         p, _ = price_american_lsm(key, S0, T, PUT_SPEC, mc, lsm)
         assert np.isfinite(float(p))
+
+
+class TestOOSPairIntegrity:
+    def test_split_respects_antithetic_pairs(self):
+        from options_model_tpu.pricers.american import oos_masks
+        # one block of 1024: pairs (j, j+512) must share a side
+        train, ev = oos_masks(4096, 1024)
+        train = np.asarray(train)
+        for b in range(4):
+            blk = train[b * 1024:(b + 1) * 1024]
+            assert (blk == blk[0]).all()  # whole block on one side
+        assert train.sum() == 2048  # balanced for even block count
+
+    def test_requires_pair_block(self, key):
+        from options_model_tpu.pricers.american import lsm_poly_backward
+        S = jnp.ones((5, 2048))
+        with pytest.raises(ValueError):
+            lsm_poly_backward(S, PUT_SPEC, T, out_of_sample=True)
+
+    def test_nn_oos_rejected(self):
+        with pytest.raises(ValueError):
+            LSMConfig(regressor="nn", out_of_sample=True).validate()
+
+    def test_bad_grid_mode_rejected(self):
+        from options_model_tpu.apps.curves import CurveRequest, compute_curves
+        req = CurveRequest(s0_list=[100.0], strike=100.0, rate=0.05,
+                           grid_mode="Trading", total_points=1,
+                           num_simulations=1024, sigma=0.2)
+        with pytest.raises(ValueError):
+            compute_curves(req)
