@@ -79,3 +79,41 @@ def welford_mean_stderr(state: WelfordState):
     """(mean, stderr, n) triple matching monte_carlo_price_streaming's return
     (options_model_3/options_model_3.py:61-63)."""
     return state.mean, state.stderr, state.count
+
+
+def pair_mean_reduce(x: jnp.ndarray, pair_block: int) -> jnp.ndarray:
+    """Average antithetic mirror pairs.
+
+    x: (n,) laid out in consecutive chunks of ``pair_block`` whose second half
+    mirrors the first (+Z / -Z — the simulators' and kernels' layout). Returns
+    (n/2,) pair means. Antithetic samples are NOT i.i.d.: treating the n
+    correlated samples as independent misstates the stderr (overstates it for
+    monotone payoffs, can understate it for non-monotone ones); pair means ARE
+    i.i.d., so statistics over them are correct.
+    """
+    n = x.shape[0]
+    xb = x.reshape(n // pair_block, 2, pair_block // 2)
+    return jnp.mean(xb, axis=1).reshape(-1)
+
+
+def masked_mean_stderr(x: jnp.ndarray, mask: jnp.ndarray = None,
+                       axis_name: str = None, pair_block: int = None):
+    """(mean, stderr, n_effective) of masked samples, optionally pair-reduced.
+
+    ``pair_block`` (the antithetic mirror granularity) triggers the pair-mean
+    correction above; masks must be constant across each pair (true for the
+    whole-block OOS masks). ``axis_name`` makes all reductions psum-exact
+    across a mesh axis.
+    """
+    def allsum(v):
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
+    if mask is None:
+        mask = jnp.ones_like(x)
+    if pair_block is not None:
+        x = pair_mean_reduce(x, pair_block)
+        mask = pair_mean_reduce(mask, pair_block)  # pair-constant: stays 0/1
+    n = jnp.maximum(allsum(mask.sum()), 1.0)
+    mean = allsum((x * mask).sum()) / n
+    var = allsum(((x - mean) ** 2 * mask).sum()) / n
+    return mean, jnp.sqrt(var / n), n

@@ -9,6 +9,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <limits>
 #include <vector>
 
 extern "C" {
@@ -21,6 +22,10 @@ double crr_price(double S0, double K, double T, double r, double sigma,
   const double d = 1.0 / u;
   const double disc = std::exp(-r * dt);
   const double p = (std::exp(r * dt) - d) / (u - d);
+  // Mirror the NumPy fallback's validation: outside (0,1) the tree's
+  // risk-neutral measure is invalid — return NaN so the Python wrapper
+  // raises instead of silently pricing with negative probabilities.
+  if (!(p > 0.0 && p < 1.0)) return std::numeric_limits<double>::quiet_NaN();
   const double q = 1.0 - p;
 
   std::vector<double> value(n_steps + 1);

@@ -19,9 +19,24 @@ from options_model_tpu.ops.pallas_heston import (
     _LANES,
     _PATH_ROWS,
     _TERM_ROWS,
+    _box_muller,
     _round_up,
-    _step_normals,
 )
+
+
+def _gbm_step_normals(rows, antithetic):
+    """One normal per path per step with BOTH Box-Muller outputs consumed
+    (the two-factor helper discarded the sine branch — half the RNG and
+    transcendental work wasted in a compute-bound loop). Antithetic mirror
+    layout is unchanged: rows [0, rows/2) mirrored into [rows/2, rows)."""
+    if antithetic:
+        q = rows // 4
+        z1h, z2h = _box_muller((q, _LANES))
+        zh = jnp.concatenate([z1h, z2h], axis=0)   # rows/2 distinct normals
+        return jnp.concatenate([zh, -zh], axis=0)
+    q = rows // 2
+    z1, z2 = _box_muller((q, _LANES))
+    return jnp.concatenate([z1, z2], axis=0)
 
 
 def _gbm_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
@@ -33,8 +48,7 @@ def _gbm_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
     acc = jnp.zeros((_TERM_ROWS, _LANES), jnp.float32)
 
     def body(t, acc):
-        z1, _ = _step_normals(_TERM_ROWS, antithetic)
-        return acc + z1
+        return acc + _gbm_step_normals(_TERM_ROWS, antithetic)
 
     acc = jax.lax.fori_loop(0, n_steps, body, acc)
     out_ref[:] = S0 * jnp.exp(drift * n_steps + diffusion * acc)
@@ -49,8 +63,7 @@ def _gbm_paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
     out_ref[0] = jnp.full((_PATH_ROWS, _LANES), S0, jnp.float32)
 
     def body(t, logS):
-        z1, _ = _step_normals(_PATH_ROWS, antithetic)
-        logS = logS + drift + diffusion * z1
+        logS = logS + drift + diffusion * _gbm_step_normals(_PATH_ROWS, antithetic)
         out_ref[t + 1] = S0 * jnp.exp(logS)
         return logS
 

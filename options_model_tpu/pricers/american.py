@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from options_model_tpu.core.config import HestonParams, LSMConfig, MCConfig, OptionSpec
 from options_model_tpu.core.payoff import vanilla_payoff
+from options_model_tpu.core.stats import masked_mean_stderr
 from options_model_tpu.ops.lsm_basis import regression_features
 from options_model_tpu.pricers.blackscholes import bs_price
 from options_model_tpu.pricers.regressors import (
@@ -69,7 +70,11 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
         from options_model_tpu.ops.pallas_gbm import gbm_paths_pallas
         from options_model_tpu.ops.pallas_heston import heston_paths_pallas
 
-        seed = seed_from_key(key)
+        # Pallas tiles are numbered from 0 per call; folding first_block into
+        # the seed keeps chunked calls on disjoint streams (they are NOT the
+        # same stream a global-index XLA run would produce — see european.py
+        # chunking notes).
+        seed = seed_from_key(jax.random.fold_in(key, first_block))
         n_paths = paths_rounded(cfg)
         if model == "gbm":
             return gbm_paths_pallas(seed, S0, rate, sigma, T, n_paths,
@@ -96,9 +101,26 @@ def _pair_block(mc: MCConfig, model: str, engine: str) -> int:
     from options_model_tpu.ops.engine import resolve_engine
 
     if model in ("gbm", "heston") and resolve_engine(engine) == "pallas":
+        import math
+
         from options_model_tpu.ops.pallas_heston import _LANES, _PATH_ROWS
-        return max(mc.path_block, _PATH_ROWS * _LANES)
+        # lcm, not max: a block size that merely exceeds the kernel tile can
+        # still cut tiles mid-mirror (e.g. path_block=4608 vs tile 4096).
+        return math.lcm(mc.path_block, _PATH_ROWS * _LANES)
     return mc.path_block
+
+
+def build_centered_basis(S_t, K, itm, poly_degree: int, allsum):
+    """[1, u, ..., u^degree, (x-1)^+] with u = x centered/scaled against the
+    masked (ITM) measure BEFORE taking powers (the conditioning rule both LSM
+    pricers depend on — see lsm_poly_backward's numerics note)."""
+    x = S_t / K
+    wsum = jnp.maximum(allsum(itm.sum()), 1.0)
+    x_mean = allsum((x * itm).sum()) / wsum
+    x_var = allsum(((x - x_mean) ** 2 * itm).sum()) / wsum
+    u = (x - x_mean) * jax.lax.rsqrt(jnp.maximum(x_var, 1e-12))
+    cols = [u**d for d in range(poly_degree + 1)]
+    return jnp.stack(cols + [jnp.maximum(x - 1.0, 0.0)], axis=-1)
 
 
 def _pmean(x, axis_name):
@@ -125,7 +147,9 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
                       axis_name: Optional[str] = None,
                       poly_degree: int = 3,
                       out_of_sample: bool = False,
-                      pair_block: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      pair_block: Optional[int] = None,
+                      stat_pair_block: Optional[int] = None,
+                      return_cash: bool = False):
     """Classic LSM backward induction with per-date masked WLS regression.
 
     S_paths: (n_steps+1, n_paths). Returns (price, stderr). With ``axis_name``
@@ -183,13 +207,7 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
         #    centering first brings it to O(10), safe for f32 normal equations.
         # The tau features only add information for the shared-net regressor,
         # where rows span many dates (lsm_nn_backward).
-        x = S_t / K
-        wsum = allsum(jnp.maximum(itm.sum(), 1.0))
-        x_mean = allsum((x * itm).sum()) / wsum
-        x_var = allsum(((x - x_mean) ** 2 * itm).sum()) / wsum
-        u = (x - x_mean) * jax.lax.rsqrt(jnp.maximum(x_var, 1e-12))
-        cols = [u**d for d in range(poly_degree + 1)]
-        X = jnp.stack(cols + [jnp.maximum(x - 1.0, 0.0)], axis=-1)
+        X = build_centered_basis(S_t, K, itm, poly_degree, allsum)
         continuation = masked_wls_predict_centered(X, cash, itm,
                                                    axis_name=axis_name)
         exercise = (immediate > continuation) & (immediate > 0)
@@ -199,10 +217,10 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
     cash, _ = jax.lax.scan(step, cash, ts)
     cash = cash * disc  # discount the final step t=dt -> 0
 
-    n_tot = allsum(eval_mask.sum())
-    price = allsum((cash * eval_mask).sum()) / n_tot
-    var = allsum(((cash - price) ** 2 * eval_mask).sum()) / n_tot
-    stderr = jnp.sqrt(var / n_tot)
+    price, stderr, _ = masked_mean_stderr(cash, eval_mask, axis_name,
+                                          stat_pair_block)
+    if return_cash:
+        return price, stderr, (cash, eval_mask)
     return price, stderr
 
 
@@ -278,10 +296,12 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                              rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
                              engine=engine)
     if lsm.regressor == "poly":
+        pb = _pair_block(mc, model, engine)
         price, stderr = lsm_poly_backward(S_paths, spec, T, axis_name=axis_name,
                                           poly_degree=lsm.poly_degree,
                                           out_of_sample=lsm.out_of_sample,
-                                          pair_block=_pair_block(mc, model, engine))
+                                          pair_block=pb,
+                                          stat_pair_block=pb if mc.antithetic else None)
     else:
         price, stderr = lsm_nn_backward(fit_key, S_paths, spec, T, lsm)
     if return_paths_stats:
@@ -300,26 +320,29 @@ def price_american_with_control_variate(
     (price_american_with_control_variate, options_model_3/options_model_3.py:653-677;
     requires a constant sigma, i.e. GBM dynamics, for the analytic leg.)
     """
-    price, stderr, S_paths = price_american_lsm(
-        key, S0, T, spec, mc, lsm, model, heston=heston, sigma_fn=sigma_fn,
-        axis_name=axis_name, return_paths_stats=True, engine=engine)
-    if spec.sigma is None:
-        return price, stderr
+    sim_key, fit_key = jax.random.split(key)
+    S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
+                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                             engine=engine)
+    if lsm.regressor != "poly" or spec.sigma is None:
+        # NN regressor / no analytic leg: fall back to the plain price.
+        return price_american_lsm(key, S0, T, spec, mc, lsm, model,
+                                  heston=heston, sigma_fn=sigma_fn,
+                                  axis_name=axis_name, engine=engine)
+    pb = _pair_block(mc, model, engine)
+    price, _, (cash, eval_mask) = lsm_poly_backward(
+        S_paths, spec, T, axis_name=axis_name, poly_degree=lsm.poly_degree,
+        out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True)
     dtype = S_paths.dtype
     discount = jnp.exp(-jnp.asarray(spec.rate, dtype) * jnp.asarray(T, dtype))
-    pay_T = vanilla_payoff(S_paths[-1], spec.strike, spec.cp)
-    if lsm.out_of_sample and lsm.regressor == "poly":
-        # The European leg must average the SAME eval paths as the American
-        # leg: averaging all paths would halve the control-variate correlation
-        # and inject train-half noise uncorrelated with the American estimate.
-        _, eval_mask = oos_masks(S_paths.shape[1],
-                                 _pair_block(mc, model, engine), dtype)
-        eu_raw = jnp.sum(pay_T * eval_mask) / jnp.maximum(eval_mask.sum(), 1.0)
-    else:
-        eu_raw = jnp.mean(pay_T)
-    eu_mc = _pmean(eu_raw, axis_name) * discount
+    pay_T = vanilla_payoff(S_paths[-1], spec.strike, spec.cp) * discount
     eu_bs = bs_price(S0, spec.strike, T, spec.rate, spec.sigma, spec.cp)
-    return price + (eu_bs - eu_mc), stderr
+    # Per-path CV statistic cv_i = cash_i + (BS - pay_i): the reported stderr
+    # then describes the RETURNED estimator (the raw LSM stderr overstates it
+    # by the variance the control variate removes).
+    cv = cash + (eu_bs - pay_T)
+    return masked_mean_stderr(cv, eval_mask, axis_name,
+                              pb if mc.antithetic else None)[:2]
 
 
 def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,

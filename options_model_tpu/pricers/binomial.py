@@ -50,8 +50,11 @@ def crr_price(S0: float, K: float, T: float, r: float, sigma: float,
     European tree (useful to sanity-check convergence to Black-Scholes)."""
     lib = _native_lib() if use_native else None
     if lib is not None:
-        return float(lib.crr_price(S0, K, T, r, sigma, int(1 if cp > 0 else -1),
-                                   int(n_steps), int(1 if american else 0)))
+        out = float(lib.crr_price(S0, K, T, r, sigma, int(1 if cp > 0 else -1),
+                                  int(n_steps), int(1 if american else 0)))
+        if np.isnan(out):
+            raise ValueError("CRR risk-neutral prob outside (0,1); reduce dt")
+        return out
 
     dt = T / n_steps
     u = np.exp(sigma * np.sqrt(dt))

@@ -20,6 +20,7 @@ from options_model_tpu.core.config import HestonParams, MCConfig, OptionSpec
 from options_model_tpu.core.payoff import vanilla_payoff
 from options_model_tpu.core.stats import (
     WelfordState,
+    pair_mean_reduce,
     welford_empty,
     welford_from_batch,
     welford_merge,
@@ -49,40 +50,50 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
         from options_model_tpu.ops.pallas_gbm import gbm_terminal_pallas
         from options_model_tpu.ops.pallas_heston import heston_terminal_pallas
 
+        from options_model_tpu.ops.pallas_heston import _LANES, _TERM_ROWS
+        tile = _TERM_ROWS * _LANES
+
         if model == "gbm":
             if sigma is None:
                 raise ValueError("sigma is required for model='gbm'")
-            return lambda key, fb, c: gbm_terminal_pallas(
+            fn = lambda key, fb, c: gbm_terminal_pallas(
                 seed_from_key(jax.random.fold_in(key, fb)), S0, r, sigma, T,
                 paths_rounded(c), c.n_steps, c.antithetic)
-        if heston is None:
+        elif heston is None:
             raise ValueError("heston params required for model='heston'")
-        if heston_scheme == "qe":
+        elif heston_scheme == "qe":
             from options_model_tpu.ops.pallas_heston import (
                 heston_terminal_qe_pallas)
-            return lambda key, fb, c: heston_terminal_qe_pallas(
+            fn = lambda key, fb, c: heston_terminal_qe_pallas(
                 seed_from_key(jax.random.fold_in(key, fb)), S0, r, T, heston,
                 paths_rounded(c), c.n_steps, c.antithetic)
-        return lambda key, fb, c: heston_terminal_pallas(
-            seed_from_key(jax.random.fold_in(key, fb)), S0, r, T, heston,
-            paths_rounded(c), c.n_steps, c.antithetic)
+        else:
+            fn = lambda key, fb, c: heston_terminal_pallas(
+                seed_from_key(jax.random.fold_in(key, fb)), S0, r, T, heston,
+                paths_rounded(c), c.n_steps, c.antithetic)
+        # antithetic mirror granularity of the kernel output (stats correction)
+        fn.pair_block = lambda c: tile
+        return fn
     if model == "gbm":
         if sigma is None:
             raise ValueError("sigma is required for model='gbm'")
-        return lambda key, fb, c: simulate_gbm(key, S0, r, sigma, T, c,
-                                               return_paths=False, first_block=fb)
-    if model == "heston":
+        fn = lambda key, fb, c: simulate_gbm(key, S0, r, sigma, T, c,
+                                             return_paths=False, first_block=fb)
+    elif model == "heston":
         if heston is None:
             raise ValueError("heston params required for model='heston'")
-        return lambda key, fb, c: simulate_heston(key, S0, r, T, heston, c,
-                                                  return_paths=False, first_block=fb,
-                                                  scheme=heston_scheme)
-    if model == "localvol":
+        fn = lambda key, fb, c: simulate_heston(key, S0, r, T, heston, c,
+                                                return_paths=False, first_block=fb,
+                                                scheme=heston_scheme)
+    elif model == "localvol":
         if sigma_fn is None:
             raise ValueError("sigma_fn required for model='localvol'")
-        return lambda key, fb, c: simulate_local_vol(key, S0, r, T, sigma_fn, c,
-                                                     return_paths=False, first_block=fb)
-    raise ValueError(f"unknown model {model!r}")
+        fn = lambda key, fb, c: simulate_local_vol(key, S0, r, T, sigma_fn, c,
+                                                   return_paths=False, first_block=fb)
+    else:
+        raise ValueError(f"unknown model {model!r}")
+    fn.pair_block = lambda c: c.path_block
+    return fn
 
 
 def price_european_mc(
@@ -96,8 +107,12 @@ def price_european_mc(
     """Price a European option by streaming chunks of terminal samples.
 
     Returns (price, stderr, n_paths) — the contract of the reference's
-    monte_carlo_price_streaming. Chunking only bounds memory; the price is
-    bitwise independent of the chunk size because RNG is keyed by global block id.
+    monte_carlo_price_streaming. Chunking only bounds memory: with the XLA
+    samplers the price is bitwise independent of the chunk size (RNG is keyed
+    by global block id); the Pallas samplers key their streams by the chunk's
+    first block, so different chunk sizes give different — but never
+    overlapping — streams. The stderr accounts for antithetic pairing (pair
+    means are the i.i.d. unit, core/stats.pair_mean_reduce).
     """
     nb_total = num_blocks(cfg)
     blocks_per_chunk = max(1, min(nb_total, max_paths_per_chunk // cfg.path_block))
@@ -108,14 +123,21 @@ def price_european_mc(
 
     discount = jnp.exp(-jnp.asarray(spec.rate, cfg.dtype) * jnp.asarray(T, cfg.dtype))
 
+    pair_block = (getattr(sampler, "pair_block", lambda c: c.path_block)(chunk_cfg)
+                  if cfg.antithetic else None)
+
     def body(c, state: WelfordState) -> WelfordState:
         first = c * blocks_per_chunk
         S_T = sampler(key, first, chunk_cfg)
         payoffs = vanilla_payoff(S_T, spec.strike, spec.cp) * discount
+        if pair_block is not None:
+            payoffs = pair_mean_reduce(payoffs, pair_block)
         return welford_merge(state, welford_from_batch(payoffs))
 
     state = jax.lax.fori_loop(0, n_chunks, body, welford_empty(cfg.dtype))
-    return state.mean, state.stderr, state.count
+    # count reports simulated paths (pairs count double under the reduction)
+    n = state.count * (2.0 if pair_block is not None else 1.0)
+    return state.mean, state.stderr, n
 
 
 def price_european_gbm_exact(key: jax.Array, S0, spec: OptionSpec, T,
@@ -126,5 +148,9 @@ def price_european_gbm_exact(key: jax.Array, S0, spec: OptionSpec, T,
     S_T = gbm_terminal_exact(key, S0, spec.rate, spec.sigma, T, n_paths,
                              antithetic, dtype)
     payoffs = vanilla_payoff(S_T, spec.strike, spec.cp) * jnp.exp(-spec.rate * jnp.asarray(T, dtype))
+    if antithetic:
+        # mirror layout of gbm_terminal_exact: (i, i + n/2)
+        payoffs = pair_mean_reduce(payoffs, n_paths)
     st = welford_from_batch(payoffs)
-    return st.mean, st.stderr, st.count
+    n = st.count * (2.0 if antithetic else 1.0)
+    return st.mean, st.stderr, n

@@ -16,14 +16,15 @@ import jax
 import jax.numpy as jnp
 
 from options_model_tpu.core.config import HestonParams, MCConfig, OptionSpec
-from options_model_tpu.pricers.american import simulate_paths
+from options_model_tpu.pricers.american import _pair_block, simulate_paths
 
 
-def _mc_estimate(payoffs, rate, T):
+def _mc_estimate(payoffs, rate, T, pair_block=None):
+    from options_model_tpu.core.stats import masked_mean_stderr
+
     disc = jnp.exp(-jnp.asarray(rate, payoffs.dtype) * jnp.asarray(T, payoffs.dtype))
-    x = payoffs * disc
-    price = jnp.mean(x)
-    return price, jnp.sqrt(jnp.mean((x - price) ** 2) / x.size)
+    mean, stderr, _ = masked_mean_stderr(payoffs * disc, pair_block=pair_block)
+    return mean, stderr
 
 
 def price_asian_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
@@ -53,7 +54,8 @@ def price_asian_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         payoffs = jnp.maximum(spec.cp * (avg - spec.strike), 0.0)
     else:
         payoffs = jnp.maximum(spec.cp * (S[-1] - avg), 0.0)
-    return _mc_estimate(payoffs, spec.rate, T)
+    pb = _pair_block(mc, model, "auto") if mc.antithetic else None
+    return _mc_estimate(payoffs, spec.rate, T, pb)
 
 
 def price_lookback_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
@@ -79,4 +81,5 @@ def price_lookback_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         payoffs = jnp.where(spec.cp > 0,
                             jnp.maximum(S_max - spec.strike, 0.0),
                             jnp.maximum(spec.strike - S_min, 0.0))
-    return _mc_estimate(payoffs, spec.rate, T)
+    pb = _pair_block(mc, model, "auto") if mc.antithetic else None
+    return _mc_estimate(payoffs, spec.rate, T, pb)

@@ -26,12 +26,14 @@ import jax.numpy as jnp
 from options_model_tpu.core.config import MCConfig, OptionSpec
 from options_model_tpu.core.payoff import vanilla_payoff
 from options_model_tpu.models.gbm import gbm_step_normals, simulate_gbm
+from options_model_tpu.pricers.american import build_centered_basis
 from options_model_tpu.pricers.regressors import masked_wls_predict_centered
 
 
 def price_american_lsm_gbm_replay(key: jax.Array, S0, T, spec: OptionSpec,
                                   mc: MCConfig, *, first_block=0,
-                                  axis_name: Optional[str] = None
+                                  axis_name: Optional[str] = None,
+                                  poly_degree: int = 3
                                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """American LSM under GBM with reverse-replayed paths. Returns (price, stderr)."""
     dtype = mc.dtype
@@ -61,14 +63,7 @@ def price_american_lsm_gbm_replay(key: jax.Array, S0, T, spec: OptionSpec,
         cash = cash * disc
         immediate = vanilla_payoff(S_t, K, spec.cp)
         itm = (immediate > 0).astype(dtype)
-        # Centered-power basis (see pricers/american.lsm_poly_backward).
-        x = S_t / K
-        wsum = allsum(jnp.maximum(itm.sum(), 1.0))
-        x_mean = allsum((x * itm).sum()) / wsum
-        x_var = allsum(((x - x_mean) ** 2 * itm).sum()) / wsum
-        u = (x - x_mean) * jax.lax.rsqrt(jnp.maximum(x_var, 1e-12))
-        X = jnp.stack([jnp.ones_like(u), u, u**2, u**3,
-                       jnp.maximum(x - 1.0, 0.0)], axis=-1)
+        X = build_centered_basis(S_t, K, itm, poly_degree, allsum)
         continuation = masked_wls_predict_centered(X, cash, itm,
                                                    axis_name=axis_name)
         exercise = (immediate > continuation) & (immediate > 0)
