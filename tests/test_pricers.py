@@ -304,3 +304,29 @@ class TestOOSPairIntegrity:
                            num_simulations=1024, sigma=0.2)
         with pytest.raises(ValueError):
             compute_curves(req)
+
+
+class TestRichardson:
+    def test_beats_plain_lsm_vs_crr(self, key):
+        from options_model_tpu.pricers.american import price_american_richardson
+
+        mc = MCConfig(n_paths=2**17, n_steps=50, path_block=4096)
+        lsm = LSMConfig(regressor="poly")
+        oracle = crr_american(S0, K, T, R, SIG, cp=-1.0, n_steps=4096)
+        p_rich, se = price_american_richardson(key, S0, T, PUT_SPEC, mc, lsm)
+        # the 50-date Bermudan gap alone is -0.13%; extrapolation must land
+        # within noise of the continuous price
+        assert abs(float(p_rich) - oracle) / oracle < 0.004
+        assert float(se) < 0.02
+
+    def test_exercise_stride_prices_coarser_bermudan(self, key):
+        from options_model_tpu.pricers.american import (
+            lsm_poly_backward, simulate_paths)
+
+        mc = MCConfig(n_paths=2**16, n_steps=50, path_block=4096)
+        S_paths = simulate_paths(key, S0, T, mc, "gbm", sigma=SIG, rate=R,
+                                 engine="xla")
+        p_fine, _ = lsm_poly_backward(S_paths, PUT_SPEC, T)
+        p_coarse, _ = lsm_poly_backward(S_paths, PUT_SPEC, T, exercise_stride=2)
+        # fewer exercise rights -> cheaper option (same paths: near-exact order)
+        assert float(p_coarse) <= float(p_fine) + 1e-4
