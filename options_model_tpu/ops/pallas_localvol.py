@@ -1,0 +1,91 @@
+"""Fused local-volatility path-simulation Pallas kernel (Chebyshev surface).
+
+Same architecture as ops/pallas_gbm.py, with the per-step volatility evaluated
+from the compiled Chebyshev slices (surface/cheb.py) of the IV surface:
+
+    u     = clip((log K - log S) / m_half - m_center', -1, 1)
+    sigma = Clenshaw(coeffs[t], u)
+
+The kernel carries log S, so the moneyness needs NO transcendental — the whole
+sigma lookup is ~2*degree FMAs on the VPU. This replaces the XLA scan's
+per-step surface-MLP matmuls (~0.6 G path-steps/s) with near-GBM-kernel
+throughput. Coefficients live in VMEM ((n_steps, 8) floats).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from options_model_tpu.ops.pallas_gbm import _gbm_step_normals
+from options_model_tpu.ops.pallas_heston import _LANES, _TERM_ROWS, _round_up
+from options_model_tpu.surface.cheb import LocalVolTable
+
+
+def _localvol_terminal_kernel(seed_ref, par_ref, coef_ref, out_ref, *,
+                              n_steps, degree, antithetic):
+    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    S0 = par_ref[0, 0]
+    r = par_ref[0, 1]
+    dt = par_ref[0, 2]
+    logK = par_ref[0, 3]
+    m_center = par_ref[0, 4]
+    inv_m_half = par_ref[0, 5]
+    sqrt_dt = jnp.sqrt(dt)
+    rows = _TERM_ROWS
+
+    logS = jnp.full((rows, _LANES), jnp.log(S0), jnp.float32)
+
+    def body(t, logS):
+        z = _gbm_step_normals(rows, antithetic)
+        u = jnp.clip(((logK - logS) - m_center) * inv_m_half, -1.0, 1.0)
+        # Clenshaw over the degree+1 coefficients of step t
+        b1 = jnp.zeros((rows, _LANES), jnp.float32)
+        b2 = jnp.zeros((rows, _LANES), jnp.float32)
+        for k in range(degree, 0, -1):
+            b1, b2 = coef_ref[t, k] + 2.0 * u * b1 - b2, b1
+        sig = jnp.maximum(coef_ref[t, 0] + u * b1 - b2, 1e-6)
+        return logS + (r - 0.5 * sig * sig) * dt + sig * sqrt_dt * z
+
+    logS = jax.lax.fori_loop(0, n_steps, body, logS)
+    out_ref[:] = jnp.exp(logS)
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
+                                             "interpret"))
+def localvol_terminal_pallas(seed, S0, r, T, table: LocalVolTable,
+                             n_paths: int, n_steps: int,
+                             antithetic: bool = True, interpret: bool = False):
+    """Terminal prices S_T (n_paths_rounded,) under the compiled local-vol
+    surface. ``table.coeffs`` must have n_steps rows."""
+    tile = _TERM_ROWS * _LANES
+    n_pad = _round_up(n_paths, tile)
+    grid = n_pad // tile
+    degree = table.coeffs.shape[1] - 1
+
+    dt = jnp.float32(T) / n_steps
+    par = jnp.array([[S0, r, dt, jnp.log(jnp.float32(table.K)),
+                      table.m_center, 1.0 / table.m_half, 0.0, 0.0]],
+                    jnp.float32)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    kernel = functools.partial(_localvol_terminal_kernel, n_steps=n_steps,
+                               degree=degree, antithetic=antithetic)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_TERM_ROWS, _LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * _TERM_ROWS, _LANES), jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, par, table.coeffs)
+    return out.reshape(-1)

@@ -37,14 +37,31 @@ TerminalSampler = Callable[[jax.Array, jnp.ndarray, MCConfig], jnp.ndarray]
 def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
                           heston: Optional[HestonParams] = None,
                           sigma_fn=None, engine: str = "auto",
-                          heston_scheme: str = "euler") -> TerminalSampler:
+                          heston_scheme: str = "euler",
+                          localvol_table=None) -> TerminalSampler:
     """Terminal-price sampler for one of the three dynamics families.
 
     engine='auto' uses the fused Pallas terminal kernels on TPU backends for
-    gbm/heston (zero path-matrix traffic); localvol always runs the XLA scan.
+    gbm/heston; localvol runs the XLA scan (exact surface MLP) unless a
+    compiled Chebyshev ``localvol_table`` (surface/cheb.compile_localvol_table)
+    is supplied, which unlocks the fused local-vol kernel (~100x faster,
+    ~1e-4 vol approximation error on smooth surfaces).
     """
     from options_model_tpu.ops.engine import resolve_engine, seed_from_key
     eng = resolve_engine(engine) if model in ("gbm", "heston") else "xla"
+    if model == "localvol" and localvol_table is not None:
+        eng = resolve_engine(engine)
+        if eng == "pallas":
+            from options_model_tpu.models.blocks import paths_rounded
+            from options_model_tpu.ops.pallas_localvol import (
+                localvol_terminal_pallas)
+
+            fn = lambda key, fb, c: localvol_terminal_pallas(
+                seed_from_key(jax.random.fold_in(key, fb)), S0, r, T,
+                localvol_table, paths_rounded(c), c.n_steps, c.antithetic)
+            from options_model_tpu.ops.pallas_heston import _LANES, _TERM_ROWS
+            fn.pair_block = lambda c, _t=_TERM_ROWS * _LANES: _t
+            return fn
     if eng == "pallas":
         from options_model_tpu.models.blocks import paths_rounded
         from options_model_tpu.ops.pallas_gbm import gbm_terminal_pallas

@@ -1,0 +1,86 @@
+"""Chebyshev surface compilation + fused local-vol kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from options_model_tpu.surface.cheb import (
+    LocalVolTable,
+    compile_localvol_table,
+    eval_table,
+)
+
+on_tpu = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="hardware PRNG only on TPU; interpreter emits zero bits",
+)
+
+
+def _analytic_sigma_fn(S, tau):
+    # the synthetic smile formula as a direct function (no NN needed)
+    m = jnp.log(jnp.asarray(S) / 100.0)
+    iv = 0.2 + 0.1 * jnp.abs(m) + 0.05 * m**2 + 0.02 * jnp.sqrt(tau)
+    return jnp.clip(iv, 0.05, 1.0)
+
+
+class TestChebCompilation:
+    def test_fit_accuracy(self):
+        table = compile_localvol_table(_analytic_sigma_fn, 100.0, 0.5, 20, 100.0)
+        S = jnp.linspace(80.0, 125.0, 128)
+        for t in [0, 10, 19]:
+            tau = max(0.5 - t * 0.025, 1e-6)
+            a = np.asarray(_analytic_sigma_fn(S, tau))
+            b = np.asarray(eval_table(table, S, t))
+            # the analytic oracle has a |m| kink at ATM that a degree-7
+            # polynomial can't match exactly (smooth NN surfaces fit to
+            # ~1e-4 vol); ~1e-2 there is expected
+            assert np.abs(a - b).max() < 1.2e-2
+
+    def test_table_shapes(self):
+        table = compile_localvol_table(_analytic_sigma_fn, 100.0, 0.5, 16,
+                                       100.0, degree=5)
+        assert table.coeffs.shape == (16, 6)
+        assert table.degree == 5
+        assert table.m_half > 0
+
+    def test_clamps_outside_range(self):
+        table = compile_localvol_table(_analytic_sigma_fn, 100.0, 0.5, 4, 100.0)
+        v_in = float(eval_table(table, jnp.array([100.0]), 0)[0])
+        v_far = float(eval_table(table, jnp.array([1e6]), 0)[0])
+        assert np.isfinite(v_far) and v_far > 0
+        assert 0.1 < v_in < 0.5
+
+
+class TestLocalVolKernel:
+    def test_interpret_structure(self):
+        from options_model_tpu.ops.pallas_localvol import localvol_terminal_pallas
+
+        table = compile_localvol_table(_analytic_sigma_fn, 100.0, 0.5, 8, 100.0)
+        S = np.asarray(localvol_terminal_pallas(1, 100.0, 0.05, 0.5, table,
+                                                16384, 8, interpret=True))
+        assert S.shape[0] >= 16384
+        assert np.isfinite(S).all() and (S > 0).all()
+        # zero-noise interpreter: pure drift with sigma(m) path
+        assert S.std() < 1e-3
+
+    @on_tpu
+    def test_onchip_matches_xla_localvol(self, key):
+        from options_model_tpu.core.config import MCConfig
+        from options_model_tpu.models.localvol import simulate_local_vol
+        from options_model_tpu.ops.pallas_localvol import localvol_terminal_pallas
+
+        n_steps = 25
+        table = compile_localvol_table(_analytic_sigma_fn, 100.0, 0.5, n_steps,
+                                       100.0)
+        S_k = np.asarray(localvol_terminal_pallas(3, 100.0, 0.05, 0.5, table,
+                                                  1 << 18, n_steps))
+        cfg = MCConfig(n_paths=1 << 17, n_steps=n_steps, path_block=4096)
+        S_x = np.asarray(simulate_local_vol(key, 100.0, 0.05, 0.5,
+                                            _analytic_sigma_fn, cfg,
+                                            return_paths=False))
+        pk = np.maximum(100.0 - S_k, 0).mean()
+        px = np.maximum(100.0 - S_x, 0).mean()
+        se = (np.maximum(100.0 - S_k, 0).std() / np.sqrt(S_k.size)
+              + np.maximum(100.0 - S_x, 0).std() / np.sqrt(S_x.size))
+        assert abs(pk - px) < max(5 * se, 0.05)
