@@ -195,14 +195,12 @@ def heston_paths_pallas(seed, S0, r, T, params: HestonParams,
 
 # --- Andersen QE-M variant -----------------------------------------------
 
-def _qe_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
-    """Fused QE-M Heston terminal kernel (scheme of models/heston._simulate_
-    heston_qe). Per step: one Box-Muller pair (z_v, z_s) + one raw uniform for
-    the exponential-mixture branch — the hardware PRNG supplies the uniform
+def _qe_body(par_ref, rows, n_steps, antithetic, emit):
+    """Shared QE-M step loop (scheme of models/heston._simulate_heston_qe).
+    Per step: one Box-Muller pair (z_v, z_s) + one raw uniform for the
+    exponential-mixture branch — the hardware PRNG supplies the uniform
     directly, no ndtr needed. Constants are precomputed host-side and read
-    from SMEM."""
-    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
-    S0 = par_ref[0, 0]
+    from SMEM. ``emit(t, logS, v)`` stores per-step output (or None)."""
     r = par_ref[0, 1]
     dt = par_ref[0, 2]
     theta = par_ref[0, 4]
@@ -215,7 +213,6 @@ def _qe_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
     K3 = par_ref[0, 14]
     K4 = par_ref[0, 15]
     A = K2 + 0.5 * K4
-    rows = _TERM_ROWS
     half = rows // 2
 
     logS = jnp.zeros((rows, _LANES), jnp.float32)
@@ -265,10 +262,29 @@ def _qe_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
 
         logS_new = (logS + r * dt + K0_star + K1 * v + K2 * v_new
                     + jnp.sqrt(jnp.maximum(K3 * v + K4 * v_new, 0.0)) * z_s)
+        if emit is not None:
+            emit(t, logS_new, v_new)
         return logS_new, v_new
 
-    logS, v = jax.lax.fori_loop(0, n_steps, body, (logS, v))
+    return jax.lax.fori_loop(0, n_steps, body, (logS, v))
+
+
+def _qe_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
+    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    S0 = par_ref[0, 0]
+    logS, _ = _qe_body(par_ref, _TERM_ROWS, n_steps, antithetic, emit=None)
     out_ref[:] = jnp.exp(jnp.log(S0) + logS)
+
+
+def _qe_paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
+    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    S0 = par_ref[0, 0]
+
+    def emit(t, logS, v):
+        out_ref[t + 1] = jnp.exp(jnp.log(S0) + logS)
+
+    out_ref[0] = jnp.full((_PATH_ROWS, _LANES), S0, jnp.float32)
+    _qe_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
 
 
 def _qe_params_array(S0, r, T, params: HestonParams, n_steps) -> jnp.ndarray:
@@ -316,3 +332,35 @@ def heston_terminal_qe_pallas(seed, S0, r, T, params: HestonParams,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, par)
     return out.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
+                                             "interpret"))
+def heston_paths_qe_pallas(seed, S0, r, T, params: HestonParams,
+                           n_paths: int, n_steps: int, antithetic: bool = True,
+                           interpret: bool = False):
+    """Full path matrix (n_steps+1, n_paths_rounded) under the fused QE-M
+    kernel — the LSM/surface feed at QE accuracy (16 QE dates match 50+ Euler
+    dates, so the backward pass shrinks accordingly)."""
+    tile = _PATH_ROWS * _LANES
+    n_pad = _round_up(n_paths, tile)
+    grid = n_pad // tile
+    par = _qe_params_array(S0, r, T, params, n_steps)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    kernel = functools.partial(_qe_paths_kernel, n_steps=n_steps,
+                               antithetic=antithetic)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
+                               lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
+                                       jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, par)
+    return out.reshape(n_steps + 1, -1)

@@ -63,12 +63,11 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
     from options_model_tpu.ops.engine import resolve_engine, seed_from_key
 
     eng = resolve_engine(engine) if model in ("gbm", "heston") else "xla"
-    if model == "heston" and heston_scheme != "euler":
-        eng = "xla"  # the fused kernel implements the Euler scheme only
     if eng == "pallas":
         from options_model_tpu.models.blocks import paths_rounded
         from options_model_tpu.ops.pallas_gbm import gbm_paths_pallas
-        from options_model_tpu.ops.pallas_heston import heston_paths_pallas
+        from options_model_tpu.ops.pallas_heston import (
+            heston_paths_pallas, heston_paths_qe_pallas)
 
         # Pallas tiles are numbered from 0 per call; folding first_block into
         # the seed keeps chunked calls on disjoint streams (they are NOT the
@@ -79,6 +78,9 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
         if model == "gbm":
             return gbm_paths_pallas(seed, S0, rate, sigma, T, n_paths,
                                     cfg.n_steps, cfg.antithetic)
+        if heston_scheme == "qe":
+            return heston_paths_qe_pallas(seed, S0, rate, T, heston, n_paths,
+                                          cfg.n_steps, cfg.antithetic)
         return heston_paths_pallas(seed, S0, rate, T, heston, n_paths,
                                    cfg.n_steps, cfg.antithetic)
     if model == "gbm":

@@ -105,7 +105,8 @@ def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,
                            mc: MCConfig, *, cp: float = -1.0,
                            model: str = "heston", sigma=None,
                            heston: Optional[HestonParams] = None,
-                           engine: str = "auto") -> jnp.ndarray:
+                           engine: str = "auto",
+                           heston_scheme: str = "euler") -> jnp.ndarray:
     """Price an American option surface. Returns (n_maturities, n_strikes).
 
     strikes: (n_K,), maturities: (n_T,) in years. Each maturity gets an
@@ -118,7 +119,8 @@ def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,
         ti, T = args
         mkey = jax.random.fold_in(key, ti)
         S_paths = simulate_paths(mkey, S0, T, mc, model, sigma=sigma,
-                                 rate=rate, heston=heston, engine=engine)
+                                 rate=rate, heston=heston, engine=engine,
+                                 heston_scheme=heston_scheme)
         return lsm_surface_backward(S_paths, strikes, rate, T, cp)
 
     ti = jnp.arange(maturities.shape[0])

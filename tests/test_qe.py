@@ -126,3 +126,25 @@ class TestQEKernel:
         from options_model_tpu.core.config import MCConfig
         S_T = sampler(key, 0, MCConfig(n_paths=2048, n_steps=4, path_block=1024))
         assert np.isfinite(np.asarray(S_T)).all()
+
+
+class TestQEPathsKernel:
+    def test_interpret_structure(self):
+        from options_model_tpu.ops.pallas_heston import heston_paths_qe_pallas
+        S = np.asarray(heston_paths_qe_pallas(1, 100.0, 0.05, 1.0, HP,
+                                              4096, 8, interpret=True))
+        assert S.shape == (9, 4096)
+        np.testing.assert_allclose(S[0], 100.0)
+        assert np.isfinite(S).all() and (S > 0).all()
+
+    @pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                        reason="hardware PRNG only on TPU")
+    def test_onchip_terminal_matches_cos(self):
+        from options_model_tpu.calibration import heston_cos_price
+        from options_model_tpu.ops.pallas_heston import heston_paths_qe_pallas
+        S = np.asarray(heston_paths_qe_pallas(1, 100.0, 0.05, 1.0, HP,
+                                              1 << 18, 16))[-1]
+        pay = np.maximum(S - 100.0, 0.0) * np.exp(-0.05)
+        cos = float(heston_cos_price(100.0, 100.0, 1.0, 0.05, HP, 1.0))
+        se = pay.std() / np.sqrt(pay.size)
+        assert abs(pay.mean() - cos) < max(4 * se, 0.05)
