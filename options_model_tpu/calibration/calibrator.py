@@ -150,15 +150,31 @@ class HestonCalibrator:
                                       use_vega_weighting=cfg.use_vega_weighting,
                                       min_weight=cfg.min_vega_weight)))
 
+        # The objective is a tiny host-latency-bound workload (dozens of
+        # points x a few hundred COS terms), and its complex-valued gradient
+        # chain degrades enough on the TPU backend that L-BFGS-B's line search
+        # stalls at the initial guess (observed: err 7e-3 on-chip vs 5e-4 on
+        # CPU). Pin evaluation to the CPU backend; scipy drives it host-side
+        # anyway.
+        try:
+            cpu_dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu_dev = None
+
+        def _eval(x: np.ndarray):
+            xj = jnp.asarray(x, jnp.float32)
+            if cpu_dev is not None:
+                with jax.default_device(cpu_dev):
+                    return val_and_grad(jax.device_put(xj, cpu_dev))
+            return val_and_grad(xj)
+
         def f(x: np.ndarray) -> float:
-            x = np.clip(x, lo, hi)
-            v, _ = val_and_grad(jnp.asarray(x, jnp.float32))
+            v, _ = _eval(np.clip(x, lo, hi))
             v = float(v)
             return v if np.isfinite(v) else 1e6
 
         def f_and_g(x: np.ndarray):
-            x = np.clip(x, lo, hi)
-            v, g = val_and_grad(jnp.asarray(x, jnp.float32))
+            v, g = _eval(np.clip(x, lo, hi))
             v, g = float(v), np.asarray(g, np.float64)
             if not (np.isfinite(v) and np.all(np.isfinite(g))):
                 return 1e6, np.zeros_like(g)

@@ -12,6 +12,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from contextlib import nullcontext as _nullcontext
+
 from options_model_tpu.core.config import HestonParams
 from options_model_tpu.calibration.charfn import heston_cos_price
 from options_model_tpu.pricers.blackscholes import implied_vol
@@ -27,17 +29,29 @@ def create_synthetic_heston_surface(
     seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (strikes, expiries, ivs) flattened over the grid."""
+    import jax
+
     if strikes is None:
         strikes = np.linspace(80.0, 120.0, 15)
     expiries = np.asarray(expiries_days, np.float64) / 365.0
     K, T = np.meshgrid(strikes, expiries)
     K, T = K.reshape(-1), T.reshape(-1)
 
-    prices = heston_cos_price(S0, jnp.asarray(K, jnp.float32),
-                              jnp.asarray(T, jnp.float32), rate, params, cp=1.0)
-    ivs = np.asarray(implied_vol(prices, S0, jnp.asarray(K, jnp.float32),
-                                 jnp.asarray(T, jnp.float32), rate, cp=1.0),
-                     np.float64)
+    # Pin the oracle to the CPU backend: the accelerator's f32/complex64 COS
+    # chain adds ~1e-4 IV noise, enough to shift the weakly-identified kappa
+    # in round-trip calibration tests.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        prices = heston_cos_price(S0, jnp.asarray(K, jnp.float32),
+                                  jnp.asarray(T, jnp.float32), rate, params,
+                                  cp=1.0)
+        ivs = np.asarray(implied_vol(prices, S0, jnp.asarray(K, jnp.float32),
+                                     jnp.asarray(T, jnp.float32), rate, cp=1.0),
+                         np.float64)
 
     if noise_std > 0:
         rng = np.random.default_rng(seed)
