@@ -162,11 +162,11 @@ class HestonCalibrator:
             cpu_dev = None
 
         def _eval(x: np.ndarray):
-            xj = jnp.asarray(x, jnp.float32)
+            x32 = np.asarray(x, np.float32)  # host array: no accelerator hop
             if cpu_dev is not None:
                 with jax.default_device(cpu_dev):
-                    return val_and_grad(jax.device_put(xj, cpu_dev))
-            return val_and_grad(xj)
+                    return val_and_grad(jax.device_put(x32, cpu_dev))
+            return val_and_grad(jnp.asarray(x32))
 
         def f(x: np.ndarray) -> float:
             v, _ = _eval(np.clip(x, lo, hi))

@@ -9,7 +9,7 @@ from the compiled Chebyshev slices (surface/cheb.py) of the IV surface:
 The kernel carries log S, so the moneyness needs NO transcendental — the whole
 sigma lookup is ~2*degree FMAs on the VPU. This replaces the XLA scan's
 per-step surface-MLP matmuls (~0.6 G path-steps/s) with near-GBM-kernel
-throughput. Coefficients live in VMEM ((n_steps, 8) floats).
+throughput. Coefficients live in SMEM ((n_steps, 8) floats).
 """
 
 from __future__ import annotations
@@ -61,7 +61,12 @@ def localvol_terminal_pallas(seed, S0, r, T, table: LocalVolTable,
                              n_paths: int, n_steps: int,
                              antithetic: bool = True, interpret: bool = False):
     """Terminal prices S_T (n_paths_rounded,) under the compiled local-vol
-    surface. ``table.coeffs`` must have n_steps rows."""
+    surface. ``table.coeffs`` must have at least n_steps rows."""
+    if table.coeffs.shape[0] < n_steps:
+        raise ValueError(
+            f"localvol table has {table.coeffs.shape[0]} step slices but "
+            f"n_steps={n_steps}; recompile with compile_localvol_table(..., "
+            f"n_steps={n_steps})")
     tile = _TERM_ROWS * _LANES
     n_pad = _round_up(n_paths, tile)
     grid = n_pad // tile

@@ -62,6 +62,9 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
     """
     from options_model_tpu.ops.engine import resolve_engine, seed_from_key
 
+    if model == "heston" and heston_scheme not in ("euler", "qe"):
+        raise ValueError(f"heston_scheme must be 'euler' or 'qe', got "
+                         f"{heston_scheme!r}")
     eng = resolve_engine(engine) if model in ("gbm", "heston") else "xla"
     if eng == "pallas":
         from options_model_tpu.models.blocks import paths_rounded
@@ -93,6 +96,17 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
         return simulate_local_vol(key, S0, rate, T, sigma_fn, cfg, return_paths=True,
                                   first_block=first_block)
     raise ValueError(f"unknown model {model!r}")
+
+
+def _cv_adjustment(S_paths, spec: OptionSpec, T):
+    """Per-path beta=1 control-variate adjustment (BS closed form minus the
+    discounted terminal payoff of the SAME path) — shared by the CV pricer and
+    the Richardson extrapolator."""
+    dtype = S_paths.dtype
+    discount = jnp.exp(-jnp.asarray(spec.rate, dtype) * jnp.asarray(T, dtype))
+    pay_T = vanilla_payoff(S_paths[-1], spec.strike, spec.cp) * discount
+    return bs_price(S_paths[0][0], spec.strike, T, spec.rate, spec.sigma,
+                    spec.cp) - pay_T
 
 
 def _pair_block(mc: MCConfig, model: str, engine: str) -> int:
@@ -197,28 +211,34 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
     def step(cash, t):
         cash = cash * disc  # roll value back one step to date t
         S_t = S_paths[t]
-        immediate = vanilla_payoff(S_t, K, spec.cp)
-        itm = (immediate > 0).astype(dtype) * train_mask
-        # Per-date basis [1, u, u^2, u^3, (x-1)^+] with u = x centered/scaled
-        # against the masked (ITM) distribution BEFORE taking powers. Two
-        # numerical traps this avoids (both observed as multi-percent price
-        # errors on TPU):
-        #  - within one date tau is constant, so the shared 7-feature basis's
-        #    sqrt(tau) columns are exactly collinear with [1, x] (singular Gram);
-        #  - powers of raw x on a narrow ITM range are near-affine in x, and
-        #    column-standardizing AFTER the power leaves cond(Gram) ~ 1e7+;
-        #    centering first brings it to O(10), safe for f32 normal equations.
-        # The tau features only add information for the shared-net regressor,
-        # where rows span many dates (lsm_nn_backward).
-        X = build_centered_basis(S_t, K, itm, poly_degree, allsum)
-        continuation = masked_wls_predict_centered(X, cash, itm,
-                                                   axis_name=axis_name)
-        exercise = (immediate > continuation) & (immediate > 0)
+
+        def regress_and_exercise(cash):
+            immediate = vanilla_payoff(S_t, K, spec.cp)
+            itm = (immediate > 0).astype(dtype) * train_mask
+            # Per-date basis [1, u, ..., u^deg, (x-1)^+] with u centered/scaled
+            # against the masked (ITM) distribution BEFORE taking powers. Two
+            # numerical traps this avoids (both observed as multi-percent price
+            # errors on TPU):
+            #  - within one date tau is constant, so sqrt(tau) columns are
+            #    exactly collinear with [1, x] (singular Gram);
+            #  - powers of raw x on a narrow ITM range are near-affine in x:
+            #    column-standardizing AFTER the power leaves cond ~ 1e7+;
+            #    centering first brings it to O(10), safe for f32 normals.
+            X = build_centered_basis(S_t, K, itm, poly_degree, allsum)
+            continuation = masked_wls_predict_centered(X, cash, itm,
+                                                       axis_name=axis_name)
+            exercise = (immediate > continuation) & (immediate > 0)
+            return jnp.where(exercise, immediate, cash)
+
         if exercise_stride > 1:
             # Bermudan sub-grid on the SAME paths (Richardson extrapolation):
-            # decisions only every stride-th date.
-            exercise = exercise & (t % exercise_stride == 0)
-        cash = jnp.where(exercise, immediate, cash)
+            # regression AND decision only every stride-th date — lax.cond
+            # skips the (dominant) regression cost on the off-grid dates
+            # instead of computing and discarding it.
+            cash = jax.lax.cond(t % exercise_stride == 0,
+                                regress_and_exercise, lambda c: c, cash)
+        else:
+            cash = regress_and_exercise(cash)
         return cash, None
 
     cash, _ = jax.lax.scan(step, cash, ts)
@@ -340,14 +360,10 @@ def price_american_with_control_variate(
     price, _, (cash, eval_mask) = lsm_poly_backward(
         S_paths, spec, T, axis_name=axis_name, poly_degree=lsm.poly_degree,
         out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True)
-    dtype = S_paths.dtype
-    discount = jnp.exp(-jnp.asarray(spec.rate, dtype) * jnp.asarray(T, dtype))
-    pay_T = vanilla_payoff(S_paths[-1], spec.strike, spec.cp) * discount
-    eu_bs = bs_price(S0, spec.strike, T, spec.rate, spec.sigma, spec.cp)
     # Per-path CV statistic cv_i = cash_i + (BS - pay_i): the reported stderr
     # then describes the RETURNED estimator (the raw LSM stderr overstates it
     # by the variance the control variate removes).
-    cv = cash + (eu_bs - pay_T)
+    cv = cash + _cv_adjustment(S_paths, spec, T)
     return masked_mean_stderr(cv, eval_mask, axis_name,
                               pb if mc.antithetic else None)[:2]
 
@@ -390,8 +406,12 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
     streams variant's variance swamped the bias it removes). With the same-
     path control variate on both levels, measured accuracy vs the 4096-step
     CRR oracle: |rel| ~ 0.03% at 2^19 paths. Returns (price, stderr of the
-    extrapolated per-path statistic).
+    extrapolated per-path statistic). Only the poly regressor supports the
+    common-path two-level backward.
     """
+    if lsm.regressor != "poly":
+        raise ValueError("price_american_richardson requires the poly "
+                         "regressor (the nn scheme has no stride variant)")
     sim_key, _ = jax.random.split(key)
     pb = _pair_block(mc, model, engine)
     S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
@@ -405,11 +425,7 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
                                           exercise_stride=2, **kwargs)
     stat = 2.0 * cash_f - cash_c
     if spec.sigma is not None and model == "gbm" and lsm.use_control_variate:
-        dtype = S_paths.dtype
-        discount = jnp.exp(-jnp.asarray(spec.rate, dtype) * jnp.asarray(T, dtype))
-        pay_T = vanilla_payoff(S_paths[-1], spec.strike, spec.cp) * discount
-        stat = stat + (bs_price(S0, spec.strike, T, spec.rate, spec.sigma,
-                                spec.cp) - pay_T)
+        stat = stat + _cv_adjustment(S_paths, spec, T)
     price, stderr, _ = masked_mean_stderr(stat, mask, None,
                                           pb if mc.antithetic else None)
     return price, stderr

@@ -62,6 +62,11 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
             from options_model_tpu.ops.pallas_heston import _LANES, _TERM_ROWS
             fn.pair_block = lambda c, _t=_TERM_ROWS * _LANES: _t
             return fn
+        if sigma_fn is None:
+            # XLA fallback evaluates the same table — a table-built sampler
+            # behaves consistently on every backend.
+            from options_model_tpu.surface.cheb import table_sigma_fn
+            sigma_fn = table_sigma_fn(localvol_table, T)
     if eng == "pallas":
         from options_model_tpu.models.blocks import paths_rounded
         from options_model_tpu.ops.pallas_gbm import gbm_terminal_pallas

@@ -69,8 +69,9 @@ def compile_localvol_table(sigma_fn: Callable, K: float, T: float,
                          m_half=m_half, K=float(K))
 
 
-def eval_table(table: LocalVolTable, S, t: int):
-    """Reference (XLA) evaluation of a slice — for kernel parity tests."""
+def eval_table(table: LocalVolTable, S, t):
+    """Reference (XLA) evaluation of a slice (t may be traced) — used for
+    kernel parity tests and as the XLA fallback sigma_fn (table_sigma_fn)."""
     u = jnp.clip((jnp.log(table.K / S) - table.m_center) / table.m_half, -1.0, 1.0)
     c = table.coeffs[t]
     # Clenshaw recurrence
@@ -79,3 +80,21 @@ def eval_table(table: LocalVolTable, S, t: int):
     for k in range(table.coeffs.shape[1] - 1, 0, -1):
         b1, b2 = c[k] + 2.0 * u * b1 - b2, b1
     return jnp.maximum(c[0] + u * b1 - b2, 1e-6)
+
+
+def table_sigma_fn(table: LocalVolTable, T: float):
+    """sigma(S, tau) adapter over the compiled table for the XLA local-vol
+    simulator — makes a table-built sampler work identically on every backend
+    (the fused kernel is TPU-only). tau maps back to the step index the table
+    was compiled on: tau_t = T - t*dt  =>  t = round((T - tau) * n_steps / T).
+    """
+    import jax.numpy as jnp
+
+    n_steps = table.coeffs.shape[0]
+
+    def fn(S, tau):
+        t = jnp.clip(jnp.round((T - tau) * n_steps / T).astype(jnp.int32),
+                     0, n_steps - 1)
+        return eval_table(table, S, t)
+
+    return fn

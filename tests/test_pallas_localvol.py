@@ -84,3 +84,46 @@ class TestLocalVolKernel:
         se = (np.maximum(100.0 - S_k, 0).std() / np.sqrt(S_k.size)
               + np.maximum(100.0 - S_x, 0).std() / np.sqrt(S_x.size))
         assert abs(pk - px) < max(5 * se, 0.05)
+
+
+class TestTableSamplerBackendConsistency:
+    def test_xla_fallback_with_table_only(self, key):
+        from options_model_tpu.core.config import CALL, MCConfig, OptionSpec
+        from options_model_tpu.pricers.european import (
+            make_terminal_sampler, price_european_mc)
+
+        table = compile_localvol_table(_analytic_sigma_fn, 100.0, 0.5, 16, 100.0)
+        sampler = make_terminal_sampler("localvol", 100.0, 0.05, 0.5,
+                                        localvol_table=table, engine="xla")
+        spec = OptionSpec(strike=100.0, rate=0.05, cp=CALL, sigma=None)
+        cfg = MCConfig(n_paths=2**15, n_steps=16, path_block=4096)
+        p, se, _ = price_european_mc(key, sampler, spec, 0.5, cfg)
+        assert np.isfinite(float(p)) and 2.0 < float(p) < 12.0
+
+    def test_table_size_validation(self):
+        from options_model_tpu.ops.pallas_localvol import localvol_terminal_pallas
+
+        table = compile_localvol_table(_analytic_sigma_fn, 100.0, 0.5, 8, 100.0)
+        with pytest.raises(ValueError):
+            localvol_terminal_pallas(1, 100.0, 0.05, 0.5, table, 4096, 50,
+                                     interpret=True)
+
+    def test_bad_heston_scheme_rejected_everywhere(self, key):
+        from options_model_tpu.core.config import HestonParams, MCConfig
+        from options_model_tpu.pricers.american import simulate_paths
+
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+        with pytest.raises(ValueError):
+            simulate_paths(key, 100.0, 0.5, MCConfig(n_paths=1024), "heston",
+                           rate=0.05, heston=hp, heston_scheme="milstein")
+
+    def test_richardson_rejects_nn(self, key):
+        from options_model_tpu.core.config import (
+            PUT, LSMConfig, MCConfig, OptionSpec)
+        from options_model_tpu.pricers.american import price_american_richardson
+
+        with pytest.raises(ValueError):
+            price_american_richardson(
+                key, 100.0, 0.5, OptionSpec(strike=100.0, rate=0.05, cp=PUT,
+                                            sigma=0.2),
+                MCConfig(n_paths=4096), LSMConfig(regressor="nn"))
