@@ -66,6 +66,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Override Greeks instead of computing them")
     p.add_argument("--european-approximation", action="store_true")
     p.add_argument("--no-control-variate", action="store_true")
+    p.add_argument("--heston-scheme", type=str, default="euler",
+                   choices=["euler", "qe"],
+                   help="Heston discretization (qe = Andersen QE-M)")
+    p.add_argument("--lsm-out-of-sample", action="store_true",
+                   help="Low-biased LSM: fit regressions on half the paths, "
+                        "price on the other half")
     # NN hyper-parameters (:476-478)
     p.add_argument("--nn-hidden", type=int, default=64)
     p.add_argument("--nn-epochs", type=int, default=100)
@@ -211,6 +217,8 @@ def run(args) -> Dict[str, "object"]:
                   num_simulations=args.num_simulations,
                   use_control_variate=not args.no_control_variate,
                   european_approximation=args.european_approximation,
+                  heston_scheme=args.heston_scheme,
+                  lsm_out_of_sample=args.lsm_out_of_sample,
                   engine=args.engine, seed=args.seed)
 
     run_bs = args.model in ("bs", "both")

@@ -56,6 +56,8 @@ class CurveRequest:
     #             pair with timegrid.compute_trading_hours_remaining to set
     #             total_points from an expiry)
     grid_mode: str = "calendar"
+    heston_scheme: str = "euler"
+    lsm_out_of_sample: bool = False
     steps_lo: int = 10
     steps_hi: int = 130
     seed: int = 42
@@ -116,6 +118,8 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
                 engine=req.engine,
                 use_control_variate=req.use_control_variate,
                 european_approximation=req.european_approximation,
+                heston_scheme=req.heston_scheme,
+                lsm_out_of_sample=req.lsm_out_of_sample,
                 task_ids=np.array([t["task_id"] for t in group], np.int32),
                 return_stderr=True)
             prices, stderrs = np.asarray(prices), np.asarray(stderrs)

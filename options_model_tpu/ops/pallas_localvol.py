@@ -94,3 +94,78 @@ def localvol_terminal_pallas(seed, S0, r, T, table: LocalVolTable,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, par, table.coeffs)
     return out.reshape(-1)
+
+
+def _localvol_paths_kernel(seed_ref, par_ref, coef_ref, out_ref, *,
+                           n_steps, degree, antithetic):
+    from options_model_tpu.ops.pallas_heston import _PATH_ROWS
+
+    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    S0 = par_ref[0, 0]
+    r = par_ref[0, 1]
+    dt = par_ref[0, 2]
+    logK = par_ref[0, 3]
+    m_center = par_ref[0, 4]
+    inv_m_half = par_ref[0, 5]
+    sqrt_dt = jnp.sqrt(dt)
+    rows = _PATH_ROWS
+
+    out_ref[0] = jnp.full((rows, _LANES), S0, jnp.float32)
+
+    def body(t, logS):
+        z = _gbm_step_normals(rows, antithetic)
+        u = jnp.clip(((logK - logS) - m_center) * inv_m_half, -1.0, 1.0)
+        b1 = jnp.zeros((rows, _LANES), jnp.float32)
+        b2 = jnp.zeros((rows, _LANES), jnp.float32)
+        for k in range(degree, 0, -1):
+            b1, b2 = coef_ref[t, k] + 2.0 * u * b1 - b2, b1
+        sig = jnp.maximum(coef_ref[t, 0] + u * b1 - b2, 1e-6)
+        logS = logS + (r - 0.5 * sig * sig) * dt + sig * sqrt_dt * z
+        out_ref[t + 1] = jnp.exp(logS)
+        return logS
+
+    jax.lax.fori_loop(0, n_steps, body,
+                      jnp.full((rows, _LANES), jnp.log(S0), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
+                                             "interpret"))
+def localvol_paths_pallas(seed, S0, r, T, table: LocalVolTable,
+                          n_paths: int, n_steps: int,
+                          antithetic: bool = True, interpret: bool = False):
+    """Full path matrix (n_steps+1, n_paths_rounded) under the compiled
+    local-vol surface — the American/LSM feed at fused-kernel speed."""
+    from options_model_tpu.ops.pallas_heston import _PATH_ROWS
+
+    if table.coeffs.shape[0] < n_steps:
+        raise ValueError(
+            f"localvol table has {table.coeffs.shape[0]} step slices but "
+            f"n_steps={n_steps}")
+    tile = _PATH_ROWS * _LANES
+    n_pad = _round_up(n_paths, tile)
+    grid = n_pad // tile
+    degree = table.coeffs.shape[1] - 1
+
+    dt = jnp.float32(T) / n_steps
+    par = jnp.array([[S0, r, dt, jnp.log(jnp.float32(table.K)),
+                      table.m_center, 1.0 / table.m_half, 0.0, 0.0]],
+                    jnp.float32)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    kernel = functools.partial(_localvol_paths_kernel, n_steps=n_steps,
+                               degree=degree, antithetic=antithetic)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
+                               lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
+                                       jnp.float32),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed_arr, par, table.coeffs)
+    return out.reshape(n_steps + 1, -1)

@@ -35,6 +35,8 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
                         model: str = "gbm", engine: str = "auto",
                         use_control_variate: bool = False,
                         european_approximation: bool = False,
+                        heston_scheme: str = "euler",
+                        lsm_out_of_sample: bool = False,
                         task_ids=None, return_stderr: bool = False,
                         axis: str = "tasks") -> jnp.ndarray:
     """Price a batch of American options, task-sharded across the mesh.
@@ -71,14 +73,20 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
         task_key = jax.random.fold_in(key, tid.astype(jnp.int32))
         spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma)
         S_paths = simulate_paths(task_key, S0, T, mc, model, sigma=sigma,
-                                 rate=rate, heston=heston, engine=engine)
+                                 rate=rate, heston=heston, engine=engine,
+                                 heston_scheme=heston_scheme)
         if european_approximation:
             # Discounted terminal payoff mean (the reference's streaming-mode
             # shortcut, options_model_3/options_model_3.py:687-690).
             disc_T = jnp.exp(-jnp.asarray(rate, S_paths.dtype) * T)
             pay = vanilla_payoff(S_paths[-1], K, cp) * disc_T
             return jnp.mean(pay), jnp.std(pay) / jnp.sqrt(pay.size)
-        price, stderr = lsm_poly_backward(S_paths, spec, T)
+        from options_model_tpu.pricers.american import _pair_block
+        pb = _pair_block(mc, model, engine)
+        price, stderr = lsm_poly_backward(
+            S_paths, spec, T, out_of_sample=lsm_out_of_sample,
+            pair_block=pb if lsm_out_of_sample else None,
+            stat_pair_block=pb if mc.antithetic else None)
         if use_control_variate and sigma is not None and model == "gbm":
             # Same-path European leg + BS closed form, beta = 1
             # (pricers/american.py:price_american_with_control_variate).

@@ -53,18 +53,32 @@ from options_model_tpu.models.localvol import simulate_local_vol
 def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
                    rate=0.0, heston: Optional[HestonParams] = None, sigma_fn=None,
                    first_block=0, engine: str = "auto",
-                   heston_scheme: str = "euler") -> jnp.ndarray:
+                   heston_scheme: str = "euler",
+                   localvol_table=None) -> jnp.ndarray:
     """Full path matrix (n_steps+1, n_paths) under the chosen dynamics.
 
-    engine='auto' picks the fused Pallas kernel on TPU backends (gbm/heston)
-    and the XLA scan elsewhere; localvol always uses XLA (the surface network
-    runs inside the scan).
+    engine='auto' picks the fused Pallas kernel on TPU backends (gbm/heston,
+    and localvol when a compiled Chebyshev ``localvol_table`` is supplied);
+    otherwise localvol runs the exact surface network inside the XLA scan.
     """
     from options_model_tpu.ops.engine import resolve_engine, seed_from_key
 
     if model == "heston" and heston_scheme not in ("euler", "qe"):
         raise ValueError(f"heston_scheme must be 'euler' or 'qe', got "
                          f"{heston_scheme!r}")
+    if model == "localvol" and localvol_table is not None:
+        eng = resolve_engine(engine)
+        if eng == "pallas":
+            from options_model_tpu.models.blocks import paths_rounded
+            from options_model_tpu.ops.pallas_localvol import (
+                localvol_paths_pallas)
+            seed = seed_from_key(jax.random.fold_in(key, first_block))
+            return localvol_paths_pallas(seed, S0, rate, T, localvol_table,
+                                         paths_rounded(cfg), cfg.n_steps,
+                                         cfg.antithetic)
+        if sigma_fn is None:
+            from options_model_tpu.surface.cheb import table_sigma_fn
+            sigma_fn = table_sigma_fn(localvol_table, T)
     eng = resolve_engine(engine) if model in ("gbm", "heston") else "xla"
     if eng == "pallas":
         from options_model_tpu.models.blocks import paths_rounded

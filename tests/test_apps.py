@@ -183,3 +183,15 @@ class TestInteractiveWizard:
         T = 1.0 / 365.0
         bs = float(bs_price(100.0, 100.0, T, 0.05, 0.2, 1.0))
         assert abs(df["Option Value"].iloc[0] - bs) < 0.05
+
+
+class TestNewCLIFlags:
+    def test_qe_and_oos_flags(self):
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.25", "--K", "100",
+            "--model", "heston", "--heston-scheme", "qe",
+            "--lsm-out-of-sample", "--num-simulations", "8192",
+            "--s0-start", "100", "--s0-end", "100", "--total-points", "1",
+            "--intervals-per-day", "1", "--engine", "xla"])
+        out = run(args)
+        assert np.isfinite(out["heston"]["Option Value"]).all()

@@ -127,3 +127,28 @@ class TestTableSamplerBackendConsistency:
                 key, 100.0, 0.5, OptionSpec(strike=100.0, rate=0.05, cp=PUT,
                                             sigma=0.2),
                 MCConfig(n_paths=4096), LSMConfig(regressor="nn"))
+
+
+class TestLocalVolPathsKernel:
+    def test_interpret_structure(self):
+        from options_model_tpu.ops.pallas_localvol import localvol_paths_pallas
+
+        table = compile_localvol_table(_analytic_sigma_fn, 100.0, 0.5, 8, 100.0)
+        S = np.asarray(localvol_paths_pallas(1, 100.0, 0.05, 0.5, table,
+                                             4096, 8, interpret=True))
+        assert S.shape == (9, 4096)
+        np.testing.assert_allclose(S[0], 100.0)
+        assert np.isfinite(S).all() and (S > 0).all()
+
+    def test_simulate_paths_dispatch(self, key):
+        from options_model_tpu.core.config import MCConfig
+        from options_model_tpu.pricers.american import simulate_paths
+
+        table = compile_localvol_table(_analytic_sigma_fn, 100.0, 0.5, 8, 100.0)
+        # XLA fallback path (table -> table_sigma_fn) works everywhere
+        S = simulate_paths(key, 100.0, 0.5, MCConfig(n_paths=2048, n_steps=8,
+                                                     path_block=1024),
+                           "localvol", rate=0.05, localvol_table=table,
+                           engine="xla")
+        assert S.shape == (9, 2048)
+        assert np.isfinite(np.asarray(S)).all()
