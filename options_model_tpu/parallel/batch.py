@@ -135,8 +135,14 @@ def price_european_sharded(key: jax.Array, S0, T, spec: OptionSpec,
         rank = jax.lax.axis_index(axis)
         S_T = sampler(key, rank * per_dev, local_cfg)
         payoffs = vanilla_payoff(S_T, spec.strike, spec.cp) * discount
+        if mc.antithetic:
+            # pair means are the i.i.d. unit under antithetic sampling
+            # (core/stats.pair_mean_reduce); count reports simulated paths.
+            from options_model_tpu.core.stats import pair_mean_reduce
+            payoffs = pair_mean_reduce(payoffs, mc.path_block)
         st = welford_psum(welford_from_batch(payoffs), axis)
-        return st.mean, st.stderr, st.count
+        n = st.count * (2.0 if mc.antithetic else 1.0)
+        return st.mean, st.stderr, n
 
     mean, stderr, n = jax.jit(shard_map(
         body, mesh=mesh, in_specs=(), out_specs=(P(), P(), P())))()
