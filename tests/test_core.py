@@ -159,3 +159,25 @@ class TestTimeGrid:
     def test_trading_hours_past_expiry(self):
         now = datetime.datetime(2026, 8, 10, 8, 0)
         assert compute_trading_hours_remaining(datetime.date(2026, 8, 7), now=now) == 0.0
+
+
+class TestDataLayerGating:
+    def test_yfinance_gate(self):
+        from options_model_tpu.data import market
+
+        if not market.yfinance_available():
+            # offline container: live adapters must fail loudly and legibly
+            import pytest as _pytest
+            with _pytest.raises(market.MarketDataError):
+                market.fetch_live_quote("AAPL")
+            with _pytest.raises(market.MarketDataError):
+                market.fetch_option_chain("AAPL")
+        else:  # networked environment: just confirm the flag is consistent
+            assert callable(market.fetch_live_quote)
+
+    def test_synthetic_oracles_never_need_network(self):
+        from options_model_tpu.data.synthetic import synthetic_smile_surface
+
+        K, T, iv, S0 = synthetic_smile_surface()
+        assert len(K) == len(T) == len(iv) == 120
+        assert S0 == 100.0
