@@ -69,32 +69,44 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
     task_ids = pad(jnp.asarray(task_ids, jnp.int32))
 
     def price_one(task):
+        from options_model_tpu.core.stats import masked_mean_stderr
+        from options_model_tpu.pricers.american import (
+            _cv_adjustment, _pair_block)
+
         S0, K, T, tid = task
         task_key = jax.random.fold_in(key, tid.astype(jnp.int32))
         spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma)
         S_paths = simulate_paths(task_key, S0, T, mc, model, sigma=sigma,
                                  rate=rate, heston=heston, engine=engine,
                                  heston_scheme=heston_scheme)
+        pb = _pair_block(mc, model, engine)
+        stat_pb = pb if mc.antithetic else None
         if european_approximation:
             # Discounted terminal payoff mean (the reference's streaming-mode
-            # shortcut, options_model_3/options_model_3.py:687-690).
+            # shortcut, options_model_3/options_model_3.py:687-690). The
+            # stderr is over antithetic PAIR MEANS — raw antithetic samples
+            # are not i.i.d. (core/stats.pair_mean_reduce).
             disc_T = jnp.exp(-jnp.asarray(rate, S_paths.dtype) * T)
             pay = vanilla_payoff(S_paths[-1], K, cp) * disc_T
-            return jnp.mean(pay), jnp.std(pay) / jnp.sqrt(pay.size)
-        from options_model_tpu.pricers.american import _pair_block
-        pb = _pair_block(mc, model, engine)
-        price, stderr = lsm_poly_backward(
+            price, stderr, _ = masked_mean_stderr(pay, None, None, stat_pb)
+            return price, stderr
+        if use_control_variate and sigma is not None and model == "gbm":
+            # Same-path European leg + BS closed form, beta = 1. The stderr
+            # is of the per-path CV statistic cash + (BS - pay_T) — the raw
+            # LSM stderr would overstate the returned estimator's error by
+            # the variance the variate removes
+            # (pricers/american.py:price_american_with_control_variate).
+            _, _, (cash, eval_mask) = lsm_poly_backward(
+                S_paths, spec, T, out_of_sample=lsm_out_of_sample,
+                pair_block=pb if lsm_out_of_sample else None,
+                return_cash=True)
+            cv = cash + _cv_adjustment(S_paths, spec, T)
+            price, stderr, _ = masked_mean_stderr(cv, eval_mask, None, stat_pb)
+            return price, stderr
+        return lsm_poly_backward(
             S_paths, spec, T, out_of_sample=lsm_out_of_sample,
             pair_block=pb if lsm_out_of_sample else None,
-            stat_pair_block=pb if mc.antithetic else None)
-        if use_control_variate and sigma is not None and model == "gbm":
-            # Same-path European leg + BS closed form, beta = 1
-            # (pricers/american.py:price_american_with_control_variate).
-            from options_model_tpu.pricers.blackscholes import bs_price
-            disc = jnp.exp(-jnp.asarray(rate, S_paths.dtype) * T)
-            eu_mc = jnp.mean(vanilla_payoff(S_paths[-1], K, cp)) * disc
-            price = price + (bs_price(S0, K, T, rate, sigma, cp) - eu_mc)
-        return price, stderr
+            stat_pair_block=stat_pb)
 
     def shard_body(S0_l, K_l, T_l, tid_l):
         return jax.lax.map(price_one, (S0_l, K_l, T_l, tid_l))
@@ -138,8 +150,13 @@ def price_european_sharded(key: jax.Array, S0, T, spec: OptionSpec,
         if mc.antithetic:
             # pair means are the i.i.d. unit under antithetic sampling
             # (core/stats.pair_mean_reduce); count reports simulated paths.
+            # The pair granularity comes from the SAMPLER (Pallas terminal
+            # kernels mirror within their 16384-path tile, XLA samplers
+            # within path_block) — price_european_mc's rule.
             from options_model_tpu.core.stats import pair_mean_reduce
-            payoffs = pair_mean_reduce(payoffs, mc.path_block)
+            pb = getattr(sampler, "pair_block",
+                         lambda c: c.path_block)(local_cfg)
+            payoffs = pair_mean_reduce(payoffs, pb)
         st = welford_psum(welford_from_batch(payoffs), axis)
         n = st.count * (2.0 if mc.antithetic else 1.0)
         return st.mean, st.stderr, n

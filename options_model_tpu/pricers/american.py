@@ -266,10 +266,17 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
 
 
 def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
-                    lsm: LSMConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Reference-style two-pass LSM with one shared continuation-value MLP."""
+                    lsm: LSMConfig,
+                    stat_pair_block: Optional[int] = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-style two-pass LSM with one shared continuation-value MLP.
+
+    ``stat_pair_block`` (the simulator's antithetic mirror granularity,
+    _pair_block) makes the reported stderr pair-aware: per-path stopped
+    cashflows inherit the paths' antithetic pairing, so raw-sample stderr
+    misstates the estimator's error exactly as it does for the poly pricer.
+    """
     n_steps = S_paths.shape[0] - 1
-    n_paths = S_paths.shape[1]
     dtype = S_paths.dtype
     dt = jnp.asarray(T, dtype) / n_steps
     K = jnp.asarray(spec.strike, dtype)
@@ -321,8 +328,7 @@ def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
     )
     cash0 = jnp.exp(-r * t_star * dt) * value_at_stop
 
-    price = jnp.mean(cash0)
-    stderr = jnp.sqrt(jnp.mean((cash0 - price) ** 2) / n_paths)
+    price, stderr, _ = masked_mean_stderr(cash0, None, None, stat_pair_block)
     return price, stderr
 
 
@@ -336,15 +342,16 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                              rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
                              engine=engine)
+    pb = _pair_block(mc, model, engine)
     if lsm.regressor == "poly":
-        pb = _pair_block(mc, model, engine)
         price, stderr = lsm_poly_backward(S_paths, spec, T, axis_name=axis_name,
                                           poly_degree=lsm.poly_degree,
                                           out_of_sample=lsm.out_of_sample,
                                           pair_block=pb,
                                           stat_pair_block=pb if mc.antithetic else None)
     else:
-        price, stderr = lsm_nn_backward(fit_key, S_paths, spec, T, lsm)
+        price, stderr = lsm_nn_backward(fit_key, S_paths, spec, T, lsm,
+                                        stat_pair_block=pb if mc.antithetic else None)
     if return_paths_stats:
         return price, stderr, S_paths
     return price, stderr
@@ -392,8 +399,11 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     if lsm.european_approximation:
         from options_model_tpu.pricers.european import (
             make_terminal_sampler, price_european_mc)
+        # engine forwarded: an explicit engine='xla' request must not resolve
+        # to the Pallas sampler (different RNG stream than requested).
         sampler = make_terminal_sampler(model, S0, spec.rate, T, sigma=spec.sigma,
-                                        heston=heston, sigma_fn=sigma_fn)
+                                        heston=heston, sigma_fn=sigma_fn,
+                                        engine=engine)
         price, stderr, _ = price_european_mc(key, sampler, spec, T, mc)
         return price, stderr
     if lsm.use_control_variate and spec.sigma is not None and model == "gbm":

@@ -93,11 +93,21 @@ def run_resumable_european(sampler, spec: OptionSpec, T, cfg: MCConfig,
     chunk_cfg = cfg.replace(n_paths=blocks_per_flush * cfg.path_block)
     discount = jnp.exp(-jnp.asarray(spec.rate, cfg.dtype)
                        * jnp.asarray(T, cfg.dtype))
+    # Antithetic mirror pairs are not i.i.d. — the Welford state accumulates
+    # PAIR MEANS (the sampler's own mirror granularity), matching
+    # price_european_mc's discipline; the reported n still counts simulated
+    # paths. The checkpoint's `count` therefore counts pairs.
+    pair_block = (getattr(sampler, "pair_block",
+                          lambda c: c.path_block)(chunk_cfg)
+                  if cfg.antithetic else None)
 
     @jax.jit
     def flush(first_block, st: WelfordState) -> WelfordState:
         S_T = sampler(key, first_block, chunk_cfg)
         payoffs = vanilla_payoff(S_T, spec.strike, spec.cp) * discount
+        if pair_block is not None:
+            from options_model_tpu.core.stats import pair_mean_reduce
+            payoffs = pair_mean_reduce(payoffs, pair_block)
         return welford_merge(st, welford_from_batch(payoffs))
 
     st = state.welford()
@@ -109,4 +119,5 @@ def run_resumable_european(sampler, spec: OptionSpec, T, cfg: MCConfig,
         state.m2 = float(st.m2)
         state.save(checkpoint_path)
 
-    return float(st.mean), float(st.stderr), int(st.count)
+    n_paths = int(st.count) * (2 if pair_block is not None else 1)
+    return float(st.mean), float(st.stderr), n_paths

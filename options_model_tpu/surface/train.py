@@ -56,32 +56,42 @@ def train_iv_surface(K, T, sigma_iv, S0: float,
     T = np.asarray(T, np.float32)
     y = np.asarray(sigma_iv, np.float32)
 
-    if cfg.use_augmentation:
-        # 3 noisy copies per observation (DataProcessor._augment_data,
-        # NN_training_stock_iv.py:372-388): regularizes tiny option chains.
-        rng_aug = np.random.default_rng(cfg.seed if seed is None else seed)
-        K = np.tile(K, 4)
-        T = np.tile(T, 4)
-        noise = rng_aug.normal(0.0, 0.005, (3, len(y))).astype(np.float32)
-        y = np.concatenate([y] + [np.maximum(y + n, 0.01) for n in noise])
-
-    m = np.log(K / S0)
-    scaler = SurfaceScaler.fit(m, T, S0)
-    m_norm, tau_norm = scaler.transform(m, T)
-    X = np.stack([m_norm, tau_norm], -1).astype(np.float32)
-
-    if cfg.use_vega_weighting:
-        w = np.asarray(vega_weights(K, T, y, S0, rate), np.float32)
-    else:
-        w = np.ones_like(y)
-
-    # Seeded split; weights travel with their samples (defect fix, SURVEY §2.4).
+    # Split the ORIGINAL observations first — augmenting before the split
+    # would put near-duplicates of every training point into the validation
+    # set, optimistically biasing val loss and early stopping.
     rng = np.random.default_rng(seed)
-    perm = rng.permutation(len(X))
-    n_val = max(1, int(len(X) * cfg.val_split))
+    perm = rng.permutation(len(y))
+    n_val = max(1, int(len(y) * cfg.val_split))
     val_idx, tr_idx = perm[:n_val], perm[n_val:]
-    Xtr, ytr, wtr = X[tr_idx], y[tr_idx], w[tr_idx]
-    Xva, yva, wva = X[val_idx], y[val_idx], w[val_idx]
+    Ktr, Ttr, ytr = K[tr_idx], T[tr_idx], y[tr_idx]
+    Kva, Tva, yva = K[val_idx], T[val_idx], y[val_idx]
+
+    if cfg.use_augmentation:
+        # 3 noisy copies per TRAINING observation (DataProcessor._augment_data,
+        # NN_training_stock_iv.py:372-388): regularizes tiny option chains.
+        # Noise perturbs only the target IV, never (K, T).
+        rng_aug = np.random.default_rng(seed)
+        noise = rng_aug.normal(0.0, 0.005, (3, len(ytr))).astype(np.float32)
+        Ktr = np.tile(Ktr, 4)
+        Ttr = np.tile(Ttr, 4)
+        ytr = np.concatenate([ytr] + [np.maximum(ytr + n, 0.01) for n in noise])
+
+    # Scaler fit on the training fold only (no leakage); (m, tau) statistics
+    # are augmentation-invariant since noise only touches y.
+    scaler = SurfaceScaler.fit(np.log(Ktr / S0), Ttr, S0)
+
+    def features(Kf, Tf):
+        m_norm, tau_norm = scaler.transform(np.log(Kf / S0), Tf)
+        return np.stack([m_norm, tau_norm], -1).astype(np.float32)
+
+    def weights(Kf, Tf, yf):
+        if cfg.use_vega_weighting:
+            return np.asarray(vega_weights(Kf, Tf, yf, S0, rate), np.float32)
+        return np.ones_like(yf)
+
+    # Weights travel with their samples (defect fix, SURVEY §2.4).
+    Xtr, wtr = features(Ktr, Ttr), weights(Ktr, Ttr, ytr)
+    Xva, wva = features(Kva, Tva), weights(Kva, Tva, yva)
 
     # Pad the training set to whole batches with zero-weight rows: static
     # shapes for the scan, no partial-batch special case.
