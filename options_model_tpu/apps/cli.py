@@ -26,7 +26,8 @@ from typing import Dict
 
 import numpy as np
 
-from options_model_tpu.core.config import HestonParams, SurfaceTrainConfig, cp_from_str
+from options_model_tpu.core.config import (
+    HestonParams, LSMConfig, SurfaceTrainConfig, cp_from_str)
 from options_model_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -72,7 +73,15 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--lsm-out-of-sample", action="store_true",
                    help="Low-biased LSM: fit regressions on half the paths, "
                         "price on the other half")
-    # NN hyper-parameters (:476-478)
+    p.add_argument("--lsm-regressor", type=str, default="poly",
+                   choices=["poly", "nn"],
+                   help="LSM continuation-value regressor: masked-WLS "
+                        "polynomial basis, or the reference's shared MLP "
+                        "(options_model_3.py:679-695; --nn-* set its "
+                        "hyper-parameters)")
+    p.add_argument("--lsm-poly-degree", type=int, default=3)
+    # NN hyper-parameters (:476-478) — shared by the IV-surface network and
+    # the NN-LSM regressor, as in the reference CLI (options_model_2.py:476-478)
     p.add_argument("--nn-hidden", type=int, default=64)
     p.add_argument("--nn-epochs", type=int, default=100)
     p.add_argument("--nn-lr", type=float, default=1e-3)
@@ -211,6 +220,12 @@ def run(args) -> Dict[str, "object"]:
 
     out: Dict[str, object] = {"greeks": greeks, "S0_live": S0_live,
                               "sigma": sigma}
+    lsm_cfg = LSMConfig(regressor=args.lsm_regressor,
+                        poly_degree=args.lsm_poly_degree,
+                        nn_hidden=args.nn_hidden, nn_epochs=args.nn_epochs,
+                        nn_lr=args.nn_lr,
+                        use_control_variate=not args.no_control_variate,
+                        out_of_sample=args.lsm_out_of_sample).validate()
     common = dict(s0_list=s0_list, strike=args.K, rate=args.r, cp=cp,
                   intervals_per_day=args.intervals_per_day,
                   total_points=total_points,
@@ -219,6 +234,7 @@ def run(args) -> Dict[str, "object"]:
                   european_approximation=args.european_approximation,
                   heston_scheme=args.heston_scheme,
                   lsm_out_of_sample=args.lsm_out_of_sample,
+                  lsm=lsm_cfg,
                   engine=args.engine, seed=args.seed)
 
     run_bs = args.model in ("bs", "both")

@@ -23,7 +23,7 @@ import jax
 import numpy as np
 import pandas as pd
 
-from options_model_tpu.core.config import HestonParams, MCConfig
+from options_model_tpu.core.config import HestonParams, LSMConfig, MCConfig
 from options_model_tpu.core.timegrid import adaptive_num_steps, curve_day_grid
 from options_model_tpu.parallel.batch import price_american_grid
 from options_model_tpu.parallel.mesh import make_mesh
@@ -58,6 +58,10 @@ class CurveRequest:
     grid_mode: str = "calendar"
     heston_scheme: str = "euler"
     lsm_out_of_sample: bool = False
+    # Regression scheme for the LSM backward: None = poly defaults;
+    # LSMConfig(regressor='nn') routes the sweep through the shared
+    # continuation-value MLP (the reference's flagship pricer).
+    lsm: Optional[LSMConfig] = None
     steps_lo: int = 10
     steps_hi: int = 130
     seed: int = 42
@@ -120,6 +124,7 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
                 european_approximation=req.european_approximation,
                 heston_scheme=req.heston_scheme,
                 lsm_out_of_sample=req.lsm_out_of_sample,
+                lsm=req.lsm,
                 task_ids=np.array([t["task_id"] for t in group], np.int32),
                 return_stderr=True)
             prices, stderrs = np.asarray(prices), np.asarray(stderrs)

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from options_model_tpu.core.config import HestonParams, MCConfig, OptionSpec
+from options_model_tpu.core.config import (
+    HestonParams, LSMConfig, MCConfig, OptionSpec)
 from options_model_tpu.core.payoff import vanilla_payoff
 from options_model_tpu.core.stats import welford_from_batch, welford_psum
 from options_model_tpu.models.blocks import num_blocks
@@ -37,6 +38,7 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
                         european_approximation: bool = False,
                         heston_scheme: str = "euler",
                         lsm_out_of_sample: bool = False,
+                        lsm: Optional[LSMConfig] = None,
                         task_ids=None, return_stderr: bool = False,
                         axis: str = "tasks") -> jnp.ndarray:
     """Price a batch of American options, task-sharded across the mesh.
@@ -49,6 +51,12 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
     Each task's RNG is fold_in(key, global_task_index) — the collective-free
     rebuild of the reference's pre-derived worker seeds, invariant to the
     device count. Returns prices (n_tasks,).
+
+    ``lsm`` selects the regressor: the default (None) is the masked-WLS poly
+    backward; LSMConfig(regressor='nn') routes every task through the shared
+    continuation-value MLP (lsm_nn_backward — the reference's flagship
+    scheme, options_model_3/options_model_3.py:679-695), trained per task
+    inside the sharded body.
     """
     S0s = jnp.asarray(S0s, jnp.float32)
     strikes = jnp.asarray(strikes, jnp.float32)
@@ -81,6 +89,12 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
                                  heston_scheme=heston_scheme)
         pb = _pair_block(mc, model, engine)
         stat_pb = pb if mc.antithetic else None
+        if lsm is not None and lsm.regressor == "nn":
+            # Distinct fit stream per task (sim used task_key itself).
+            from options_model_tpu.pricers.american import lsm_nn_backward
+            fit_key = jax.random.fold_in(task_key, jnp.int32(1))
+            return lsm_nn_backward(fit_key, S_paths, spec, T, lsm,
+                                   stat_pair_block=stat_pb)
         if european_approximation:
             # Discounted terminal payoff mean (the reference's streaming-mode
             # shortcut, options_model_3/options_model_3.py:687-690). The
@@ -90,6 +104,8 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
             pay = vanilla_payoff(S_paths[-1], K, cp) * disc_T
             price, stderr, _ = masked_mean_stderr(pay, None, None, stat_pb)
             return price, stderr
+        oos = lsm_out_of_sample or (lsm is not None and lsm.out_of_sample)
+        degree = lsm.poly_degree if lsm is not None else 3
         if use_control_variate and sigma is not None and model == "gbm":
             # Same-path European leg + BS closed form, beta = 1. The stderr
             # is of the per-path CV statistic cash + (BS - pay_T) — the raw
@@ -97,15 +113,15 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
             # the variance the variate removes
             # (pricers/american.py:price_american_with_control_variate).
             _, _, (cash, eval_mask) = lsm_poly_backward(
-                S_paths, spec, T, out_of_sample=lsm_out_of_sample,
-                pair_block=pb if lsm_out_of_sample else None,
+                S_paths, spec, T, poly_degree=degree, out_of_sample=oos,
+                pair_block=pb if oos else None,
                 return_cash=True)
             cv = cash + _cv_adjustment(S_paths, spec, T)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, None, stat_pb)
             return price, stderr
         return lsm_poly_backward(
-            S_paths, spec, T, out_of_sample=lsm_out_of_sample,
-            pair_block=pb if lsm_out_of_sample else None,
+            S_paths, spec, T, poly_degree=degree, out_of_sample=oos,
+            pair_block=pb if oos else None,
             stat_pair_block=stat_pb)
 
     def shard_body(S0_l, K_l, T_l, tid_l):

@@ -195,3 +195,57 @@ class TestNewCLIFlags:
             "--intervals-per-day", "1", "--engine", "xla"])
         out = run(args)
         assert np.isfinite(out["heston"]["Option Value"]).all()
+
+
+class TestNNLSMEndToEnd:
+    def test_grid_nn_regressor_agrees_with_poly_and_crr(self, key, devices8):
+        """The NN-LSM regressor reached through the grid pricer agrees with
+        the poly regressor and the CRR oracle on a GBM put (VERDICT r1 #3)."""
+        from options_model_tpu.core.config import PUT, LSMConfig, MCConfig
+        from options_model_tpu.parallel import make_mesh, price_american_grid
+        from options_model_tpu.pricers import crr_american
+
+        mesh = make_mesh(("tasks",), devices=devices8)
+        S0s = np.full(8, 100.0, np.float32)
+        Ks = np.full(8, 100.0, np.float32)
+        Ts = np.full(8, 0.5, np.float32)
+        mc = MCConfig(n_paths=16384, n_steps=12, path_block=2048)
+        lsm_nn = LSMConfig(regressor="nn", nn_epochs=30, nn_hidden=64,
+                           nn_layers=2, nn_dropout=0.0, nn_lr=3e-3)
+        p_nn = price_american_grid(key, S0s, Ks, Ts, 0.05, mc, mesh, cp=PUT,
+                                   sigma=0.2, model="gbm", engine="xla",
+                                   use_control_variate=False, lsm=lsm_nn)
+        p_poly = price_american_grid(key, S0s, Ks, Ts, 0.05, mc, mesh, cp=PUT,
+                                     sigma=0.2, model="gbm", engine="xla",
+                                     use_control_variate=False)
+        crr = crr_american(100.0, 100.0, 0.5, 0.05, 0.2, PUT, n_steps=2048)
+        # The reference's two-pass NN scheme regresses on discounted TERMINAL
+        # cashflows (options_model_3.py:482-516), which under-detects early
+        # exercise: measured ~1.6% low vs poly/CRR on this workload. 3% band
+        # pins the wiring + the scheme's intrinsic accuracy.
+        assert abs(float(p_nn[0]) / crr - 1.0) < 0.03
+        assert abs(float(p_nn[0]) / float(p_poly[0]) - 1.0) < 0.03
+
+    def test_cli_lsm_regressor_nn(self):
+        from options_model_tpu.apps.cli import parse_args, run
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.2", "--K", "100",
+            "--model", "bs", "--lsm-regressor", "nn", "--nn-epochs", "5",
+            "--nn-hidden", "16", "--num-simulations", "4096",
+            "--s0-start", "100", "--s0-end", "100", "--total-points", "1",
+            "--intervals-per-day", "1", "--engine", "xla",
+            "--option-type", "put"])
+        out = run(args)
+        assert np.isfinite(out["bs"]["Option Value"]).all()
+        assert (out["bs"]["Option Value"] > 0).all()
+
+    def test_cli_oos_with_nn_regressor_rejected(self):
+        from options_model_tpu.apps.cli import parse_args, run
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.2", "--model", "bs",
+            "--lsm-regressor", "nn", "--lsm-out-of-sample",
+            "--num-simulations", "2048", "--s0-start", "100",
+            "--s0-end", "100", "--total-points", "1",
+            "--intervals-per-day", "1", "--engine", "xla"])
+        with pytest.raises(ValueError, match="out_of_sample"):
+            run(args)
