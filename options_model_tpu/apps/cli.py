@@ -54,6 +54,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--intervals-per-day", type=int, default=4)
     p.add_argument("--total-points", type=int, default=None,
                    help="Curve points (default: days-to-expiry * intervals)")
+    p.add_argument("--grid-mode", type=str, default="calendar",
+                   choices=["calendar", "trading"],
+                   help="'calendar': d in calendar days, steps clamp(ceil(d), "
+                        "10, 130) (v3 rule). 'trading': d in 6.5h trading "
+                        "days derived from the remaining regular-session "
+                        "hours to --expiry, steps clamp(ceil(d*intervals), "
+                        "2, 500) (v1.5 rule, options_model_v1.5.py:326-331)")
     # Models / engines
     p.add_argument("--model", type=str, default="both",
                    choices=["bs", "heston", "both"])
@@ -93,6 +100,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--synthetic", action="store_true",
                    help="Use synthetic oracles instead of live data")
     # Output
+    p.add_argument("--diagnostics-dir", type=str, default=None,
+                   help="Write training/calibration diagnostics PNGs here "
+                        "(the reference auto-plots these; "
+                        "NN_training_stock_iv.py:451-452)")
     p.add_argument("--csv", type=str, default=None, help="Write results CSV")
     p.add_argument("--html", type=str, default=None, help="Write Plotly HTML")
     p.add_argument("--show-plot", action="store_true")
@@ -161,7 +172,8 @@ def _resolve_sigma(args, S0_live: float, sigma_hist: float, T_live: float):
         cfg = SurfaceTrainConfig(hidden_dim=args.nn_hidden,
                                  epochs=args.nn_epochs, lr=args.nn_lr)
         log.info("Training IV-surface network...")
-        model = IVSurfaceModel.fit(K_o, T_o, iv_o, S0_o, cfg)
+        model = IVSurfaceModel.fit(K_o, T_o, iv_o, S0_o, cfg,
+                                   diagnostics_dir=args.diagnostics_dir)
         sigma = model.get_sigma_iv(args.K, S0_live, max(T_live, 1e-3))
         log.info(f"NN-predicted starting IV at live spot: {sigma:.2%}")
         return sigma, model
@@ -193,7 +205,24 @@ def run(args) -> Dict[str, "object"]:
         days_to_expiry = max((expiry - datetime.date.today()).days, 1)
     else:
         days_to_expiry = 30
-    total_points = args.total_points or days_to_expiry * args.intervals_per_day
+    if args.grid_mode == "trading":
+        # v1.5 rule (options_model_v1.5.py:326-331): remaining regular-session
+        # hours -> fractional trading days -> total_points; the day grid stays
+        # i/intervals_per_day, now measured in trading days.
+        from options_model_tpu.core.timegrid import (
+            TRADING_HOURS_PER_DAY, compute_trading_hours_remaining)
+        if args.expiry:
+            hours = compute_trading_hours_remaining(expiry)
+        else:
+            hours = days_to_expiry * TRADING_HOURS_PER_DAY
+        trading_days = max(hours / TRADING_HOURS_PER_DAY, 1e-6)
+        total_points = args.total_points or max(
+            1, int(np.ceil(trading_days * args.intervals_per_day)))
+        log.info(f"Trading grid: {hours:.2f} session hours remaining "
+                 f"({trading_days:.4f} trading days, {total_points} points)")
+    else:
+        total_points = (args.total_points
+                        or days_to_expiry * args.intervals_per_day)
     T_live = days_to_expiry / 365.0
 
     S0_live, sigma_hist = _resolve_market(args)
@@ -234,7 +263,7 @@ def run(args) -> Dict[str, "object"]:
                   european_approximation=args.european_approximation,
                   heston_scheme=args.heston_scheme,
                   lsm_out_of_sample=args.lsm_out_of_sample,
-                  lsm=lsm_cfg,
+                  lsm=lsm_cfg, grid_mode=args.grid_mode,
                   engine=args.engine, seed=args.seed)
 
     run_bs = args.model in ("bs", "both")

@@ -20,6 +20,7 @@ upgrades SURVEY.md §7 calls for:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
@@ -98,7 +99,7 @@ def _initial_guess(regime: str, avg_iv: float) -> np.ndarray:
 @partial(jax.jit, static_argnames=("n_terms", "use_vega_weighting"))
 def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
                     n_terms: int = 128, use_vega_weighting: bool = True,
-                    min_weight: float = 0.01):
+                    min_weight: float = 0.01, cos_L: float = 12.0):
     """Vega-weighted RMSE of model-vs-market implied vols + Feller penalty.
 
     x = (kappa, theta, xi, rho, v0) as a traced array — params are rebuilt
@@ -106,7 +107,7 @@ def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
     """
     params = HestonParams(kappa=x[0], theta=x[1], xi=x[2], rho=x[3], v0=x[4])
     prices = heston_cos_price(S0, strikes, expiries, rate, params, cp=1.0,
-                              n_terms=n_terms)
+                              n_terms=n_terms, L=cos_L)
     # Floor keeps the IV solve well-posed for deep-OTM points.
     intrinsic = jnp.maximum(S0 - strikes * jnp.exp(-rate * expiries), 0.0)
     prices = jnp.maximum(prices, intrinsic + 1e-6)
@@ -148,7 +149,8 @@ class HestonCalibrator:
             lambda x: _objective_core(x, K, T, iv, surface.S0, surface.rate,
                                       n_terms=cfg.cos_n,
                                       use_vega_weighting=cfg.use_vega_weighting,
-                                      min_weight=cfg.min_vega_weight)))
+                                      min_weight=cfg.min_vega_weight,
+                                      cos_L=cfg.cos_L)))
 
         # The objective is a tiny host-latency-bound workload (dozens of
         # points x a few hundred COS terms), and its complex-valued gradient
@@ -182,7 +184,44 @@ class HestonCalibrator:
 
         return f, f_and_g, bounds
 
-    def calibrate(self, surface: MarketSurface) -> HestonParams:
+    def model_ivs(self, surface: MarketSurface,
+                  params: Optional[HestonParams] = None) -> np.ndarray:
+        """Model implied vols at the surface's observation points under
+        ``params`` (default: the calibrated best) — the quantity the
+        reference's diagnostics plot against market IVs
+        (heston_calibration.py:597-709)."""
+        p = params or self.best_params
+        if p is None:
+            raise ValueError("calibrate() first, or pass params")
+        cfg = self.config
+        K = jnp.asarray(surface.strikes, jnp.float32)
+        T = jnp.asarray(surface.expiries, jnp.float32)
+        prices = heston_cos_price(surface.S0, K, T, surface.rate, p, cp=1.0,
+                                  n_terms=cfg.cos_n, L=cfg.cos_L)
+        intrinsic = jnp.maximum(
+            surface.S0 - K * jnp.exp(-surface.rate * T), 0.0)
+        prices = jnp.maximum(prices, intrinsic + 1e-6)
+        return np.asarray(implied_vol(prices, surface.S0, K, T, surface.rate,
+                                      cp=1.0))
+
+    def plot_diagnostics(self, surface: MarketSurface, out_path: str):
+        """Emit the 2x2 calibration diagnostics figure (the reference plots
+        these as part of every calibrate run, heston_calibration.py:582-594)."""
+        from options_model_tpu.utils.plotting import plot_calibration_results
+
+        model = self.model_ivs(surface)
+        vegas = np.asarray(bs_vega(surface.S0,
+                                   jnp.asarray(surface.strikes, jnp.float32),
+                                   jnp.asarray(surface.expiries, jnp.float32),
+                                   surface.rate,
+                                   jnp.asarray(surface.ivs, jnp.float32)))
+        return plot_calibration_results(
+            np.asarray(surface.ivs, np.float64), model, vegas,
+            self.best_params, self.best_error, surface.regime,
+            out_path=out_path)
+
+    def calibrate(self, surface: MarketSurface,
+                  diagnostics_dir: Optional[str] = None) -> HestonParams:
         cfg = self.config
         f, f_and_g, bounds = self._make_objective(surface)
         x0 = _initial_guess(surface.regime, float(surface.ivs.mean()))
@@ -256,6 +295,11 @@ class HestonCalibrator:
             "params": self.best_params,
             "n_data_points": len(surface),
         })
+        if diagnostics_dir is not None:
+            os.makedirs(diagnostics_dir, exist_ok=True)
+            self.plot_diagnostics(
+                surface, os.path.join(diagnostics_dir,
+                                      "heston_calibration.png"))
         return self.best_params
 
     def get_calibration_summary(self) -> Dict[str, Any]:
@@ -273,13 +317,14 @@ class HestonCalibrator:
 
 
 def calibrate_heston_to_data(strikes, expiries, ivs, S0, rate=0.05,
-                             config: Optional[CalibrationConfig] = None
+                             config: Optional[CalibrationConfig] = None,
+                             diagnostics_dir: Optional[str] = None
                              ) -> Tuple[HestonParams, Dict[str, Any]]:
     """Convenience wrapper (calibrate_heston_to_data, heston_calibration.py:792-806)."""
     surface = MarketSurface(strikes=strikes, expiries=expiries, ivs=ivs,
                             S0=S0, rate=rate)
     calibrator = HestonCalibrator(config)
-    params = calibrator.calibrate(surface)
+    params = calibrator.calibrate(surface, diagnostics_dir=diagnostics_dir)
     return params, calibrator.get_calibration_summary()
 
 

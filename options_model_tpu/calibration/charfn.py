@@ -24,11 +24,13 @@ import jax.numpy as jnp
 from options_model_tpu.core.config import HestonParams
 
 
-def heston_charfn(u, T, r, params: HestonParams, dtype=jnp.complex64):
+def heston_charfn(u, T, r, params: HestonParams, dtype=jnp.complex64,
+                  q=0.0):
     """phi(u) = E[exp(i u ln(S_T/S0))] under Heston risk-neutral dynamics.
 
     u: (...,) real or complex frequencies. Returns complex array shaped like u
     broadcast with T. The spot enters separately (pricing adds i*u*ln(S0/K)).
+    ``q``: continuous dividend yield — the log-price drift is (r - q).
     """
     u = jnp.asarray(u, dtype)
     T = jnp.asarray(T, jnp.real(jnp.zeros((), dtype)).dtype)
@@ -51,15 +53,15 @@ def heston_charfn(u, T, r, params: HestonParams, dtype=jnp.complex64):
     log_term = jnp.log((1.0 - g2 * exp_dT) / (1.0 - g2))
     A = kappa * theta * (ratio * T) - (2.0 * kappa * theta / xi**2) * log_term
     B = ratio * ((1.0 - exp_dT) / (1.0 - g2 * exp_dT))
-    return jnp.exp(iu * r * T + A + B * v0)
+    return jnp.exp(iu * (r - q) * T + A + B * v0)
 
 
-def _heston_cumulants(T, r, params: HestonParams):
+def _heston_cumulants(T, r, params: HestonParams, q=0.0):
     """First two cumulants of ln(S_T/S0) (Fang & Oosterlee 2008, Table 11)."""
     kappa, theta, xi, rho, v0 = (params.kappa, params.theta, params.xi,
                                  params.rho, params.v0)
     ekt = jnp.exp(-kappa * T)
-    c1 = r * T + (1.0 - ekt) * (theta - v0) / (2.0 * kappa) - 0.5 * theta * T
+    c1 = (r - q) * T + (1.0 - ekt) * (theta - v0) / (2.0 * kappa) - 0.5 * theta * T
     c2 = (1.0 / (8.0 * kappa**3)) * (
         xi * T * kappa * ekt * (v0 - theta) * (8.0 * kappa * rho - 4.0 * xi)
         + kappa * rho * xi * (1.0 - ekt) * (16.0 * theta - 8.0 * v0)
@@ -93,12 +95,12 @@ def _cos_coeffs_call(k, a, b):
 
 @partial(jax.jit, static_argnames=("n_terms",))
 def heston_cos_price(S0, K, T, r, params: HestonParams, cp=1.0,
-                     n_terms: int = 256, L: float = 12.0):
+                     n_terms: int = 256, L: float = 12.0, q=0.0):
     """European option price(s) under Heston via the COS method.
 
     K, T broadcast elementwise (price a whole surface in one call); cp likewise.
     Puts are obtained from calls by put-call parity (exact, avoids a second
-    truncation range).
+    truncation range). ``q``: continuous dividend yield.
     """
     K = jnp.asarray(K, jnp.float32)
     T = jnp.asarray(T, jnp.float32)
@@ -108,14 +110,14 @@ def heston_cos_price(S0, K, T, r, params: HestonParams, cp=1.0,
     Tf = T.reshape(-1)
 
     x0 = jnp.log(S0 / Kf)                              # (M,)
-    c1, c2 = _heston_cumulants(Tf, r, params)          # (M,)
+    c1, c2 = _heston_cumulants(Tf, r, params, q)       # (M,)
     a = x0 + c1 - L * jnp.sqrt(c2)
     b = x0 + c1 + L * jnp.sqrt(c2)
 
     k = jnp.arange(n_terms, dtype=jnp.float32)         # (N,)
     omega = k[None, :] * jnp.pi / (b - a)[:, None]     # (M, N)
 
-    phi = heston_charfn(omega, Tf[:, None], r, params)  # (M, N)
+    phi = heston_charfn(omega, Tf[:, None], r, params, q=q)  # (M, N)
     # F_k = Re[phi(omega_k) * exp(i omega_k (x0 - a))]
     Fk = jnp.real(phi * jnp.exp(1j * omega * (x0 - a)[:, None]))
     Uk = _cos_coeffs_call(k[None, :], a[:, None], b[:, None])
@@ -124,7 +126,7 @@ def heston_cos_price(S0, K, T, r, params: HestonParams, cp=1.0,
     call = Kf * jnp.exp(-r * Tf) * jnp.sum(weights[None, :] * Fk * Uk, axis=-1)
     call = jnp.maximum(call, 0.0)
     cp_f = jnp.broadcast_to(jnp.asarray(cp, jnp.float32), shape).reshape(-1)
-    # parity: P = C - S0 + K e^{-rT}
-    put = call - S0 + Kf * jnp.exp(-r * Tf)
+    # parity: P = C - S0 e^{-qT} + K e^{-rT}
+    put = call - S0 * jnp.exp(-q * Tf) + Kf * jnp.exp(-r * Tf)
     price = jnp.where(cp_f > 0, call, jnp.maximum(put, 0.0))
     return price.reshape(shape)

@@ -15,13 +15,15 @@
 extern "C" {
 
 // cp: +1 call / -1 put. american: 1 = early exercise allowed.
-double crr_price(double S0, double K, double T, double r, double sigma,
-                 int cp, int n_steps, int american) {
+// q_div: continuous dividend yield (risk-neutral growth r - q_div; the
+// discount rate stays r).
+double crr_price_q(double S0, double K, double T, double r, double q_div,
+                   double sigma, int cp, int n_steps, int american) {
   const double dt = T / n_steps;
   const double u = std::exp(sigma * std::sqrt(dt));
   const double d = 1.0 / u;
   const double disc = std::exp(-r * dt);
-  const double p = (std::exp(r * dt) - d) / (u - d);
+  const double p = (std::exp((r - q_div) * dt) - d) / (u - d);
   // Mirror the NumPy fallback's validation: outside (0,1) the tree's
   // risk-neutral measure is invalid — return NaN so the Python wrapper
   // raises instead of silently pricing with negative probabilities.
@@ -47,6 +49,12 @@ double crr_price(double S0, double K, double T, double r, double sigma,
     }
   }
   return value[0];
+}
+
+// Original q-less entry point, kept for ABI stability.
+double crr_price(double S0, double K, double T, double r, double sigma,
+                 int cp, int n_steps, int american) {
+  return crr_price_q(S0, K, T, r, 0.0, sigma, cp, n_steps, american);
 }
 
 }  // extern "C"

@@ -54,18 +54,24 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
                    rate=0.0, heston: Optional[HestonParams] = None, sigma_fn=None,
                    first_block=0, engine: str = "auto",
                    heston_scheme: str = "euler",
-                   localvol_table=None) -> jnp.ndarray:
+                   localvol_table=None, div_yield=0.0) -> jnp.ndarray:
     """Full path matrix (n_steps+1, n_paths) under the chosen dynamics.
 
     engine='auto' picks the fused Pallas kernel on TPU backends (gbm/heston,
     and localvol when a compiled Chebyshev ``localvol_table`` is supplied);
     otherwise localvol runs the exact surface network inside the XLA scan.
+
+    ``div_yield``: continuous dividend yield q — the risk-neutral drift every
+    simulator sees is (rate - q); discounting (the pricers' job) stays at
+    ``rate``. The simulators/kernels themselves are q-agnostic: their ``r``
+    argument IS the drift.
     """
     from options_model_tpu.ops.engine import resolve_engine, seed_from_key
 
     if model == "heston" and heston_scheme not in ("euler", "qe"):
         raise ValueError(f"heston_scheme must be 'euler' or 'qe', got "
                          f"{heston_scheme!r}")
+    rate = rate - div_yield  # risk-neutral growth under a dividend yield
     if model == "localvol" and localvol_table is not None:
         eng = resolve_engine(engine)
         if eng == "pallas":
@@ -120,17 +126,22 @@ def _cv_adjustment(S_paths, spec: OptionSpec, T):
     discount = jnp.exp(-jnp.asarray(spec.rate, dtype) * jnp.asarray(T, dtype))
     pay_T = vanilla_payoff(S_paths[-1], spec.strike, spec.cp) * discount
     return bs_price(S_paths[0][0], spec.strike, T, spec.rate, spec.sigma,
-                    spec.cp) - pay_T
+                    spec.cp, q=spec.div_yield) - pay_T
 
 
-def _pair_block(mc: MCConfig, model: str, engine: str) -> int:
+def _pair_block(mc: MCConfig, model: str, engine: str,
+                has_table: bool = False) -> int:
     """Antithetic-pair granularity of the paths the resolved engine produces:
     the Pallas full-path kernels mirror within their own tile (ops/
     pallas_heston._PATH_ROWS x 128 paths), the XLA simulators within
-    mc.path_block. The out-of-sample split must respect whichever applies."""
+    mc.path_block. The out-of-sample split must respect whichever applies.
+    ``has_table``: localvol backed by a compiled Chebyshev table also runs
+    the Pallas kernel (simulate_paths' dispatch rule)."""
     from options_model_tpu.ops.engine import resolve_engine
 
-    if model in ("gbm", "heston") and resolve_engine(engine) == "pallas":
+    kernel_model = model in ("gbm", "heston") or (model == "localvol"
+                                                  and has_table)
+    if kernel_model and resolve_engine(engine) == "pallas":
         import math
 
         from options_model_tpu.ops.pallas_heston import _LANES, _PATH_ROWS
@@ -341,7 +352,7 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     sim_key, fit_key = jax.random.split(key)
     S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                              rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
-                             engine=engine)
+                             engine=engine, div_yield=spec.div_yield)
     pb = _pair_block(mc, model, engine)
     if lsm.regressor == "poly":
         price, stderr = lsm_poly_backward(S_paths, spec, T, axis_name=axis_name,
@@ -371,7 +382,7 @@ def price_american_with_control_variate(
     sim_key, fit_key = jax.random.split(key)
     S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                              rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
-                             engine=engine)
+                             engine=engine, div_yield=spec.div_yield)
     if lsm.regressor != "poly" or spec.sigma is None:
         # NN regressor / no analytic leg: fall back to the plain price.
         return price_american_lsm(key, S0, T, spec, mc, lsm, model,
@@ -403,7 +414,8 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         # to the Pallas sampler (different RNG stream than requested).
         sampler = make_terminal_sampler(model, S0, spec.rate, T, sigma=spec.sigma,
                                         heston=heston, sigma_fn=sigma_fn,
-                                        engine=engine)
+                                        engine=engine,
+                                        div_yield=spec.div_yield)
         price, stderr, _ = price_european_mc(key, sampler, spec, T, mc)
         return price, stderr
     if lsm.use_control_variate and spec.sigma is not None and model == "gbm":
@@ -413,6 +425,33 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     return price_american_lsm(key, S0, T, spec, mc, lsm, model, heston=heston,
                               sigma_fn=sigma_fn, axis_name=axis_name,
                               engine=engine)
+
+
+def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
+                              mc: MCConfig, lsm: LSMConfig,
+                              model: str = "gbm", *,
+                              heston: Optional[HestonParams] = None,
+                              sigma_fn=None, engine: str = "auto"):
+    """(price, stderr, cashflow_stats) — the reference's verbose pricing
+    report (mean/std/min/max/P(worthless) of the per-path discounted
+    cashflows, options_model_2.py:316-333). Poly regressor only."""
+    from options_model_tpu.core.stats import cashflow_statistics
+
+    if lsm.regressor != "poly":
+        raise ValueError("price_american_with_stats supports the poly "
+                         "regressor")
+    sim_key, _ = jax.random.split(key)
+    S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
+                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                             engine=engine, div_yield=spec.div_yield)
+    pb = _pair_block(mc, model, engine)
+    price, stderr, (cash, eval_mask) = lsm_poly_backward(
+        S_paths, spec, T, poly_degree=lsm.poly_degree,
+        out_of_sample=lsm.out_of_sample, pair_block=pb,
+        stat_pair_block=pb if mc.antithetic else None, return_cash=True)
+    stats = {k: float(v)
+             for k, v in cashflow_statistics(cash, eval_mask).items()}
+    return price, stderr, stats
 
 
 def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
@@ -440,7 +479,7 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
     pb = _pair_block(mc, model, engine)
     S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                              rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
-                             engine=engine)
+                             engine=engine, div_yield=spec.div_yield)
     kwargs = dict(axis_name=None, poly_degree=lsm.poly_degree,
                   out_of_sample=lsm.out_of_sample, pair_block=pb,
                   return_cash=True)

@@ -34,7 +34,8 @@ def price_barrier_mc(key: jax.Array, S0, T, spec: OptionSpec, barrier: float,
     is_out = barrier_type.endswith("out")
 
     S_paths = simulate_paths(key, S0, T, mc, model, sigma=spec.sigma,
-                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn)
+                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                             div_yield=spec.div_yield)
     if is_out:
         alive = barrier_knockout_mask(S_paths, barrier, is_up)
     else:

@@ -37,6 +37,13 @@ def _native_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
                 ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
+            if hasattr(lib, "crr_price_q"):  # dividend-yield entry (r2+)
+                lib.crr_price_q.restype = ctypes.c_double
+                lib.crr_price_q.argtypes = [
+                    ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                    ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ]
             _LIB = lib
         except OSError:
             _LIB = None
@@ -45,13 +52,23 @@ def _native_lib() -> Optional[ctypes.CDLL]:
 
 def crr_price(S0: float, K: float, T: float, r: float, sigma: float,
               cp: float = 1.0, n_steps: int = 2048, american: bool = True,
-              use_native: bool = True) -> float:
+              use_native: bool = True, q: float = 0.0) -> float:
     """CRR binomial price. cp=+1 call / -1 put; american=False gives the
-    European tree (useful to sanity-check convergence to Black-Scholes)."""
+    European tree (useful to sanity-check convergence to Black-Scholes);
+    ``q`` is the continuous dividend yield (growth r-q, discount r)."""
     lib = _native_lib() if use_native else None
+    # A pre-r2 libcrr.so lacks the q entry point; only q=0 may route to it.
+    if lib is not None and q != 0.0 and not hasattr(lib, "crr_price_q"):
+        lib = None
     if lib is not None:
-        out = float(lib.crr_price(S0, K, T, r, sigma, int(1 if cp > 0 else -1),
-                                  int(n_steps), int(1 if american else 0)))
+        fn = ((lambda: lib.crr_price_q(S0, K, T, r, q, sigma,
+                                       int(1 if cp > 0 else -1),
+                                       int(n_steps), int(1 if american else 0)))
+              if hasattr(lib, "crr_price_q") else
+              (lambda: lib.crr_price(S0, K, T, r, sigma,
+                                     int(1 if cp > 0 else -1),
+                                     int(n_steps), int(1 if american else 0))))
+        out = float(fn())
         if np.isnan(out):
             raise ValueError("CRR risk-neutral prob outside (0,1); reduce dt")
         return out
@@ -60,7 +77,7 @@ def crr_price(S0: float, K: float, T: float, r: float, sigma: float,
     u = np.exp(sigma * np.sqrt(dt))
     d = 1.0 / u
     disc = np.exp(-r * dt)
-    p = (np.exp(r * dt) - d) / (u - d)
+    p = (np.exp((r - q) * dt) - d) / (u - d)
     if not (0.0 < p < 1.0):
         raise ValueError(f"CRR risk-neutral prob p={p} outside (0,1); reduce dt")
 
@@ -77,5 +94,6 @@ def crr_price(S0: float, K: float, T: float, r: float, sigma: float,
     return float(value[0])
 
 
-def crr_american(S0, K, T, r, sigma, cp=1.0, n_steps: int = 2048) -> float:
-    return crr_price(S0, K, T, r, sigma, cp, n_steps, american=True)
+def crr_american(S0, K, T, r, sigma, cp=1.0, n_steps: int = 2048,
+                 q: float = 0.0) -> float:
+    return crr_price(S0, K, T, r, sigma, cp, n_steps, american=True, q=q)

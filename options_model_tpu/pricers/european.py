@@ -38,7 +38,7 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
                           heston: Optional[HestonParams] = None,
                           sigma_fn=None, engine: str = "auto",
                           heston_scheme: str = "euler",
-                          localvol_table=None) -> TerminalSampler:
+                          localvol_table=None, div_yield=0.0) -> TerminalSampler:
     """Terminal-price sampler for one of the three dynamics families.
 
     engine='auto' uses the fused Pallas terminal kernels on TPU backends for
@@ -46,8 +46,12 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
     compiled Chebyshev ``localvol_table`` (surface/cheb.compile_localvol_table)
     is supplied, which unlocks the fused local-vol kernel (~100x faster,
     ~1e-4 vol approximation error on smooth surfaces).
+
+    ``div_yield``: continuous dividend yield q — the sampler's drift is
+    (r - q); the pricer still discounts payoffs at ``r``.
     """
     from options_model_tpu.ops.engine import resolve_engine, seed_from_key
+    r = r - div_yield  # simulators are q-agnostic: their r IS the drift
     eng = resolve_engine(engine) if model in ("gbm", "heston") else "xla"
     if model == "localvol" and localvol_table is not None:
         eng = resolve_engine(engine)
@@ -167,8 +171,8 @@ def price_european_gbm_exact(key: jax.Array, S0, spec: OptionSpec, T,
                              dtype=jnp.float32):
     """One-draw exact-terminal GBM European price (models/gbm.gbm_terminal_exact):
     the statistically optimal European MC under constant vol."""
-    S_T = gbm_terminal_exact(key, S0, spec.rate, spec.sigma, T, n_paths,
-                             antithetic, dtype)
+    S_T = gbm_terminal_exact(key, S0, spec.rate - spec.div_yield, spec.sigma,
+                             T, n_paths, antithetic, dtype)
     payoffs = vanilla_payoff(S_T, spec.strike, spec.cp) * jnp.exp(-spec.rate * jnp.asarray(T, dtype))
     if antithetic:
         # mirror layout of gbm_terminal_exact: (i, i + n/2)

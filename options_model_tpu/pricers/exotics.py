@@ -43,7 +43,8 @@ def price_asian_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         raise ValueError("strike_type must be 'fixed' or 'floating'")
 
     S = simulate_paths(key, S0, T, mc, model, sigma=spec.sigma, rate=spec.rate,
-                       heston=heston, sigma_fn=sigma_fn)
+                       heston=heston, sigma_fn=sigma_fn,
+                       div_yield=spec.div_yield)
     monitored = S[1:]  # average over the monitoring dates, not the spot
     if average == "arithmetic":
         avg = jnp.mean(monitored, axis=0)
@@ -71,7 +72,8 @@ def price_lookback_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         raise ValueError("strike_type must be 'fixed' or 'floating'")
 
     S = simulate_paths(key, S0, T, mc, model, sigma=spec.sigma, rate=spec.rate,
-                       heston=heston, sigma_fn=sigma_fn)
+                       heston=heston, sigma_fn=sigma_fn,
+                       div_yield=spec.div_yield)
     S_min = jnp.min(S, axis=0)
     S_max = jnp.max(S, axis=0)
 

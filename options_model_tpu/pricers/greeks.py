@@ -30,27 +30,27 @@ from options_model_tpu.models.gbm import simulate_gbm
 from options_model_tpu.pricers.american import lsm_poly_backward
 
 
-def _gbm_american_price(x, key, cp, mc: MCConfig, poly_degree: int):
-    """Price as a smooth function of x = (S0, K, T, r, sigma)."""
+def _gbm_american_price(x, key, cp, mc: MCConfig, poly_degree: int, q):
+    """Price as a smooth function of x = (S0, K, T, r, sigma); drift r - q."""
     S0, K, T, r, sigma = x[0], x[1], x[2], x[3], x[4]
     spec = OptionSpec(strike=K, rate=r, cp=cp, sigma=sigma)
-    S_paths = simulate_gbm(key, S0, r, sigma, T, mc, return_paths=True)
+    S_paths = simulate_gbm(key, S0, r - q, sigma, T, mc, return_paths=True)
     price, _ = lsm_poly_backward(S_paths, spec, T, poly_degree=poly_degree)
     return price
 
 
-def _gbm_european_price(x, key, cp, mc: MCConfig):
+def _gbm_european_price(x, key, cp, mc: MCConfig, q):
     S0, K, T, r, sigma = x[0], x[1], x[2], x[3], x[4]
-    S_T = simulate_gbm(key, S0, r, sigma, T, mc, return_paths=False)
+    S_T = simulate_gbm(key, S0, r - q, sigma, T, mc, return_paths=False)
     return jnp.mean(vanilla_payoff(S_T, K, cp)) * jnp.exp(-r * T)
 
 
 @partial(jax.jit, static_argnames=("cp", "mc", "poly_degree", "style"))
-def _greeks_impl(x, key, cp, mc, poly_degree, style):
+def _greeks_impl(x, key, cp, mc, poly_degree, style, q=0.0):
     if style == "american":
-        f = lambda x: _gbm_american_price(x, key, cp, mc, poly_degree)
+        f = lambda x: _gbm_american_price(x, key, cp, mc, poly_degree, q)
     else:
-        f = lambda x: _gbm_european_price(x, key, cp, mc)
+        f = lambda x: _gbm_european_price(x, key, cp, mc, q)
     price, g = jax.value_and_grad(f)(x)
     # Gamma cannot come from pure pathwise AD: GBM paths are LINEAR in S0, so
     # per-path payoffs are piecewise linear and the second derivative is zero
@@ -63,7 +63,7 @@ def _greeks_impl(x, key, cp, mc, poly_degree, style):
     return price, g, gamma
 
 
-def _heston_american_price(x, key, cp, mc: MCConfig, poly_degree: int):
+def _heston_american_price(x, key, cp, mc: MCConfig, poly_degree: int, q):
     """Price as a smooth function of x = (S0, K, T, r, kappa, theta, xi, rho, v0)."""
     from options_model_tpu.core.config import HestonParams
     from options_model_tpu.models.heston import simulate_heston
@@ -71,14 +71,14 @@ def _heston_american_price(x, key, cp, mc: MCConfig, poly_degree: int):
     S0, K, T, r = x[0], x[1], x[2], x[3]
     hp = HestonParams(kappa=x[4], theta=x[5], xi=x[6], rho=x[7], v0=x[8])
     spec = OptionSpec(strike=K, rate=r, cp=cp, sigma=None)
-    S_paths = simulate_heston(key, S0, r, T, hp, mc, return_paths=True)
+    S_paths = simulate_heston(key, S0, r - q, T, hp, mc, return_paths=True)
     price, _ = lsm_poly_backward(S_paths, spec, T, poly_degree=poly_degree)
     return price
 
 
 @partial(jax.jit, static_argnames=("cp", "mc", "poly_degree"))
-def _heston_greeks_impl(x, key, cp, mc, poly_degree):
-    f = lambda x: _heston_american_price(x, key, cp, mc, poly_degree)
+def _heston_greeks_impl(x, key, cp, mc, poly_degree, q=0.0):
+    f = lambda x: _heston_american_price(x, key, cp, mc, poly_degree, q)
     price, g = jax.value_and_grad(f)(x)
     h = 0.005 * x[0]
     delta_at = lambda s: jax.grad(f)(x.at[0].set(s))[0]
@@ -96,7 +96,8 @@ def mc_greeks_heston(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     poly_degree = (lsm or LSMConfig()).poly_degree
     x = jnp.array([S0, spec.strike, T, spec.rate, heston.kappa, heston.theta,
                    heston.xi, heston.rho, heston.v0], jnp.float32)
-    price, g, gamma = _heston_greeks_impl(x, key, spec.cp, mc, poly_degree)
+    price, g, gamma = _heston_greeks_impl(x, key, spec.cp, mc, poly_degree,
+                                          jnp.float32(spec.div_yield))
     return {
         "Price": price,
         "Delta": g[0],
@@ -110,7 +111,7 @@ def mc_greeks_heston(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     }
 
 
-def cos_greeks_heston(S0, K, T, r, heston, cp=1.0) -> Dict[str, jnp.ndarray]:
+def cos_greeks_heston(S0, K, T, r, heston, cp=1.0, q=0.0) -> Dict[str, jnp.ndarray]:
     """EXACT European Heston Greeks: jax.grad through the COS pricer
     (calibration/charfn.py) — no Monte Carlo, no bumping."""
     from options_model_tpu.core.config import HestonParams
@@ -118,7 +119,7 @@ def cos_greeks_heston(S0, K, T, r, heston, cp=1.0) -> Dict[str, jnp.ndarray]:
 
     def f(x):
         hp = HestonParams(kappa=x[4], theta=x[5], xi=x[6], rho=x[7], v0=x[8])
-        return heston_cos_price(x[0], x[1], x[2], x[3], hp, cp).sum()
+        return heston_cos_price(x[0], x[1], x[2], x[3], hp, cp, q=q).sum()
 
     x = jnp.array([S0, K, T, r, heston.kappa, heston.theta, heston.xi,
                    heston.rho, heston.v0], jnp.float32)
@@ -152,7 +153,8 @@ def mc_greeks(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         raise ValueError("mc_greeks requires a constant sigma (GBM dynamics)")
     poly_degree = (lsm or LSMConfig()).poly_degree
     x = jnp.array([S0, spec.strike, T, spec.rate, spec.sigma], jnp.float32)
-    price, g, gamma = _greeks_impl(x, key, spec.cp, mc, poly_degree, style)
+    price, g, gamma = _greeks_impl(x, key, spec.cp, mc, poly_degree, style,
+                                   jnp.float32(spec.div_yield))
     return {
         "Price": price,
         "Delta": g[0],

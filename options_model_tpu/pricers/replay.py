@@ -39,13 +39,14 @@ def price_american_lsm_gbm_replay(key: jax.Array, S0, T, spec: OptionSpec,
     dtype = mc.dtype
     n_steps = mc.n_steps
     dt = jnp.asarray(T, dtype) / n_steps
-    drift = (jnp.asarray(spec.rate, dtype) - 0.5 * jnp.asarray(spec.sigma, dtype) ** 2) * dt
+    growth = spec.rate - spec.div_yield  # risk-neutral drift under q
+    drift = (jnp.asarray(growth, dtype) - 0.5 * jnp.asarray(spec.sigma, dtype) ** 2) * dt
     diffusion = jnp.asarray(spec.sigma, dtype) * jnp.sqrt(dt)
     disc = jnp.exp(-jnp.asarray(spec.rate, dtype) * dt)
     K = jnp.asarray(spec.strike, dtype)
 
     # Forward: terminal prices only — same stream the backward pass replays.
-    S_T = simulate_gbm(key, S0, spec.rate, spec.sigma, T, mc,
+    S_T = simulate_gbm(key, S0, growth, spec.sigma, T, mc,
                        return_paths=False, first_block=first_block)
 
     def allsum(v):

@@ -106,7 +106,8 @@ def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,
                            model: str = "heston", sigma=None,
                            heston: Optional[HestonParams] = None,
                            engine: str = "auto",
-                           heston_scheme: str = "euler") -> jnp.ndarray:
+                           heston_scheme: str = "euler",
+                           div_yield=0.0) -> jnp.ndarray:
     """Price an American option surface. Returns (n_maturities, n_strikes).
 
     strikes: (n_K,), maturities: (n_T,) in years. Each maturity gets an
@@ -120,7 +121,8 @@ def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,
         mkey = jax.random.fold_in(key, ti)
         S_paths = simulate_paths(mkey, S0, T, mc, model, sigma=sigma,
                                  rate=rate, heston=heston, engine=engine,
-                                 heston_scheme=heston_scheme)
+                                 heston_scheme=heston_scheme,
+                                 div_yield=div_yield)
         return lsm_surface_backward(S_paths, strikes, rate, T, cp)
 
     ti = jnp.arange(maturities.shape[0])
@@ -134,7 +136,8 @@ def price_european_surface_mc(key: jax.Array, S0, strikes, maturities, rate,
                               mc: MCConfig, *, cp: float = 1.0,
                               model: str = "heston", sigma=None,
                               heston: Optional[HestonParams] = None,
-                              engine: str = "auto") -> jnp.ndarray:
+                              engine: str = "auto",
+                              div_yield=0.0) -> jnp.ndarray:
     """European surface on shared terminal samples (one simulation per
     maturity, payoffs vmapped over strikes). For Heston the COS pricer
     (calibration/charfn.py) is the closed-form-fast alternative; this MC path
@@ -148,7 +151,8 @@ def price_european_surface_mc(key: jax.Array, S0, strikes, maturities, rate,
         ti, T = args
         mkey = jax.random.fold_in(key, ti)
         sampler = make_terminal_sampler(model, S0, rate, T, sigma=sigma,
-                                        heston=heston, engine=engine)
+                                        heston=heston, engine=engine,
+                                        div_yield=div_yield)
         S_T = sampler(mkey, 0, mc)
         disc = jnp.exp(-jnp.asarray(rate, S_T.dtype) * T)
 

