@@ -16,6 +16,7 @@ The reference's only real parallelism was an OS-process fan-out of independent
 from options_model_tpu.parallel.mesh import make_mesh, device_count
 from options_model_tpu.parallel.batch import (
     price_american_grid,
+    price_american_grid_2d,
     price_european_sharded,
     price_american_sharded_paths,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "make_mesh",
     "device_count",
     "price_american_grid",
+    "price_american_grid_2d",
     "price_european_sharded",
     "price_american_sharded_paths",
 ]

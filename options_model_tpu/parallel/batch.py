@@ -39,6 +39,7 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
                         heston_scheme: str = "euler",
                         lsm_out_of_sample: bool = False,
                         lsm: Optional[LSMConfig] = None,
+                        localvol_table=None, div_yield: float = 0.0,
                         task_ids=None, return_stderr: bool = False,
                         axis: str = "tasks") -> jnp.ndarray:
     """Price a batch of American options, task-sharded across the mesh.
@@ -57,6 +58,12 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
     continuation-value MLP (lsm_nn_backward — the reference's flagship
     scheme, options_model_3/options_model_3.py:679-695), trained per task
     inside the sharded body.
+
+    ``localvol_table`` (model='localvol'): a compiled Chebyshev surface
+    (surface/cheb.compile_localvol_table) — tasks simulate through the fused
+    Pallas local-vol kernel on TPU (the XLA table evaluator elsewhere). The
+    table's step count must equal mc.n_steps and its m-range should cover the
+    task grid's spots (compile with S0_range=(min(S0s), max(S0s))).
     """
     S0s = jnp.asarray(S0s, jnp.float32)
     strikes = jnp.asarray(strikes, jnp.float32)
@@ -83,11 +90,15 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
 
         S0, K, T, tid = task
         task_key = jax.random.fold_in(key, tid.astype(jnp.int32))
-        spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma)
+        spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma,
+                          div_yield=div_yield)
         S_paths = simulate_paths(task_key, S0, T, mc, model, sigma=sigma,
                                  rate=rate, heston=heston, engine=engine,
-                                 heston_scheme=heston_scheme)
-        pb = _pair_block(mc, model, engine)
+                                 heston_scheme=heston_scheme,
+                                 localvol_table=localvol_table,
+                                 div_yield=div_yield)
+        pb = _pair_block(mc, model, engine,
+                         has_table=localvol_table is not None)
         stat_pb = pb if mc.antithetic else None
         if lsm is not None and lsm.regressor == "nn":
             # Distinct fit stream per task (sim used task_key itself).
@@ -140,6 +151,102 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
     return prices[:n_tasks]
 
 
+def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
+                           mc: MCConfig, mesh: Mesh, *, cp: float = -1.0,
+                           sigma=None, heston: Optional[HestonParams] = None,
+                           model: str = "gbm", heston_scheme: str = "euler",
+                           use_control_variate: bool = False,
+                           lsm: Optional[LSMConfig] = None,
+                           div_yield: float = 0.0,
+                           task_ids=None, return_stderr: bool = False,
+                           task_axis: str = "tasks",
+                           path_axis: str = "paths"):
+    """American grid pricing on a 2-D (tasks x paths) mesh — the realistic
+    pod topology (SURVEY.md §2.2): the option grid shards over ``task_axis``
+    while every task's Monte-Carlo paths shard over ``path_axis`` with
+    psum-exact per-date regression Grams (regressors.masked_wls).
+
+    RNG discipline: each task folds the base key by its GLOBAL task id, and
+    each path shard simulates its global block range (first_block = rank *
+    blocks_per_dev) — so prices are invariant to the mesh factorization
+    ((1,8), (2,4), (4,2), ...) and equal the 1-D task-sharded and unsharded
+    results with the same totals (tested in tests/test_parallel.py).
+
+    Returns prices (n_tasks,) [and stderrs with return_stderr]; stderrs are
+    over antithetic pair means of the evaluated statistic.
+    """
+    S0s = jnp.asarray(S0s, jnp.float32)
+    strikes = jnp.asarray(strikes, jnp.float32)
+    taus = jnp.asarray(taus, jnp.float32)
+    n_tasks = S0s.shape[0]
+    n_task_dev = mesh.shape[task_axis]
+    n_path_dev = mesh.shape[path_axis]
+    n_pad = _pad_to(n_tasks, n_task_dev)
+
+    nb_total = _pad_to(num_blocks(mc), n_path_dev)
+    per_dev = nb_total // n_path_dev
+    local_cfg = mc.replace(n_paths=per_dev * mc.path_block)
+
+    def pad(x):
+        return jnp.concatenate([x, jnp.broadcast_to(x[-1:],
+                                                    (n_pad - n_tasks,))])
+
+    S0p, Kp, Tp = pad(S0s), pad(strikes), pad(taus)
+    if task_ids is None:
+        task_ids = jnp.arange(n_tasks)
+    task_ids = pad(jnp.asarray(task_ids, jnp.int32))
+
+    degree = lsm.poly_degree if lsm is not None else 3
+    if lsm is not None and lsm.regressor != "poly":
+        raise ValueError("price_american_grid_2d supports the poly regressor "
+                         "(path-sharded Grams psum exactly; the nn two-pass "
+                         "scheme has no sharded-fit variant)")
+    if lsm is not None and lsm.out_of_sample:
+        raise ValueError("out_of_sample is not supported on the 2-D mesh "
+                         "(the alternating-block split is defined on the "
+                         "global path stream; use price_american_grid)")
+
+    def price_one(task):
+        from options_model_tpu.core.stats import masked_mean_stderr
+        from options_model_tpu.pricers.american import _cv_adjustment
+
+        S0, K, T, tid = task
+        task_key = jax.random.fold_in(key, tid.astype(jnp.int32))
+        rank = jax.lax.axis_index(path_axis)
+        spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma,
+                          div_yield=div_yield)
+        # engine='xla': global-block-index RNG is what makes the result
+        # mesh-shape invariant (the Pallas kernels number tiles per call).
+        S_paths = simulate_paths(task_key, S0, T, local_cfg, model,
+                                 sigma=sigma, rate=rate, heston=heston,
+                                 first_block=rank * per_dev, engine="xla",
+                                 heston_scheme=heston_scheme,
+                                 div_yield=div_yield)
+        stat_pb = mc.path_block if mc.antithetic else None
+        if use_control_variate and sigma is not None and model == "gbm":
+            _, _, (cash, eval_mask) = lsm_poly_backward(
+                S_paths, spec, T, axis_name=path_axis, poly_degree=degree,
+                return_cash=True)
+            cv = cash + _cv_adjustment(S_paths, spec, T)
+            price, stderr, _ = masked_mean_stderr(cv, eval_mask, path_axis,
+                                                  stat_pb)
+            return price, stderr
+        return lsm_poly_backward(S_paths, spec, T, axis_name=path_axis,
+                                 poly_degree=degree, stat_pair_block=stat_pb)
+
+    def shard_body(S0_l, K_l, T_l, tid_l):
+        return jax.lax.map(price_one, (S0_l, K_l, T_l, tid_l))
+
+    prices, stderrs = jax.jit(shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(task_axis), P(task_axis), P(task_axis), P(task_axis)),
+        out_specs=(P(task_axis), P(task_axis)), check_vma=False,
+    ))(S0p, Kp, Tp, task_ids)
+    if return_stderr:
+        return prices[:n_tasks], stderrs[:n_tasks]
+    return prices[:n_tasks]
+
+
 def price_european_sharded(key: jax.Array, S0, T, spec: OptionSpec,
                            mc: MCConfig, mesh: Mesh, *, model: str = "gbm",
                            heston: Optional[HestonParams] = None,
@@ -156,7 +263,8 @@ def price_european_sharded(key: jax.Array, S0, T, spec: OptionSpec,
     per_dev = nb_total // n_dev
     local_cfg = mc.replace(n_paths=per_dev * mc.path_block)
     sampler = make_terminal_sampler(model, S0, spec.rate, T, sigma=spec.sigma,
-                                    heston=heston, engine=engine)
+                                    heston=heston, engine=engine,
+                                    div_yield=spec.div_yield)
     discount = jnp.exp(-jnp.asarray(spec.rate, mc.dtype) * jnp.asarray(T, mc.dtype))
 
     def body():
@@ -203,7 +311,8 @@ def price_american_sharded_paths(key: jax.Array, S0, T, spec: OptionSpec,
         rank = jax.lax.axis_index(axis)
         S_paths = simulate_paths(key, S0, T, local_cfg, model, sigma=spec.sigma,
                                  rate=spec.rate, heston=heston,
-                                 first_block=rank * per_dev, engine="xla")
+                                 first_block=rank * per_dev, engine="xla",
+                                 div_yield=spec.div_yield)
         return lsm_poly_backward(S_paths, spec, T, axis_name=axis)
 
     price, stderr = jax.jit(shard_map(

@@ -39,18 +39,29 @@ class LocalVolTable:
 def compile_localvol_table(sigma_fn: Callable, K: float, T: float,
                            n_steps: int, S0: float, *, degree: int = 7,
                            m_width_sigmas: float = 4.5,
-                           ref_vol: float = 0.25) -> LocalVolTable:
+                           ref_vol: float = 0.25,
+                           S0_range=None) -> LocalVolTable:
     """Fit per-step Chebyshev slices of ``sigma_fn`` (the surface adapter from
     IVSurfaceModel.sigma_fn).
 
     The m-range covers +- m_width_sigmas * ref_vol * sqrt(T) of log-moneyness
     around log(K/S0) — paths outside evaluate the clamped edge polynomial
     value, matching the surface network's own flat extrapolation tendency.
+
+    ``S0_range=(S0_min, S0_max)``: widen the fitted range so ONE table serves
+    a whole spot grid (the curve sweep's S0 axis) — the range covers every
+    starting moneyness in the grid plus the diffusion spread.
     """
     dt = T / n_steps
     spread = m_width_sigmas * ref_vol * np.sqrt(T)
-    m_center = float(np.log(K / S0))
-    m_half = float(max(spread, 0.05))
+    if S0_range is not None:
+        m_lo = float(np.log(K / max(S0_range)))   # highest spot -> lowest m
+        m_hi = float(np.log(K / min(S0_range)))
+        m_center = 0.5 * (m_lo + m_hi)
+        m_half = float(max(0.5 * (m_hi - m_lo) + spread, 0.05))
+    else:
+        m_center = float(np.log(K / S0))
+        m_half = float(max(spread, 0.05))
 
     # Chebyshev nodes in u in [-1, 1]
     n_nodes = 4 * (degree + 1)
