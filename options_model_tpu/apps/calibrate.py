@@ -1,0 +1,110 @@
+"""Heston calibration CLI (reference heston_calibration.py:836-861).
+
+    python -m options_model_tpu.apps.calibrate --test --diagnostics-dir out/
+    python -m options_model_tpu.apps.calibrate --ticker AAPL --verbose
+
+``--test`` calibrates against the synthetic Heston surface oracle with known
+true parameters (create_synthetic_heston_data, heston_calibration.py:730-774)
+and reports recovery error — no network needed. ``--diagnostics-dir`` emits
+the 2x2 calibration diagnostics figure the reference auto-plots
+(heston_calibration.py:582-594,597-709).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from options_model_tpu.core.config import CalibrationConfig, HestonParams
+from options_model_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="Heston model calibration (COS + "
+                                            "gradient cascade)")
+    p.add_argument("--ticker", type=str, default="AAPL",
+                   help="Stock ticker to fetch the option chain for")
+    p.add_argument("--test", action="store_true",
+                   help="Calibrate against the synthetic Heston oracle "
+                        "(no network)")
+    p.add_argument("--rate", type=float, default=0.05)
+    p.add_argument("--div-yield", type=float, default=0.0,
+                   help="Continuous dividend yield q of the underlying")
+    p.add_argument("--noise", type=float, default=0.0,
+                   help="IV noise stddev added to the synthetic surface")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max-iterations", type=int, default=2000)
+    p.add_argument("--methods", type=str, nargs="+",
+                   default=["L-BFGS-B", "differential_evolution",
+                            "dual_annealing"])
+    p.add_argument("--no-vega-weighting", action="store_true")
+    p.add_argument("--diagnostics-dir", type=str, default=None,
+                   help="Write the 2x2 calibration diagnostics PNG here")
+    p.add_argument("--verbose", action="store_true")
+    return p.parse_args(argv)
+
+
+def run(args) -> dict:
+    from options_model_tpu.calibration.calibrator import (
+        calibrate_heston_to_data)
+
+    cfg = CalibrationConfig(
+        use_vega_weighting=not args.no_vega_weighting,
+        max_iterations=args.max_iterations,
+        optimization_methods=tuple(args.methods),
+        seed=args.seed, verbose=args.verbose).validate()
+
+    if args.test:
+        from options_model_tpu.calibration.synthetic import (
+            create_synthetic_heston_surface)
+        true = HestonParams(kappa=2.5, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+        S0 = 100.0
+        K, T, iv = create_synthetic_heston_surface(
+            true, S0=S0, rate=args.rate, noise_std=args.noise, seed=args.seed)
+        log.info(f"Synthetic calibration test: true {true}")
+        params, summary = calibrate_heston_to_data(
+            K, T, iv, S0=S0, rate=args.rate, config=cfg,
+            diagnostics_dir=args.diagnostics_dir,
+            div_yield=args.div_yield)
+        summary["true_params"] = true
+        summary["param_errors"] = {
+            "kappa": abs(params.kappa - true.kappa),
+            "theta": abs(params.theta - true.theta),
+            "xi": abs(params.xi - true.xi),
+            "rho": abs(params.rho - true.rho),
+            "v0": abs(params.v0 - true.v0),
+        }
+    else:
+        from options_model_tpu.data.market import fetch_option_chain
+        K, T, iv, S0 = fetch_option_chain(args.ticker)
+        log.info(f"Calibrating to {len(K)} {args.ticker} options, "
+                 f"S0={S0:.2f}")
+        params, summary = calibrate_heston_to_data(
+            K, T, iv, S0=S0, rate=args.rate, config=cfg,
+            diagnostics_dir=args.diagnostics_dir,
+            div_yield=args.div_yield)
+
+    summary["params"] = params
+    return summary
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    try:
+        summary = run(args)
+    except Exception as e:
+        log.error(f"Calibration failed: {e}")
+        return 1
+    print(f"Calibrated: {summary['params']}")
+    print(f"Weighted IV RMSE: {summary['error']:.6f}")
+    if "param_errors" in summary:
+        errs = ", ".join(f"{k}={v:.4f}"
+                         for k, v in summary["param_errors"].items())
+        print(f"Recovery |error| vs truth: {errs}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,6 +42,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Option expiry date YYYY-MM-DD")
     p.add_argument("--K", type=float, default=125.0, help="Strike price")
     p.add_argument("--r", type=float, default=0.05, help="Risk-free rate")
+    p.add_argument("--q", type=float, default=0.0,
+                   help="Continuous dividend yield (risk-neutral growth "
+                        "r - q; discounting stays at r)")
     p.add_argument("--option-type", type=str, default="call",
                    choices=["call", "put"])
     # Monte Carlo workload (:470-471)
@@ -194,9 +197,9 @@ def _resolve_sigma(args, S0_live: float, sigma_hist: float, T_live: float):
 
 def run(args) -> Dict[str, "object"]:
     """Execute the sweep(s); returns {'bs': df, 'heston': df} as requested."""
-    import jax
-
     from options_model_tpu.apps.curves import CurveRequest, compute_curves
+    from options_model_tpu.ops.engine import enable_compilation_cache
+    enable_compilation_cache()
     from options_model_tpu.pricers.blackscholes import bs_greeks
 
     cp = cp_from_str(args.option_type)
@@ -237,7 +240,8 @@ def run(args) -> Dict[str, "object"]:
         log.info("Using user-supplied Greeks:")
     else:
         greeks = {k: float(v) for k, v in
-                  bs_greeks(S0_live, args.K, T_live, args.r, sigma, cp).items()}
+                  bs_greeks(S0_live, args.K, T_live, args.r, sigma, cp,
+                            q=args.q).items()}
         log.info("Black-Scholes Greeks at live spot (autodiff):")
     for k, v in greeks.items():
         log.info(f"  {k}: {v:.4f}")
@@ -256,6 +260,7 @@ def run(args) -> Dict[str, "object"]:
                         use_control_variate=not args.no_control_variate,
                         out_of_sample=args.lsm_out_of_sample).validate()
     common = dict(s0_list=s0_list, strike=args.K, rate=args.r, cp=cp,
+                  div_yield=args.q,
                   intervals_per_day=args.intervals_per_day,
                   total_points=total_points,
                   num_simulations=args.num_simulations,
@@ -269,21 +274,40 @@ def run(args) -> Dict[str, "object"]:
     run_bs = args.model in ("bs", "both")
     run_heston = args.model in ("heston", "both")
 
+    if args.verbose and run_bs and iv_model is None:
+        # The reference's verbose pricing report at the live spot
+        # (mean/std/min/max/P(worthless), options_model_2.py:316-333).
+        import jax
+        from options_model_tpu.core.config import MCConfig, OptionSpec
+        from options_model_tpu.pricers.american import (
+            price_american_with_stats)
+        probe_spec = OptionSpec(strike=args.K, rate=args.r, cp=cp,
+                                sigma=sigma, div_yield=args.q)
+        price, se, stats = price_american_with_stats(
+            jax.random.key(args.seed), S0_live, max(T_live, 1e-3),
+            probe_spec, MCConfig(n_paths=min(args.num_simulations, 262_144),
+                                 n_steps=50),
+            LSMConfig(poly_degree=args.lsm_poly_degree),
+            engine=args.engine)
+        log.info(f"Live-spot American {args.option_type}: "
+                 f"${float(price):.4f} +- {float(se):.4f}")
+        log.info(f"  cashflow mean ${stats['mean']:.4f}  std "
+                 f"${stats['std']:.4f}  min ${stats['min']:.4f}  max "
+                 f"${stats['max']:.4f}")
+        log.info(f"  probability expires worthless: "
+                 f"{stats['p_worthless']:.2%}")
+        out["live_stats"] = stats
+
     if run_bs:
         if iv_model is not None:
-            # Local-vol pricing: per-S0 curves with the surface's sigma_fn.
-            import pandas as pd
-            from options_model_tpu.apps.curves import compute_curve_for_S0
-            records = []
-            for s0 in s0_list:
-                records.extend(compute_curve_for_S0(
-                    jax.random.key(args.seed + int(s0)), float(s0), args.K,
-                    args.r, cp, intervals_per_day=args.intervals_per_day,
-                    total_points=total_points,
-                    num_simulations=args.num_simulations, model="localvol",
-                    sigma_fn=iv_model.sigma_fn(args.K),
-                    use_control_variate=False))
-            out["bs"] = pd.DataFrame(records)
+            # Local-vol pricing through the batched grid pricer: the surface
+            # is compiled into per-(steps, day) Chebyshev tables, so on TPU
+            # every task simulates through the fused Pallas local-vol kernel
+            # (the reference's headline NN-IV demo, options_model_3.py:
+            # 1016-1039, at fused-kernel speed instead of MLP-in-scan).
+            out["bs"] = compute_curves(CurveRequest(
+                model="localvol", sigma_fn=iv_model.sigma_fn(args.K),
+                **{**common, "use_control_variate": False}))
         else:
             out["bs"] = compute_curves(CurveRequest(
                 model="gbm", sigma=sigma, **common))

@@ -32,6 +32,8 @@ def main():
         spot = st.number_input("Spot price S0", value=120.0, min_value=0.01)
         K = st.number_input("Strike K", value=125.0, min_value=0.01)
         r = st.number_input("Risk-free rate", value=0.05, step=0.01)
+        q = st.number_input("Dividend yield q", value=0.0, step=0.01,
+                            min_value=0.0)
         sigma = st.number_input("Volatility (sigma)", value=0.30, step=0.01,
                                 min_value=0.01)
         option_type = st.selectbox("Option type", ["call", "put"])
@@ -65,12 +67,14 @@ def main():
     if model in ("bs", "both"):
         runs.append(("Black-Scholes", CurveRequest(
             s0_list=s0_list, strike=K, rate=r, cp=cp, model="gbm", sigma=sigma,
+            div_yield=float(q),
             intervals_per_day=ipd, total_points=total_points,
             num_simulations=int(sims), seed=int(seed))))
     if model in ("heston", "both"):
         runs.append(("Heston", CurveRequest(
             s0_list=s0_list, strike=K, rate=r, cp=cp, model="heston",
             heston=heston, sigma=None, use_control_variate=False,
+            div_yield=float(q),
             intervals_per_day=ipd, total_points=total_points,
             num_simulations=int(sims), seed=int(seed))))
 

@@ -48,6 +48,7 @@ class MarketSurface:
     ivs: np.ndarray
     S0: float
     rate: float = 0.05
+    div_yield: float = 0.0
 
     def __post_init__(self):
         K = np.asarray(self.strikes, np.float64)
@@ -99,7 +100,8 @@ def _initial_guess(regime: str, avg_iv: float) -> np.ndarray:
 @partial(jax.jit, static_argnames=("n_terms", "use_vega_weighting"))
 def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
                     n_terms: int = 128, use_vega_weighting: bool = True,
-                    min_weight: float = 0.01, cos_L: float = 12.0):
+                    min_weight: float = 0.01, cos_L: float = 12.0,
+                    div_yield: float = 0.0):
     """Vega-weighted RMSE of model-vs-market implied vols + Feller penalty.
 
     x = (kappa, theta, xi, rho, v0) as a traced array — params are rebuilt
@@ -107,14 +109,16 @@ def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
     """
     params = HestonParams(kappa=x[0], theta=x[1], xi=x[2], rho=x[3], v0=x[4])
     prices = heston_cos_price(S0, strikes, expiries, rate, params, cp=1.0,
-                              n_terms=n_terms, L=cos_L)
+                              n_terms=n_terms, L=cos_L, q=div_yield)
     # Floor keeps the IV solve well-posed for deep-OTM points.
-    intrinsic = jnp.maximum(S0 - strikes * jnp.exp(-rate * expiries), 0.0)
+    intrinsic = jnp.maximum(S0 * jnp.exp(-div_yield * expiries)
+                            - strikes * jnp.exp(-rate * expiries), 0.0)
     prices = jnp.maximum(prices, intrinsic + 1e-6)
-    model_ivs = implied_vol(prices, S0, strikes, expiries, rate, cp=1.0)
+    model_ivs = implied_vol(prices, S0, strikes, expiries, rate, cp=1.0,
+                            q=div_yield)
 
     if use_vega_weighting:
-        vega = bs_vega(S0, strikes, expiries, rate, market_ivs)
+        vega = bs_vega(S0, strikes, expiries, rate, market_ivs, q=div_yield)
         w = jnp.maximum(vega / 100.0, min_weight)
     else:
         w = jnp.ones_like(market_ivs)
@@ -150,7 +154,8 @@ class HestonCalibrator:
                                       n_terms=cfg.cos_n,
                                       use_vega_weighting=cfg.use_vega_weighting,
                                       min_weight=cfg.min_vega_weight,
-                                      cos_L=cfg.cos_L)))
+                                      cos_L=cfg.cos_L,
+                                      div_yield=surface.div_yield)))
 
         # The objective is a tiny host-latency-bound workload (dozens of
         # points x a few hundred COS terms), and its complex-valued gradient
@@ -197,12 +202,14 @@ class HestonCalibrator:
         K = jnp.asarray(surface.strikes, jnp.float32)
         T = jnp.asarray(surface.expiries, jnp.float32)
         prices = heston_cos_price(surface.S0, K, T, surface.rate, p, cp=1.0,
-                                  n_terms=cfg.cos_n, L=cfg.cos_L)
+                                  n_terms=cfg.cos_n, L=cfg.cos_L,
+                                  q=surface.div_yield)
         intrinsic = jnp.maximum(
-            surface.S0 - K * jnp.exp(-surface.rate * T), 0.0)
+            surface.S0 * jnp.exp(-surface.div_yield * T)
+            - K * jnp.exp(-surface.rate * T), 0.0)
         prices = jnp.maximum(prices, intrinsic + 1e-6)
         return np.asarray(implied_vol(prices, surface.S0, K, T, surface.rate,
-                                      cp=1.0))
+                                      cp=1.0, q=surface.div_yield))
 
     def plot_diagnostics(self, surface: MarketSurface, out_path: str):
         """Emit the 2x2 calibration diagnostics figure (the reference plots
@@ -318,11 +325,12 @@ class HestonCalibrator:
 
 def calibrate_heston_to_data(strikes, expiries, ivs, S0, rate=0.05,
                              config: Optional[CalibrationConfig] = None,
-                             diagnostics_dir: Optional[str] = None
+                             diagnostics_dir: Optional[str] = None,
+                             div_yield: float = 0.0
                              ) -> Tuple[HestonParams, Dict[str, Any]]:
     """Convenience wrapper (calibrate_heston_to_data, heston_calibration.py:792-806)."""
     surface = MarketSurface(strikes=strikes, expiries=expiries, ivs=ivs,
-                            S0=S0, rate=rate)
+                            S0=S0, rate=rate, div_yield=div_yield)
     calibrator = HestonCalibrator(config)
     params = calibrator.calibrate(surface, diagnostics_dir=diagnostics_dir)
     return params, calibrator.get_calibration_summary()

@@ -47,8 +47,14 @@ def _pad_to_batches(n: int, batch: int) -> int:
 def train_iv_surface(K, T, sigma_iv, S0: float,
                      cfg: Optional[SurfaceTrainConfig] = None,
                      rate: float = 0.05,
-                     seed: Optional[int] = None) -> SurfaceTrainResult:
-    """Train the IV network on observations (K_i, T_i, iv_i) around spot S0."""
+                     seed: Optional[int] = None,
+                     diagnostics_dir: Optional[str] = None
+                     ) -> SurfaceTrainResult:
+    """Train the IV network on observations (K_i, T_i, iv_i) around spot S0.
+
+    ``diagnostics_dir``: emit the 2x2 training-diagnostics figure there
+    (iv_surface_training.png) — the reference auto-plots these at the end of
+    every training run (NN_training_stock_iv.py:451-452,636-711)."""
     cfg = (cfg or SurfaceTrainConfig()).validate()
     seed = cfg.seed if seed is None else seed
 
@@ -173,9 +179,23 @@ def train_iv_surface(K, T, sigma_iv, S0: float,
             if patience >= cfg.patience:
                 break
 
-    return SurfaceTrainResult(params=best_params, scaler=scaler, config=cfg,
-                              best_val_loss=best_val, train_losses=train_losses,
-                              val_losses=val_losses, epochs_run=epochs_run)
+    result = SurfaceTrainResult(params=best_params, scaler=scaler, config=cfg,
+                                best_val_loss=best_val,
+                                train_losses=train_losses,
+                                val_losses=val_losses, epochs_run=epochs_run)
+
+    if diagnostics_dir is not None:
+        from options_model_tpu.utils.plotting import plot_training_diagnostics
+        os.makedirs(diagnostics_dir, exist_ok=True)
+        # Model-vs-market on the ORIGINAL (unaugmented) observations.
+        iv_model = np.asarray(
+            net.apply(best_params, jnp.asarray(features(K, T)),
+                      deterministic=True)[:, 0])
+        plot_training_diagnostics(
+            train_losses, val_losses, K, T, y, iv_model,
+            out_path=os.path.join(diagnostics_dir, "iv_surface_training.png"))
+
+    return result
 
 
 # --- Checkpointing (save AND restore, unlike the reference) ------------------

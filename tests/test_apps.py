@@ -288,3 +288,30 @@ class TestTradingGrid:
         hours = compute_trading_hours_remaining(expiry)
         expected = max(1, int(np.ceil(hours / TRADING_HOURS_PER_DAY)))
         assert len(out["bs"]) == expected
+
+
+class TestVerboseStats:
+    def test_cashflow_statistics_values(self):
+        import jax.numpy as jnp
+        from options_model_tpu.core.stats import cashflow_statistics
+        cash = jnp.array([0.0, 2.0, 4.0, 100.0])
+        mask = jnp.array([1.0, 1.0, 1.0, 0.0])  # masked-out outlier
+        st = {k: float(v) for k, v in cashflow_statistics(cash, mask).items()}
+        assert st["mean"] == pytest.approx(2.0)
+        assert st["min"] == 0.0 and st["max"] == 4.0
+        assert st["p_worthless"] == pytest.approx(1.0 / 3.0)
+        assert st["std"] == pytest.approx(2.0)
+
+    def test_cli_verbose_emits_live_stats(self):
+        """--verbose reports the reference's pricing statistics at the live
+        spot (mean/std/min/max/P(worthless), options_model_2.py:316-333)."""
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.2", "--K", "100",
+            "--model", "bs", "--num-simulations", "8192",
+            "--s0-start", "100", "--s0-end", "100", "--total-points", "1",
+            "--intervals-per-day", "1", "--engine", "xla",
+            "--option-type", "put", "--verbose"])
+        out = run(args)
+        st = out["live_stats"]
+        assert 0.0 <= st["p_worthless"] <= 1.0
+        assert st["min"] >= 0.0 and st["max"] > st["mean"] > 0.0
