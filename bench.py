@@ -54,16 +54,19 @@ def _walltime(f, seed):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true", help="skip the accuracy leg")
+    ap.add_argument("--quick", action="store_true",
+                    help="skip the accuracy and surface legs")
     ap.add_argument("--surface", action="store_true",
-                    help="also time the 64x64 American Heston grid "
-                         "(~2 min first-compile on the remote backend)")
+                    help="(kept for back-compat; the 64x64 surface leg now "
+                         "runs by default on TPU — --quick skips it)")
     ap.add_argument("--paths", type=int, default=1 << 22)
     ap.add_argument("--steps", type=int, default=100)
     args = ap.parse_args()
 
     from options_model_tpu.core.config import (
         HestonParams, LSMConfig, MCConfig, OptionSpec, PUT)
+    from options_model_tpu.ops.engine import enable_compilation_cache
+    enable_compilation_cache()  # amortize remote first-compiles across rounds
     from options_model_tpu.ops.pallas_gbm import gbm_terminal_pallas
     from options_model_tpu.ops.pallas_heston import (
         heston_paths_pallas, heston_terminal_pallas)
@@ -95,6 +98,18 @@ def main():
         dt_qe = _time_per_call(lambda s: heston_terminal_qe_pallas(
             s, 100.0, 0.05, 1.0, hp, n_paths, n_steps))
         details["heston_qe_path_steps_per_sec"] = round(n_paths * n_steps / dt_qe)
+
+        # Fused local-vol kernel over a compiled Chebyshev surface (the
+        # CLI's --iv nn engine since r2; analytic smile stands in for the
+        # trained network — identical kernel work).
+        from options_model_tpu.ops.pallas_localvol import localvol_terminal_pallas
+        from options_model_tpu.surface.cheb import compile_localvol_table
+        smile = lambda S, tau: (0.2 + 0.1 * jnp.abs(jnp.log(100.0 / S))
+                                + 0.02 * jnp.sqrt(tau))
+        table = compile_localvol_table(smile, 100.0, 1.0, n_steps, 100.0)
+        dt_lv = _time_per_call(lambda s: localvol_terminal_pallas(
+            s, 100.0, 0.05, 1.0, table, n_paths, n_steps))
+        details["localvol_path_steps_per_sec"] = round(n_paths * n_steps / dt_lv)
     else:
         from options_model_tpu.models.heston import simulate_heston
         cfg = MCConfig(n_paths=n_paths, n_steps=n_steps, path_block=4096)
@@ -122,9 +137,11 @@ def main():
         details["american_put_lsm_cv_richardson"] = round(float(price), 6)
         details["american_put_crr"] = round(oracle, 6)
 
-    if args.surface and on_tpu:
+    if on_tpu and not args.quick:
         # BASELINE configs[4]: 64x64 strike x maturity American grid under
-        # Heston, all strikes sharing one path matrix per maturity.
+        # Heston, all strikes sharing one path matrix per maturity. Default
+        # leg (VERDICT r1 #6): the driver record proves the headline workload
+        # every round.
         from options_model_tpu.pricers.surface_american import (
             price_american_surface)
         Ks = jnp.linspace(70.0, 130.0, 64)

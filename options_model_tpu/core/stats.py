@@ -117,3 +117,25 @@ def masked_mean_stderr(x: jnp.ndarray, mask: jnp.ndarray = None,
     mean = allsum((x * mask).sum()) / n
     var = allsum(((x - mean) ** 2 * mask).sum()) / n
     return mean, jnp.sqrt(var / n), n
+
+
+def cashflow_statistics(cash: jnp.ndarray, mask: jnp.ndarray = None) -> dict:
+    """Distribution statistics of the per-path discounted cashflows — the
+    reference's verbose pricing report (options_model_2.py:316-333): mean,
+    std dev, min, max, and P(option expires worthless). ``mask``: 0/1 path
+    weights (e.g. the out-of-sample eval mask); statistics are over the
+    masked paths. jit-friendly (returns scalar jnp arrays)."""
+    if mask is None:
+        mask = jnp.ones_like(cash)
+    n = jnp.maximum(mask.sum(), 1.0)
+    mean = (cash * mask).sum() / n
+    var = (((cash - mean) ** 2) * mask).sum() / jnp.maximum(n - 1.0, 1.0)
+    big = jnp.asarray(jnp.finfo(cash.dtype).max, cash.dtype)
+    return {
+        "mean": mean,
+        "std": jnp.sqrt(var),
+        "min": jnp.min(jnp.where(mask > 0, cash, big)),
+        "max": jnp.max(jnp.where(mask > 0, cash, -big)),
+        "p_worthless": ((cash == 0.0) * mask).sum() / n,
+        "n": n,
+    }

@@ -34,3 +34,23 @@ def resolve_engine(engine: str) -> str:
 def seed_from_key(key: jax.Array) -> jnp.ndarray:
     """Deterministic int32 seed for the on-chip PRNG from a jax PRNG key."""
     return jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
+
+
+def enable_compilation_cache(cache_dir: str = "/tmp/options_tpu_jit_cache",
+                             min_compile_time_secs: float = 1.0) -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    On the remote-compile TPU backend, first compiles of the large programs
+    (64-maturity surface map, big LSM sweeps) take minutes; the persistent
+    cache amortizes them across processes/rounds. Call once at app startup
+    (the CLIs, bench.py and scripts/drive_tpu.py do). Safe to call twice.
+    """
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_time_secs)
+        # Accept cache hits for anything we ever wrote (default only caches
+        # 'some' backends' keys).
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # config names can drift across jax versions
+        pass

@@ -27,6 +27,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from options_model_tpu.ops.engine import enable_compilation_cache
+    enable_compilation_cache()
     log(f"devices: {jax.devices()}")
     t_start = time.time()
 
@@ -117,7 +119,26 @@ def main():
     log(f"barrier: KO {float(ko):.4f} + KI {float(ki):.4f} (vanilla {bs:.4f})")
     assert abs(float(ko) + float(ki) - bs) < 0.15
 
-    # 8. Validation errors raise cleanly.
+    # 8. Local-vol curve sweep through the compiled-table grid path — the
+    # CLI's --iv nn engine (fused Pallas local-vol kernel on TPU). A constant
+    # surface makes the table exact: prices must match the GBM CRR oracle.
+    from options_model_tpu.apps.curves import CurveRequest, compute_curves
+    df_lv = compute_curves(CurveRequest(
+        s0_list=[95.0, 100.0, 105.0], strike=K, rate=r, cp=PUT,
+        intervals_per_day=1, total_points=2, num_simulations=65_536,
+        model="localvol",
+        sigma_fn=lambda S, tau: jnp.full_like(jnp.asarray(S), sig),
+        use_control_variate=False))
+    d_far = df_lv["Days to Expiry"].max()
+    row = df_lv[(df_lv["S0"] == 100.0) & (df_lv["Days to Expiry"] == d_far)]
+    lv_oracle = crr_american(100.0, K, d_far / 365.0, r, sig, cp=-1.0,
+                             n_steps=2048)
+    lv_err = abs(float(row["Option Value"].iloc[0]) - lv_oracle)
+    log(f"local-vol grid (Pallas table kernel): {float(row['Option Value'].iloc[0]):.4f} "
+        f"vs CRR {lv_oracle:.4f} (|diff| {lv_err:.4f})")
+    assert lv_err < max(6.0 * float(row["StdErr"].iloc[0]), 0.05)
+
+    # 9. Validation errors raise cleanly.
     for bad in (lambda: OptionSpec(strike=-5.0, rate=r).validate(),
                 lambda: HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-2.0,
                                      v0=0.04).validate(),
