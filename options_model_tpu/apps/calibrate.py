@@ -42,6 +42,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--no-vega-weighting", action="store_true")
     p.add_argument("--diagnostics-dir", type=str, default=None,
                    help="Write the 2x2 calibration diagnostics PNG here")
+    p.add_argument("--price-surface", type=str, default=None, metavar="CSV",
+                   help="After calibrating, price a 64x64 American surface "
+                        "under the fitted parameters and write it here "
+                        "(shared-path LSM, pricers/surface_american.py)")
+    p.add_argument("--surface-size", type=int, nargs=2, default=(64, 64),
+                   metavar=("NT", "NK"))
     p.add_argument("--verbose", action="store_true")
     return p.parse_args(argv)
 
@@ -87,6 +93,34 @@ def run(args) -> dict:
             div_yield=args.div_yield)
 
     summary["params"] = params
+
+    if args.price_surface:
+        # Calibrate -> price: the fitted dynamics immediately drive the
+        # headline American surface workload.
+        import jax
+        import jax.numpy as jnp
+        import pandas as pd
+
+        from options_model_tpu.core.config import MCConfig
+        from options_model_tpu.pricers.surface_american import (
+            price_american_surface)
+
+        nt, nk = args.surface_size
+        S0_ = S0
+        Ks = jnp.linspace(0.7 * S0_, 1.3 * S0_, nk)
+        Ts = jnp.linspace(0.1, 1.0, nt)
+        P = price_american_surface(
+            jax.random.key(args.seed), S0_, Ks, Ts, args.rate,
+            MCConfig(n_paths=16384, n_steps=50), cp=-1.0, heston=params,
+            div_yield=args.div_yield)
+        import numpy as np
+        Km, Tm = np.meshgrid(np.asarray(Ks), np.asarray(Ts))
+        pd.DataFrame({"K": Km.ravel(), "T": Tm.ravel(),
+                      "price": np.asarray(P).ravel()}).to_csv(
+            args.price_surface, index=False)
+        log.info(f"Calibrated American {nt}x{nk} surface written to "
+                 f"{args.price_surface}")
+        summary["surface_csv"] = args.price_surface
     return summary
 
 

@@ -77,13 +77,34 @@ def check_surface_nn_fit():
     assert rmse < 0.05, f"surface RMSE {rmse:.4f}"
 
 
+def check_dividend_yield():
+    import jax
+    from options_model_tpu.core.config import CALL, LSMConfig, MCConfig, OptionSpec
+    from options_model_tpu.pricers import bs_price, crr_american, price_american
+
+    q = 0.08
+    c = float(bs_price(100.0, 100.0, 1.0, 0.05, 0.25, 1.0, q=q))
+    p = float(bs_price(100.0, 100.0, 1.0, 0.05, 0.25, -1.0, q=q))
+    parity = 100.0 * np.exp(-q) - 100.0 * np.exp(-0.05)
+    assert abs((c - p) - parity) < 1e-4, "BSM parity with q"
+    spec = OptionSpec(strike=100.0, rate=0.05, cp=CALL, sigma=0.25, div_yield=q)
+    mc = MCConfig(n_paths=2**15, n_steps=50, path_block=4096)
+    am, _ = price_american(jax.random.key(0), 100.0, 1.0, spec, mc,
+                           LSMConfig(regressor="poly"))
+    oracle = crr_american(100.0, 100.0, 1.0, 0.05, 0.25, cp=1.0, q=q)
+    assert am > c and abs(float(am) / oracle - 1.0) < 0.02, \
+        "dividend early-exercise premium"
+
+
 def main():
-    print("Quick validation (backend import + 4 checks):")
+    print("Quick validation (backend import + 5 checks):")
     ok = all([
         check("European MC vs Black-Scholes closed form", check_european_vs_bs),
         check("American LSM+CV vs CRR binomial oracle", check_american_vs_crr),
         check("Heston COS put-call parity", check_cos_vs_parity),
         check("IV-surface NN fits the synthetic smile", check_surface_nn_fit),
+        check("Dividend yield q: parity + early-exercise premium",
+              check_dividend_yield),
     ])
     print("ALL CHECKS PASSED" if ok else "SOME CHECKS FAILED")
     return 0 if ok else 1

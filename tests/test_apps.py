@@ -315,3 +315,48 @@ class TestVerboseStats:
         st = out["live_stats"]
         assert 0.0 <= st["p_worthless"] <= 1.0
         assert st["min"] >= 0.0 and st["max"] > st["mean"] > 0.0
+
+
+class TestSurfaceCLI:
+    def test_european_cos_surface_with_iv(self, tmp_path):
+        from options_model_tpu.apps.price_surface import main, parse_args, run
+        csv = str(tmp_path / "surf.csv")
+        args = parse_args([
+            "--style", "european", "--model", "heston", "--option-type",
+            "call", "--nk", "8", "--nt", "4", "--with-iv", "--csv", csv])
+        out = run(args)
+        df = out["df"]
+        assert len(df) == 32 and np.isfinite(df["price"]).all()
+        # COS surface IVs should sit in a sane band around sqrt(theta)=0.2
+        assert ((df["iv"] > 0.05) & (df["iv"] < 0.8)).all()
+        assert (tmp_path / "surf.csv").exists()
+
+    def test_american_gbm_surface_matches_crr_corner(self):
+        from options_model_tpu.apps.price_surface import parse_args, run
+        from options_model_tpu.pricers import crr_american
+        args = parse_args([
+            "--style", "american", "--model", "gbm", "--sigma", "0.2",
+            "--option-type", "put", "--nk", "4", "--nt", "2",
+            "--k-min", "90", "--k-max", "110", "--t-min", "0.25",
+            "--t-max", "0.5", "--num-simulations", "16384", "--steps", "20",
+            "--engine", "xla"])
+        out = run(args)
+        P = out["grid"]  # (nt, nk)
+        oracle = crr_american(100.0, 110.0, 0.5, 0.05, 0.2, cp=-1.0,
+                              n_steps=1024)
+        assert abs(P[-1, -1] / oracle - 1.0) < 0.02
+
+    def test_dividend_flag(self):
+        from options_model_tpu.apps.price_surface import parse_args, run
+        args_q = parse_args([
+            "--style", "european", "--model", "heston", "--option-type",
+            "call", "--nk", "4", "--nt", "2", "--q", "0.05"])
+        args_0 = parse_args([
+            "--style", "european", "--model", "heston", "--option-type",
+            "call", "--nk", "4", "--nt", "2"])
+        pq = run(args_q)["grid"]
+        p0 = run(args_0)["grid"]
+        # dividend lowers call prices (deep-OTM cells sit at the COS
+        # truncation floor ~1e-5 where the ordering is noise)
+        assert (pq <= p0 + 1e-4).all()
+        assert (pq < p0)[p0 > 0.01].all()

@@ -181,3 +181,43 @@ class TestDataLayerGating:
         K, T, iv, S0 = synthetic_smile_surface()
         assert len(K) == len(T) == len(iv) == 120
         assert S0 == 100.0
+
+
+class TestCompilationCache:
+    def test_enable_writes_cache_entries(self, tmp_path, key):
+        """enable_compilation_cache persists compiled programs to disk so
+        remote first-compiles amortize across processes (round-1 known
+        limitation)."""
+        import jax
+        import jax.numpy as jnp
+        from options_model_tpu.ops.engine import enable_compilation_cache
+
+        cache = str(tmp_path / "jit_cache")
+        enable_compilation_cache(cache, min_compile_time_secs=0.0)
+        # jax memoizes the cache object at the first compile of the process;
+        # tests running earlier in the suite may have pinned a no-cache state.
+        try:
+            from jax._src import compilation_cache as _cc
+            _cc.reset_cache()
+        except Exception:
+            pass
+        try:
+            @jax.jit
+            def f(x):
+                return jnp.sin(x) * jnp.cos(x) + jnp.tanh(x) ** 3
+
+            float(f(jnp.float32(0.3)))
+            import os
+            entries = []
+            for root, _, files in os.walk(cache):
+                entries.extend(files)
+            assert entries, "no cache entries written"
+        finally:
+            jax.config.update("jax_compilation_cache_dir", None)
+
+    def test_enable_is_idempotent(self, tmp_path):
+        from options_model_tpu.ops.engine import enable_compilation_cache
+        import jax
+        enable_compilation_cache(str(tmp_path / "a"))
+        enable_compilation_cache(str(tmp_path / "a"))
+        jax.config.update("jax_compilation_cache_dir", None)

@@ -76,3 +76,22 @@ class TestCalibrationDiagnostics:
                              ivs=np.array([0.2]), S0=100.0)
         with pytest.raises(ValueError, match="calibrate"):
             HestonCalibrator().model_ivs(surf)
+
+
+class TestCalibrateThenPrice:
+    def test_calibrate_cli_prices_surface(self, tmp_path):
+        """--price-surface runs the headline American surface workload under
+        the freshly calibrated parameters (calibrate -> price pipeline)."""
+        import pandas as pd
+        from options_model_tpu.apps.calibrate import main
+
+        csv = str(tmp_path / "calibrated_surface.csv")
+        rc = main(["--test", "--methods", "L-BFGS-B",
+                   "--price-surface", csv, "--surface-size", "3", "4"])
+        assert rc == 0
+        df = pd.read_csv(csv)
+        assert len(df) == 12 and (df["price"] >= 0).all()
+        # puts increase in strike within each maturity
+        for T, g in df.groupby("T"):
+            v = g.sort_values("K")["price"].values
+            assert (np.diff(v) > -1e-3).all()
