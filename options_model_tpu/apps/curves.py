@@ -68,6 +68,12 @@ class CurveRequest:
     # LSMConfig(regressor='nn') routes the sweep through the shared
     # continuation-value MLP (the reference's flagship pricer).
     lsm: Optional[LSMConfig] = None
+    # 'auto': GBM/Heston sweeps price each curve point's WHOLE S0 grid on one
+    # shared path set via spot homogeneity (pricers/surface_american.
+    # price_american_curve_shared) — ~|S0 grid|x less simulation AND
+    # regression work. 'off' forces the task-per-cell sharded pricer
+    # (independent streams per cell; use for multi-chip task sharding).
+    shared_paths: str = "auto"
     steps_lo: int = 10
     steps_hi: int = 130
     seed: int = 42
@@ -97,6 +103,19 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
     if req.model == "localvol" and req.sigma_fn is None:
         raise ValueError("model='localvol' sweeps need sigma_fn (the "
                          "IV-surface adapter, IVSurfaceModel.sigma_fn)")
+    if req.shared_paths not in ("auto", "off"):
+        raise ValueError(f"shared_paths must be 'auto' or 'off', "
+                         f"got {req.shared_paths!r}")
+    # Shared-path homogeneity fast path: spot-homogeneous dynamics, the
+    # default cubic poly regressor, full-sample in-sample estimator.
+    use_shared = (
+        req.shared_paths == "auto"
+        and req.model in ("gbm", "heston")
+        and not req.european_approximation
+        and not req.lsm_out_of_sample
+        and (req.lsm is None or (req.lsm.regressor == "poly"
+                                 and req.lsm.poly_degree == 3
+                                 and not req.lsm.out_of_sample)))
 
     tasks: List[Dict] = []
     for s0 in req.s0_list:
@@ -109,13 +128,16 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
     for gi, t in enumerate(tasks):
         t["task_id"] = gi  # global id BEFORE grouping: RNG stays stable
 
-    # Bucket by static step count (one XLA compile per bucket). Local-vol
-    # additionally buckets by day: each Chebyshev table is compiled for ONE
-    # (T, n_steps) pair — buckets sharing a step count reuse the compiled
-    # executable (the table is a traced pytree, only shapes are static).
+    # Bucket by static step count (one XLA compile AND one dispatch per
+    # bucket). Local-vol additionally buckets by day: a Chebyshev table
+    # belongs to ONE (T, n_steps) pair — buckets sharing a step count reuse
+    # the compiled executable (T and the table are traced, only shapes are
+    # static). The shared-path fast path keeps steps-only buckets: its days
+    # run under lax.map inside one program.
+    per_day = req.model == "localvol"
     buckets: Dict = {}
     for t in tasks:
-        bkey = (t["steps"], t["days"]) if req.model == "localvol" else t["steps"]
+        bkey = (t["steps"], t["days"]) if per_day else t["steps"]
         buckets.setdefault(bkey, []).append(t)
 
     mc_base = MCConfig(n_paths=req.num_simulations).validate()
@@ -136,6 +158,40 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
                 req.sigma_fn, req.strike, float(Ts[0]), steps,
                 float(np.mean(S0s)),
                 S0_range=(float(S0s.min()), float(S0s.max())))
+        if use_shared:
+            from options_model_tpu.pricers.surface_american import (
+                price_american_curves_shared)
+            # One stream per curve point, keyed by the point's grid index —
+            # stable under changes to the S0 list (adding a spot never moves
+            # another spot's price).
+            days_b = sorted({t["days"] for t in group}, reverse=True)
+            s0_b = sorted({t["S0"] for t in group})
+            pids = np.array([int(round(d * req.intervals_per_day))
+                             for d in days_b], np.int32)
+            skey = jax.random.fold_in(key, 0x5eed)
+            with Timer() as tm:
+                prices, stderrs = price_american_curves_shared(
+                    skey, np.array(s0_b, np.float32), req.strike,
+                    np.array(days_b, np.float32) / 365.0, req.rate, mc,
+                    point_ids=pids, cp=req.cp, model=req.model,
+                    sigma=req.sigma, heston=req.heston, engine=req.engine,
+                    heston_scheme=req.heston_scheme,
+                    div_yield=req.div_yield,
+                    use_control_variate=req.use_control_variate)
+                prices, stderrs = np.asarray(prices), np.asarray(stderrs)
+            done += len(group)
+            if progress is not None:
+                eta = estimate_total_runtime(time.time() - t_start, done,
+                                             len(tasks)) - (time.time() - t_start)
+                progress(done / len(tasks), max(eta, 0.0))
+            log.info(f"bucket steps={steps} (shared paths): {len(days_b)} "
+                     f"points x {len(s0_b)} spots in {tm.elapsed:.2f}s")
+            for di, d in enumerate(days_b):
+                for si, s0 in enumerate(s0_b):
+                    records.append({"S0": s0, "Days to Expiry": d,
+                                    "Option Value": float(prices[di, si]),
+                                    "StdErr": float(stderrs[di, si])})
+            continue
         with Timer() as tm:
             # Per-task keys still come from each task's global id: fold the
             # base key by id inside the grid pricer via the padded task index.

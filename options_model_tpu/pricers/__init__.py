@@ -23,6 +23,7 @@ from options_model_tpu.pricers.american import (
 )
 from options_model_tpu.pricers.barrier import price_barrier_mc
 from options_model_tpu.pricers.surface_american import (
+    price_american_curve_shared,
     price_american_surface,
     price_european_surface_mc,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "price_american_with_control_variate",
     "price_american",
     "price_barrier_mc",
+    "price_american_curve_shared",
     "price_american_surface",
     "price_european_surface_mc",
 ]

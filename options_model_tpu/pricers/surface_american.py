@@ -41,10 +41,14 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def lsm_surface_backward(S_paths: jnp.ndarray, strikes: jnp.ndarray, rate, T,
-                         cp: float = -1.0, ridge: float = 1e-6) -> jnp.ndarray:
+                         cp: float = -1.0, ridge: float = 1e-6,
+                         return_cash: bool = False) -> jnp.ndarray:
     """LSM backward induction for ALL strikes at once on shared paths.
 
-    S_paths: (n_steps+1, P); strikes: (n_K,). Returns prices (n_K,).
+    S_paths: (n_steps+1, P); strikes: (n_K,). Returns prices (n_K,), or with
+    ``return_cash`` the full per-path discounted cashflow matrix (n_K, P) —
+    the statistic the curve fast path reduces with pair-aware stderrs and
+    control variates.
     """
     n_steps = S_paths.shape[0] - 1
     P = S_paths.shape[1]
@@ -98,7 +102,112 @@ def lsm_surface_backward(S_paths: jnp.ndarray, strikes: jnp.ndarray, rate, T,
         return jnp.where(exercise, immediate, cash), None
 
     cash, _ = jax.lax.scan(step, cash0, ts)
-    return jnp.mean(cash * disc, axis=1)
+    cash = cash * disc
+    if return_cash:
+        return cash
+    return jnp.mean(cash, axis=1)
+
+
+def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
+                                 mc: MCConfig, *, point_ids=None,
+                                 cp: float = -1.0,
+                                 model: str = "gbm", sigma=None,
+                                 heston: Optional[HestonParams] = None,
+                                 engine: str = "auto",
+                                 heston_scheme: str = "euler",
+                                 div_yield: float = 0.0,
+                                 use_control_variate: bool = False):
+    """Price MANY curve points' whole S0 grids on shared path sets — one
+    dispatch for a whole steps-bucket of the sweep.
+
+    GBM and Heston log-increments are independent of the spot level, so the
+    American value is homogeneous of degree 1 in (S0, K):
+
+        V(S0_i, K) = (S0_i / B) * V(B, K * B / S0_i)   for any base B.
+
+    Simulating once per curve point at B = K turns the task-per-(S0, point)
+    design (which re-simulates and re-regresses per spot) into one simulation
+    plus the shared-basis surface backward over the effective strikes
+    K*B/S0_i — the sweep's cost drops by ~|S0 grid| on both the sim and the
+    regression. Curve points run under ``lax.map`` inside ONE jitted program
+    (Ts is traced; only shapes are static), so the whole bucket pays a single
+    dispatch. NOT valid for local-vol (sigma depends on the absolute level).
+
+    Ts: (n_d,) maturities sharing mc.n_steps; ``point_ids``: (n_d,) ints
+    keying each point's RNG stream (stable under S0-list changes). Returns
+    (prices, stderrs) shaped (n_d, n_S0), stderrs over antithetic pair means
+    of the (optionally CV-adjusted) per-path statistic. Estimates within one
+    point share paths and are correlated with each other (each individually
+    unbiased) — the same trade the surface pricer makes across strikes.
+    """
+    from options_model_tpu.core.payoff import vanilla_payoff
+    from options_model_tpu.core.stats import masked_mean_stderr
+    from options_model_tpu.pricers.american import _pair_block
+    from options_model_tpu.pricers.blackscholes import bs_price
+
+    if model not in ("gbm", "heston"):
+        raise ValueError("shared-path curve pricing requires spot-homogeneous "
+                         f"dynamics (gbm/heston), got {model!r}")
+    S0s = jnp.asarray(S0s, jnp.float32)
+    Ts = jnp.asarray(Ts, jnp.float32).reshape(-1)
+    if point_ids is None:
+        point_ids = jnp.arange(Ts.shape[0])
+    point_ids = jnp.asarray(point_ids, jnp.int32).reshape(-1)
+    base = jnp.asarray(strike, jnp.float32)  # simulate ATM: S0 = K
+    scale = S0s / base                                      # (n,)
+    eff_strikes = jnp.asarray(strike, jnp.float32) / scale  # K * B / S0_i
+    pb = _pair_block(mc, model, engine)
+    stat_pb = pb if mc.antithetic else None
+
+    def one_point(args):
+        pid, T = args
+        pkey = jax.random.fold_in(key, pid)
+        S_paths = simulate_paths(pkey, base, T, mc, model, sigma=sigma,
+                                 rate=rate, heston=heston, engine=engine,
+                                 heston_scheme=heston_scheme,
+                                 div_yield=div_yield)
+        cash = lsm_surface_backward(S_paths, eff_strikes, rate, T, cp,
+                                    return_cash=True)        # (n, P)
+        if use_control_variate:
+            # beta=1 European control variate with a CLOSED-FORM leg: BS for
+            # GBM, the COS characteristic-function price for Heston (the
+            # reference could only CV under constant vol; the COS pricer
+            # extends it to stochastic vol with zero extra MC work).
+            eu = None
+            if model == "gbm" and sigma is not None:
+                eu = bs_price(base, eff_strikes, T, rate, sigma, cp,
+                              q=div_yield)
+            elif model == "heston" and heston is not None:
+                from options_model_tpu.calibration.charfn import (
+                    heston_cos_price)
+                eu = heston_cos_price(base, eff_strikes, T, rate, heston,
+                                      cp=cp, q=div_yield)
+            if eu is not None:
+                disc = jnp.exp(-jnp.asarray(rate, cash.dtype)
+                               * jnp.asarray(T, cash.dtype))
+                pay_T = vanilla_payoff(S_paths[-1][None, :],
+                                       eff_strikes[:, None], cp) * disc
+                cash = cash + (eu[:, None] - pay_T)
+
+        def reduce_one(c):
+            price, stderr, _ = masked_mean_stderr(c, None, None, stat_pb)
+            return price, stderr
+
+        prices, stderrs = jax.vmap(reduce_one)(cash)
+        return prices * scale, stderrs * scale
+
+    return jax.jit(lambda ids, ts: jax.lax.map(one_point, (ids, ts)))(
+        point_ids, Ts)
+
+
+def price_american_curve_shared(key: jax.Array, S0s, strike, T, rate,
+                                mc: MCConfig, **kw):
+    """Single-curve-point convenience wrapper over
+    price_american_curves_shared. Returns (prices, stderrs) shaped (n_S0,)."""
+    prices, stderrs = price_american_curves_shared(
+        key, S0s, strike, jnp.asarray([T], jnp.float32), rate, mc,
+        point_ids=jnp.zeros((1,), jnp.int32), **kw)
+    return prices[0], stderrs[0]
 
 
 def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,

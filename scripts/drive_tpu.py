@@ -138,6 +138,24 @@ def main():
         f"vs CRR {lv_oracle:.4f} (|diff| {lv_err:.4f})")
     assert lv_err < max(6.0 * float(row["StdErr"].iloc[0]), 0.05)
 
+    # 8b. Shared-path homogeneity sweep (the default GBM/Heston curve
+    # engine): one simulation per curve point serves the whole S0 grid;
+    # every spot must match its own CRR oracle.
+    df_sh = compute_curves(CurveRequest(
+        s0_list=[90.0, 100.0, 110.0], strike=K, rate=r, cp=PUT,
+        intervals_per_day=1, total_points=2, num_simulations=262_144,
+        sigma=sig))
+    d_far2 = df_sh["Days to Expiry"].max()
+    for s0 in (90.0, 100.0, 110.0):
+        row2 = df_sh[(df_sh["S0"] == s0)
+                     & (df_sh["Days to Expiry"] == d_far2)]
+        crr2 = crr_american(s0, K, d_far2 / 365.0, r, sig, cp=-1.0,
+                            n_steps=2048)
+        err2 = abs(float(row2["Option Value"].iloc[0]) - crr2)
+        assert err2 < max(6.0 * float(row2["StdErr"].iloc[0]), 0.03), (
+            s0, float(row2["Option Value"].iloc[0]), crr2)
+    log("shared-path sweep: 3 spots vs CRR ok (far point, 262k paths)")
+
     # 9. Validation errors raise cleanly.
     for bad in (lambda: OptionSpec(strike=-5.0, rate=r).validate(),
                 lambda: HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-2.0,

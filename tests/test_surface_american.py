@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from options_model_tpu.core.config import HestonParams, MCConfig
 from options_model_tpu.calibration import heston_cos_price
@@ -73,3 +74,129 @@ class TestEuropeanSurfaceMC:
                                                  engine="xla"))
         bs = np.asarray(bs_price(100.0, Ks, 0.5, 0.05, 0.2, 1.0))
         np.testing.assert_allclose(P[0], bs, atol=0.15)
+
+
+class TestSharedCurveFastPath:
+    """Spot-homogeneity fast path: each curve point's whole S0 grid priced on
+    ONE shared path set (pricers/surface_american.price_american_curve_shared
+    + the compute_curves 'auto' routing)."""
+
+    def test_gbm_matches_crr_across_spots(self, key):
+        from options_model_tpu.core.config import MCConfig
+        from options_model_tpu.pricers import crr_american
+        from options_model_tpu.pricers.surface_american import (
+            price_american_curve_shared)
+
+        S0s = np.array([90.0, 100.0, 110.0], np.float32)
+        mc = MCConfig(n_paths=65536, n_steps=50, path_block=4096)
+        prices, stderrs = price_american_curve_shared(
+            key, S0s, 100.0, 0.5, 0.05, mc, cp=-1.0, model="gbm", sigma=0.2,
+            engine="xla", use_control_variate=True)
+        for s0, p, se in zip(S0s, np.asarray(prices), np.asarray(stderrs)):
+            oracle = crr_american(float(s0), 100.0, 0.5, 0.05, 0.2, cp=-1.0,
+                                  n_steps=2048)
+            # 50-date Bermudan gap ~0.13% dominates; 1% band pins correctness
+            assert abs(float(p) / oracle - 1.0) < 0.01, (s0, float(p), oracle)
+            assert se > 0
+
+    def test_heston_matches_per_task_pricer(self, key):
+        from options_model_tpu.core.config import HestonParams, MCConfig, OptionSpec, PUT
+        from options_model_tpu.pricers.american import price_american_lsm
+        from options_model_tpu.core.config import LSMConfig
+        from options_model_tpu.pricers.surface_american import (
+            price_american_curve_shared)
+
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+        S0s = np.array([95.0, 105.0], np.float32)
+        mc = MCConfig(n_paths=65536, n_steps=20, path_block=4096)
+        prices, _ = price_american_curve_shared(
+            key, S0s, 100.0, 0.5, 0.05, mc, cp=PUT, model="heston",
+            heston=hp, engine="xla")
+        for s0, p in zip(S0s, np.asarray(prices)):
+            spec = OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=None)
+            ref, se = price_american_lsm(
+                jax.random.fold_in(key, int(s0)), float(s0), 0.5, spec, mc,
+                LSMConfig(regressor="poly", use_control_variate=False),
+                model="heston", heston=hp, engine="xla")
+            assert abs(float(p) - float(ref)) < 6.0 * float(se) + 0.02
+
+    def test_dividend_homogeneity_preserved(self, key):
+        # q enters the drift only, so homogeneity still holds exactly.
+        from options_model_tpu.core.config import MCConfig
+        from options_model_tpu.pricers import crr_american
+        from options_model_tpu.pricers.surface_american import (
+            price_american_curve_shared)
+
+        mc = MCConfig(n_paths=65536, n_steps=50, path_block=4096)
+        prices, _ = price_american_curve_shared(
+            key, np.array([100.0], np.float32), 100.0, 1.0, 0.05, mc,
+            cp=1.0, model="gbm", sigma=0.25, engine="xla", div_yield=0.08)
+        oracle = crr_american(100.0, 100.0, 1.0, 0.05, 0.25, cp=1.0,
+                              n_steps=2048, q=0.08)
+        assert abs(float(prices[0]) / oracle - 1.0) < 0.01
+
+    def test_localvol_rejected(self, key):
+        from options_model_tpu.core.config import MCConfig
+        from options_model_tpu.pricers.surface_american import (
+            price_american_curve_shared)
+        with pytest.raises(ValueError, match="homogeneous"):
+            price_american_curve_shared(
+                key, np.array([100.0]), 100.0, 0.5, 0.05,
+                MCConfig(n_paths=4096), model="localvol")
+
+    def test_curves_auto_routing_and_s0_stability(self):
+        """compute_curves routes eligible sweeps through the fast path. A
+        spot's RNG stream is keyed by the grid index, so growing the S0 list
+        leaves its paths identical — prices agree up to f32 boundary
+        decision flips (the regression matmul tiles differently for a
+        different strike count; same phenomenon as the 2-D mesh tests) —
+        and an identical call is bitwise reproducible."""
+        from options_model_tpu.apps.curves import CurveRequest, compute_curves
+
+        kw = dict(strike=100.0, rate=0.05, cp=-1.0, intervals_per_day=1,
+                  total_points=2, num_simulations=16384, sigma=0.2,
+                  engine="xla", seed=11)
+        df_small = compute_curves(CurveRequest(s0_list=[100.0], **kw))
+        df_big = compute_curves(CurveRequest(s0_list=[95.0, 100.0, 105.0],
+                                             **kw))
+        a = df_small[df_small["S0"] == 100.0].sort_values("Days to Expiry")
+        b = df_big[df_big["S0"] == 100.0].sort_values("Days to Expiry")
+        np.testing.assert_allclose(a["Option Value"].values,
+                                   b["Option Value"].values, rtol=3e-3)
+        df_again = compute_curves(CurveRequest(s0_list=[100.0], **kw))
+        np.testing.assert_array_equal(df_small["Option Value"].values,
+                                      df_again["Option Value"].values)
+
+    def test_shared_off_forces_per_task(self):
+        from options_model_tpu.apps.curves import CurveRequest, compute_curves
+
+        kw = dict(s0_list=[100.0], strike=100.0, rate=0.05, cp=-1.0,
+                  intervals_per_day=1, total_points=1,
+                  num_simulations=16384, sigma=0.2, engine="xla", seed=11)
+        p_on = compute_curves(CurveRequest(**kw))["Option Value"].iloc[0]
+        p_off = compute_curves(CurveRequest(shared_paths="off", **kw))[
+            "Option Value"].iloc[0]
+        # different streams/estimators, same option: agree within MC error
+        assert abs(p_on - p_off) < 0.15
+        with pytest.raises(ValueError, match="shared_paths"):
+            compute_curves(CurveRequest(shared_paths="maybe", **kw))
+
+    def test_heston_cos_control_variate(self, key):
+        """The COS closed-form leg extends the beta=1 European control
+        variate to Heston (the reference could only CV under constant vol):
+        ATM stderr shrinks, price stays consistent."""
+        from options_model_tpu.core.config import MCConfig
+        from options_model_tpu.pricers.surface_american import (
+            price_american_curve_shared)
+
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+        S0s = np.array([100.0, 110.0], np.float32)
+        mc = MCConfig(n_paths=65536, n_steps=20, path_block=4096)
+        p_cv, s_cv = price_american_curve_shared(
+            key, S0s, 100.0, 0.5, 0.05, mc, cp=-1.0, model="heston",
+            heston=hp, engine="xla", use_control_variate=True)
+        p, s = price_american_curve_shared(
+            key, S0s, 100.0, 0.5, 0.05, mc, cp=-1.0, model="heston",
+            heston=hp, engine="xla", use_control_variate=False)
+        assert float(s_cv[1]) < float(s[1])  # OTM put: variate bites
+        np.testing.assert_allclose(np.asarray(p_cv), np.asarray(p), atol=0.1)
