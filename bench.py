@@ -138,6 +138,20 @@ def main():
         details["american_put_crr"] = round(oracle, 6)
 
     if on_tpu and not args.quick:
+        # The reference's flagship workload: an S0-grid x days-to-expiry
+        # American curve sweep (ProcessPoolExecutor fan-out there;
+        # spot-homogeneity shared paths here). Warm-timed second call.
+        from options_model_tpu.apps.curves import CurveRequest, compute_curves
+        req_kw = dict(s0_list=[float(s) for s in range(90, 112, 2)],
+                      strike=100.0, rate=0.05, cp=-1.0, intervals_per_day=1,
+                      total_points=8, num_simulations=262_144, sigma=0.2)
+        compute_curves(CurveRequest(seed=1, **req_kw))  # compile
+        t0 = time.perf_counter()
+        df_sweep = compute_curves(CurveRequest(seed=2, **req_kw))
+        dt_sw = time.perf_counter() - t0
+        details["curve_sweep_cells_per_sec"] = round(len(df_sweep) / dt_sw)
+        details["curve_sweep_cells"] = len(df_sweep)
+
         # BASELINE configs[4]: 64x64 strike x maturity American grid under
         # Heston, all strikes sharing one path matrix per maturity. Default
         # leg (VERDICT r1 #6): the driver record proves the headline workload

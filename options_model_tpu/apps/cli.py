@@ -109,6 +109,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "NN_training_stock_iv.py:451-452)")
     p.add_argument("--csv", type=str, default=None, help="Write results CSV")
     p.add_argument("--html", type=str, default=None, help="Write Plotly HTML")
+    p.add_argument("--plot-paths", action="store_true",
+                   help="With --diagnostics-dir: save a sample of simulated "
+                        "paths at the live spot (the v1.5 plot_paths "
+                        "feature, options_model_v1.5.py:130-138)")
     p.add_argument("--show-plot", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--interactive", action="store_true",
@@ -273,6 +277,26 @@ def run(args) -> Dict[str, "object"]:
 
     run_bs = args.model in ("bs", "both")
     run_heston = args.model in ("heston", "both")
+
+    if args.plot_paths and args.diagnostics_dir and iv_model is None:
+        import os
+
+        import jax
+        from options_model_tpu.core.config import MCConfig
+        from options_model_tpu.pricers.american import simulate_paths
+        from options_model_tpu.utils.plotting import plot_sample_paths
+        os.makedirs(args.diagnostics_dir, exist_ok=True)
+        mc_plot = MCConfig(n_paths=4096, n_steps=50, path_block=4096)
+        S_plot = simulate_paths(
+            jax.random.key(args.seed), S0_live, max(T_live, 1e-3), mc_plot,
+            "gbm" if args.model != "heston" else "heston", sigma=sigma,
+            rate=args.r, heston=heston if args.model == "heston" else None,
+            engine=args.engine, div_yield=args.q)
+        plot_sample_paths(S_plot, max(T_live, 1e-3),
+                          out_path=os.path.join(args.diagnostics_dir,
+                                                "sample_paths.png"))
+        log.info(f"Sample paths written to "
+                 f"{args.diagnostics_dir}/sample_paths.png")
 
     if args.verbose and run_bs and iv_model is None:
         # The reference's verbose pricing report at the live spot

@@ -117,17 +117,19 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
             return price, stderr
         oos = lsm_out_of_sample or (lsm is not None and lsm.out_of_sample)
         degree = lsm.poly_degree if lsm is not None else 3
-        if use_control_variate and sigma is not None and model == "gbm":
-            # Same-path European leg + BS closed form, beta = 1. The stderr
-            # is of the per-path CV statistic cash + (BS - pay_T) — the raw
-            # LSM stderr would overstate the returned estimator's error by
-            # the variance the variate removes
+        cv_leg = ((sigma is not None and model == "gbm")
+                  or (model == "heston" and heston is not None))
+        if use_control_variate and cv_leg:
+            # Same-path European leg + closed form (BS for GBM, COS for
+            # Heston), beta = 1. The stderr is of the per-path CV statistic
+            # cash + (EU - pay_T) — the raw LSM stderr would overstate the
+            # returned estimator's error by the variance the variate removes
             # (pricers/american.py:price_american_with_control_variate).
             _, _, (cash, eval_mask) = lsm_poly_backward(
                 S_paths, spec, T, poly_degree=degree, out_of_sample=oos,
                 pair_block=pb if oos else None,
                 return_cash=True)
-            cv = cash + _cv_adjustment(S_paths, spec, T)
+            cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, None, stat_pb)
             return price, stderr
         return lsm_poly_backward(
@@ -223,11 +225,13 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
                                  heston_scheme=heston_scheme,
                                  div_yield=div_yield)
         stat_pb = mc.path_block if mc.antithetic else None
-        if use_control_variate and sigma is not None and model == "gbm":
+        cv_leg = ((sigma is not None and model == "gbm")
+                  or (model == "heston" and heston is not None))
+        if use_control_variate and cv_leg:
             _, _, (cash, eval_mask) = lsm_poly_backward(
                 S_paths, spec, T, axis_name=path_axis, poly_degree=degree,
                 return_cash=True)
-            cv = cash + _cv_adjustment(S_paths, spec, T)
+            cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, path_axis,
                                                   stat_pb)
             return price, stderr

@@ -118,15 +118,23 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
     raise ValueError(f"unknown model {model!r}")
 
 
-def _cv_adjustment(S_paths, spec: OptionSpec, T):
-    """Per-path beta=1 control-variate adjustment (BS closed form minus the
-    discounted terminal payoff of the SAME path) — shared by the CV pricer and
-    the Richardson extrapolator."""
+def _cv_adjustment(S_paths, spec: OptionSpec, T,
+                   heston: Optional[HestonParams] = None):
+    """Per-path beta=1 control-variate adjustment (the European closed form
+    minus the discounted terminal payoff of the SAME path) — shared by the CV
+    pricer and the Richardson extrapolator. The closed-form leg is BS when a
+    constant sigma exists, else the Heston COS price."""
     dtype = S_paths.dtype
     discount = jnp.exp(-jnp.asarray(spec.rate, dtype) * jnp.asarray(T, dtype))
     pay_T = vanilla_payoff(S_paths[-1], spec.strike, spec.cp) * discount
-    return bs_price(S_paths[0][0], spec.strike, T, spec.rate, spec.sigma,
-                    spec.cp, q=spec.div_yield) - pay_T
+    if spec.sigma is not None:
+        eu = bs_price(S_paths[0][0], spec.strike, T, spec.rate, spec.sigma,
+                      spec.cp, q=spec.div_yield)
+    else:
+        from options_model_tpu.calibration.charfn import heston_cos_price
+        eu = heston_cos_price(S_paths[0][0], spec.strike, T, spec.rate,
+                              heston, cp=spec.cp, q=spec.div_yield)
+    return eu - pay_T
 
 
 def _pair_block(mc: MCConfig, model: str, engine: str,
@@ -374,28 +382,32 @@ def price_american_with_control_variate(
         sigma_fn=None, axis_name: Optional[str] = None, engine: str = "auto"):
     """American price with the European control variate (beta = 1):
 
-        AM_cv = AM_lsm + (BS_closed_form - EU_mc_same_paths)
+        AM_cv = AM_lsm + (EU_closed_form - EU_mc_same_paths)
 
-    (price_american_with_control_variate, options_model_3/options_model_3.py:653-677;
-    requires a constant sigma, i.e. GBM dynamics, for the analytic leg.)
+    (price_american_with_control_variate, options_model_3/options_model_3.py:
+    653-677.) The closed-form leg is Black-Scholes for GBM (the reference's
+    only case) or the COS characteristic-function price for Heston — the COS
+    pricer extends the variate to stochastic vol with zero extra MC work.
     """
-    sim_key, fit_key = jax.random.split(key)
-    S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
-                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
-                             engine=engine, div_yield=spec.div_yield)
-    if lsm.regressor != "poly" or spec.sigma is None:
+    analytic = (model == "gbm" and spec.sigma is not None) or \
+               (model == "heston" and heston is not None)
+    if lsm.regressor != "poly" or not analytic:
         # NN regressor / no analytic leg: fall back to the plain price.
         return price_american_lsm(key, S0, T, spec, mc, lsm, model,
                                   heston=heston, sigma_fn=sigma_fn,
                                   axis_name=axis_name, engine=engine)
+    sim_key, fit_key = jax.random.split(key)
+    S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
+                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                             engine=engine, div_yield=spec.div_yield)
     pb = _pair_block(mc, model, engine)
     price, _, (cash, eval_mask) = lsm_poly_backward(
         S_paths, spec, T, axis_name=axis_name, poly_degree=lsm.poly_degree,
         out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True)
-    # Per-path CV statistic cv_i = cash_i + (BS - pay_i): the reported stderr
+    # Per-path CV statistic cv_i = cash_i + (EU - pay_i): the reported stderr
     # then describes the RETURNED estimator (the raw LSM stderr overstates it
     # by the variance the control variate removes).
-    cv = cash + _cv_adjustment(S_paths, spec, T)
+    cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston)
     return masked_mean_stderr(cv, eval_mask, axis_name,
                               pb if mc.antithetic else None)[:2]
 
@@ -418,7 +430,9 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                                         div_yield=spec.div_yield)
         price, stderr, _ = price_european_mc(key, sampler, spec, T, mc)
         return price, stderr
-    if lsm.use_control_variate and spec.sigma is not None and model == "gbm":
+    cv_leg = ((spec.sigma is not None and model == "gbm")
+              or (model == "heston" and heston is not None))
+    if lsm.use_control_variate and cv_leg:
         return price_american_with_control_variate(
             key, S0, T, spec, mc, lsm, model, heston=heston, sigma_fn=sigma_fn,
             axis_name=axis_name, engine=engine)
@@ -487,8 +501,10 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
     _, _, (cash_c, _) = lsm_poly_backward(S_paths, spec, T,
                                           exercise_stride=2, **kwargs)
     stat = 2.0 * cash_f - cash_c
-    if spec.sigma is not None and model == "gbm" and lsm.use_control_variate:
-        stat = stat + _cv_adjustment(S_paths, spec, T)
+    cv_leg = ((spec.sigma is not None and model == "gbm")
+              or (model == "heston" and heston is not None))
+    if lsm.use_control_variate and cv_leg:
+        stat = stat + _cv_adjustment(S_paths, spec, T, heston=heston)
     price, stderr, _ = masked_mean_stderr(stat, mask, None,
                                           pb if mc.antithetic else None)
     return price, stderr

@@ -28,6 +28,7 @@ All maturities share ``n_steps`` (dt varies) — one compile for the whole grid.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -140,11 +141,6 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
     point share paths and are correlated with each other (each individually
     unbiased) — the same trade the surface pricer makes across strikes.
     """
-    from options_model_tpu.core.payoff import vanilla_payoff
-    from options_model_tpu.core.stats import masked_mean_stderr
-    from options_model_tpu.pricers.american import _pair_block
-    from options_model_tpu.pricers.blackscholes import bs_price
-
     if model not in ("gbm", "heston"):
         raise ValueError("shared-path curve pricing requires spot-homogeneous "
                          f"dynamics (gbm/heston), got {model!r}")
@@ -153,31 +149,59 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
     if point_ids is None:
         point_ids = jnp.arange(Ts.shape[0])
     point_ids = jnp.asarray(point_ids, jnp.int32).reshape(-1)
-    base = jnp.asarray(strike, jnp.float32)  # simulate ATM: S0 = K
-    scale = S0s / base                                      # (n,)
-    eff_strikes = jnp.asarray(strike, jnp.float32) / scale  # K * B / S0_i
+
+    # Jitted implementations are memoized per static config — a fresh
+    # jax.jit(lambda ...) per call would retrace every sweep (measured 7.3s
+    # vs 0.7s per bucket on the remote-compile backend).
+    fn = _shared_impl(mc, model, engine, heston_scheme, use_control_variate,
+                      sigma is not None, heston is not None)
+    sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(sigma,
+                                                                 jnp.float32)
+    heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
+                if heston is None else heston)
+    return fn(key, S0s, jnp.asarray(strike, jnp.float32), Ts, point_ids,
+              jnp.float32(rate), sigma_a, heston_a, jnp.float32(cp),
+              jnp.float32(div_yield))
+
+
+@functools.lru_cache(maxsize=64)
+def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
+                 use_cv: bool, has_sigma: bool, has_heston: bool):
+    """Compile-cached body of price_american_curves_shared (statics in the
+    cache key; shapes re-specialize through jit's own cache)."""
+    from options_model_tpu.core.payoff import vanilla_payoff
+    from options_model_tpu.core.stats import masked_mean_stderr
+    from options_model_tpu.pricers.american import _pair_block
+    from options_model_tpu.pricers.blackscholes import bs_price
+
     pb = _pair_block(mc, model, engine)
     stat_pb = pb if mc.antithetic else None
 
-    def one_point(args):
-        pid, T = args
-        pkey = jax.random.fold_in(key, pid)
-        S_paths = simulate_paths(pkey, base, T, mc, model, sigma=sigma,
-                                 rate=rate, heston=heston, engine=engine,
-                                 heston_scheme=heston_scheme,
-                                 div_yield=div_yield)
-        cash = lsm_surface_backward(S_paths, eff_strikes, rate, T, cp,
-                                    return_cash=True)        # (n, P)
-        if use_control_variate:
+    def run(key, S0s, strike, Ts, point_ids, rate, sigma, heston, cp,
+            div_yield):
+        base = strike  # simulate ATM: S0 = K
+        scale = S0s / base                 # (n,)
+        eff_strikes = strike / scale       # K * B / S0_i
+
+        def one_point(args):
+            pid, T = args
+            pkey = jax.random.fold_in(key, pid)
+            S_paths = simulate_paths(
+                pkey, base, T, mc, model,
+                sigma=sigma if has_sigma else None, rate=rate,
+                heston=heston if has_heston else None, engine=engine,
+                heston_scheme=heston_scheme, div_yield=div_yield)
+            cash = lsm_surface_backward(S_paths, eff_strikes, rate, T, cp,
+                                        return_cash=True)    # (n, P)
             # beta=1 European control variate with a CLOSED-FORM leg: BS for
             # GBM, the COS characteristic-function price for Heston (the
             # reference could only CV under constant vol; the COS pricer
             # extends it to stochastic vol with zero extra MC work).
             eu = None
-            if model == "gbm" and sigma is not None:
+            if use_cv and model == "gbm" and has_sigma:
                 eu = bs_price(base, eff_strikes, T, rate, sigma, cp,
                               q=div_yield)
-            elif model == "heston" and heston is not None:
+            elif use_cv and model == "heston" and has_heston:
                 from options_model_tpu.calibration.charfn import (
                     heston_cos_price)
                 eu = heston_cos_price(base, eff_strikes, T, rate, heston,
@@ -189,15 +213,16 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
                                        eff_strikes[:, None], cp) * disc
                 cash = cash + (eu[:, None] - pay_T)
 
-        def reduce_one(c):
-            price, stderr, _ = masked_mean_stderr(c, None, None, stat_pb)
-            return price, stderr
+            def reduce_one(c):
+                price, stderr, _ = masked_mean_stderr(c, None, None, stat_pb)
+                return price, stderr
 
-        prices, stderrs = jax.vmap(reduce_one)(cash)
-        return prices * scale, stderrs * scale
+            prices, stderrs = jax.vmap(reduce_one)(cash)
+            return prices * scale, stderrs * scale
 
-    return jax.jit(lambda ids, ts: jax.lax.map(one_point, (ids, ts)))(
-        point_ids, Ts)
+        return jax.lax.map(one_point, (point_ids, Ts))
+
+    return jax.jit(run)
 
 
 def price_american_curve_shared(key: jax.Array, S0s, strike, T, rate,

@@ -167,3 +167,28 @@ def plot_calibration_results(market_ivs: np.ndarray, model_ivs: np.ndarray,
     if out_path:
         fig.savefig(out_path, dpi=110)
     return fig
+
+
+def plot_sample_paths(S_paths, T: float, n_show: int = 100,
+                      out_path: Optional[str] = None, title: Optional[str] = None):
+    """Simulated price paths over time (the reference's plot_paths feature,
+    options_model_v1.5.py:130-138): up to n_show paths, alpha-blended.
+
+    S_paths: (n_steps+1, n_paths) array-like. Headless (Agg) by default;
+    writes a PNG when out_path is given."""
+    if not _MPL:
+        return None
+    S = np.asarray(S_paths)
+    n_steps = S.shape[0] - 1
+    t = np.linspace(0.0, T, n_steps + 1)
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for i in range(min(n_show, S.shape[1])):
+        ax.plot(t, S[:, i], alpha=0.5, linewidth=0.8)
+    ax.set_title(title or "Simulated Stock Price Paths")
+    ax.set_xlabel("Time to Maturity")
+    ax.set_ylabel("Stock Price")
+    ax.grid(alpha=0.4)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=110)
+    return fig

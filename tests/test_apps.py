@@ -360,3 +360,20 @@ class TestSurfaceCLI:
         # truncation floor ~1e-5 where the ordering is noise)
         assert (pq <= p0 + 1e-4).all()
         assert (pq < p0)[p0 > 0.01].all()
+
+
+class TestPlotPaths:
+    def test_cli_plot_paths_writes_png(self, tmp_path):
+        """--plot-paths + --diagnostics-dir saves the v1.5 sample-path figure
+        (options_model_v1.5.py:130-138)."""
+        pytest.importorskip("matplotlib")
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.2", "--K", "100",
+            "--model", "bs", "--num-simulations", "4096",
+            "--s0-start", "100", "--s0-end", "100", "--total-points", "1",
+            "--intervals-per-day", "1", "--engine", "xla",
+            "--option-type", "put", "--plot-paths",
+            "--diagnostics-dir", str(tmp_path)])
+        run(args)
+        png = tmp_path / "sample_paths.png"
+        assert png.exists() and png.stat().st_size > 10_000

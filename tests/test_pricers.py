@@ -330,3 +330,38 @@ class TestRichardson:
         p_coarse, _ = lsm_poly_backward(S_paths, PUT_SPEC, T, exercise_stride=2)
         # fewer exercise rights -> cheaper option (same paths: near-exact order)
         assert float(p_coarse) <= float(p_fine) + 1e-4
+
+
+class TestHestonControlVariate:
+    def test_cos_leg_reduces_stderr(self, key):
+        """The COS closed-form leg extends the beta=1 CV to Heston in the
+        single-point pricer; ATM stderr shrinks, price stays consistent."""
+        from options_model_tpu.core.config import (
+            PUT, HestonParams, LSMConfig, MCConfig, OptionSpec)
+        from options_model_tpu.pricers import price_american
+
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+        spec = OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=None)
+        mc = MCConfig(n_paths=65536, n_steps=20, path_block=4096)
+        p_cv, s_cv = price_american(key, 105.0, 0.5, spec, mc,
+                                    LSMConfig(use_control_variate=True),
+                                    model="heston", heston=hp, engine="xla")
+        p, s = price_american(key, 105.0, 0.5, spec, mc,
+                              LSMConfig(use_control_variate=False),
+                              model="heston", heston=hp, engine="xla")
+        assert float(s_cv) < float(s)
+        assert abs(float(p_cv) - float(p)) < 6.0 * float(s)
+
+    def test_richardson_heston_cv(self, key):
+        from options_model_tpu.core.config import (
+            PUT, HestonParams, LSMConfig, MCConfig, OptionSpec)
+        from options_model_tpu.pricers.american import (
+            price_american_richardson)
+
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+        spec = OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=None)
+        mc = MCConfig(n_paths=32768, n_steps=20, path_block=4096)
+        p, se = price_american_richardson(key, 100.0, 0.5, spec, mc,
+                                          LSMConfig(), model="heston",
+                                          heston=hp, engine="xla")
+        assert np.isfinite(float(p)) and float(se) > 0
