@@ -7,6 +7,7 @@ shards the independent paths axis with exact psum reductions.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -24,6 +25,7 @@ from options_model_tpu.pricers.american import (
     simulate_paths,
 )
 from options_model_tpu.pricers.european import make_terminal_sampler
+from options_model_tpu.surface.cheb import LocalVolTable
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -83,11 +85,48 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
         task_ids = jnp.arange(n_tasks)
     task_ids = pad(jnp.asarray(task_ids, jnp.int32))
 
-    def price_one(task):
+    # Memoized jitted executable: a fresh jax.jit(shard_map(...)) per call
+    # would retrace every sweep bucket (see _shared_impl in
+    # pricers/surface_american.py for the measured cost). Traced leaves
+    # (key, rate, sigma, heston, div_yield, the localvol table) enter as
+    # replicated arguments; statics key the cache.
+    fn = _grid_impl(mc, mesh, model, engine, use_control_variate,
+                    european_approximation, heston_scheme,
+                    lsm_out_of_sample, lsm, axis,
+                    sigma is not None, heston is not None,
+                    localvol_table is not None)
+    sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(
+        sigma, jnp.float32)
+    heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
+                if heston is None else heston)
+    table_a = (LocalVolTable(coeffs=jnp.zeros((1, 1), jnp.float32),
+                             m_center=0.0, m_half=1.0, K=1.0)
+               if localvol_table is None else localvol_table)
+    prices, stderrs = fn(S0p, Kp, Tp, task_ids, key, jnp.float32(rate),
+                         sigma_a, heston_a, table_a, jnp.float32(cp),
+                         jnp.float32(div_yield))
+    if return_stderr:
+        return prices[:n_tasks], stderrs[:n_tasks]
+    return prices[:n_tasks]
+
+
+@functools.lru_cache(maxsize=128)
+def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
+               use_control_variate: bool, european_approximation: bool,
+               heston_scheme: str, lsm_out_of_sample: bool,
+               lsm: Optional[LSMConfig], axis: str,
+               has_sigma: bool, has_heston: bool, has_table: bool):
+    """Compile-cached body of price_american_grid (statics in the cache key;
+    array shapes re-specialize through jit's own cache)."""
+
+    def price_one(task, key, rate, sigma, heston, table, cp, div_yield):
         from options_model_tpu.core.stats import masked_mean_stderr
         from options_model_tpu.pricers.american import (
             _cv_adjustment, _pair_block)
 
+        sigma = sigma if has_sigma else None
+        heston = heston if has_heston else None
+        table = table if has_table else None
         S0, K, T, tid = task
         task_key = jax.random.fold_in(key, tid.astype(jnp.int32))
         spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma,
@@ -95,10 +134,9 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
         S_paths = simulate_paths(task_key, S0, T, mc, model, sigma=sigma,
                                  rate=rate, heston=heston, engine=engine,
                                  heston_scheme=heston_scheme,
-                                 localvol_table=localvol_table,
+                                 localvol_table=table,
                                  div_yield=div_yield)
-        pb = _pair_block(mc, model, engine,
-                         has_table=localvol_table is not None)
+        pb = _pair_block(mc, model, engine, has_table=has_table)
         stat_pb = pb if mc.antithetic else None
         if lsm is not None and lsm.regressor == "nn":
             # Distinct fit stream per task (sim used task_key itself).
@@ -117,8 +155,8 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
             return price, stderr
         oos = lsm_out_of_sample or (lsm is not None and lsm.out_of_sample)
         degree = lsm.poly_degree if lsm is not None else 3
-        cv_leg = ((sigma is not None and model == "gbm")
-                  or (model == "heston" and heston is not None))
+        cv_leg = ((has_sigma and model == "gbm")
+                  or (model == "heston" and has_heston))
         if use_control_variate and cv_leg:
             # Same-path European leg + closed form (BS for GBM, COS for
             # Heston), beta = 1. The stderr is of the per-path CV statistic
@@ -137,20 +175,23 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
             pair_block=pb if oos else None,
             stat_pair_block=stat_pb)
 
-    def shard_body(S0_l, K_l, T_l, tid_l):
-        return jax.lax.map(price_one, (S0_l, K_l, T_l, tid_l))
+    def shard_body(S0_l, K_l, T_l, tid_l, key, rate, sigma, heston, table,
+                   cp, div_yield):
+        return jax.lax.map(
+            lambda task: price_one(task, key, rate, sigma, heston, table,
+                                   cp, div_yield),
+            (S0_l, K_l, T_l, tid_l))
 
     # check_vma=False: tasks are fully independent (no collectives), and the
     # Pallas kernels' output avals carry no varying-mesh-axes annotation,
     # which the checker would otherwise reject on TPU.
-    prices, stderrs = jax.jit(shard_map(
+    rep = P()
+    return jax.jit(shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                  rep, rep, rep, rep, rep, rep, rep),
         out_specs=(P(axis), P(axis)), check_vma=False,
-    ))(S0p, Kp, Tp, task_ids)
-    if return_stderr:
-        return prices[:n_tasks], stderrs[:n_tasks]
-    return prices[:n_tasks]
+    ))
 
 
 def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
