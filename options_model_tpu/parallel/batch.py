@@ -249,10 +249,37 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
                          "(the alternating-block split is defined on the "
                          "global path stream; use price_american_grid)")
 
-    def price_one(task):
+    fn = _grid_2d_impl(mc, mesh, model, heston_scheme, use_control_variate,
+                       degree, task_axis, path_axis,
+                       sigma is not None, heston is not None)
+    sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(
+        sigma, jnp.float32)
+    heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
+                if heston is None else heston)
+    prices, stderrs = fn(S0p, Kp, Tp, task_ids, key, jnp.float32(rate),
+                         sigma_a, heston_a, jnp.float32(cp),
+                         jnp.float32(div_yield))
+    if return_stderr:
+        return prices[:n_tasks], stderrs[:n_tasks]
+    return prices[:n_tasks]
+
+
+@functools.lru_cache(maxsize=128)
+def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
+                  use_control_variate: bool, degree: int, task_axis: str,
+                  path_axis: str, has_sigma: bool, has_heston: bool):
+    """Compile-cached body of price_american_grid_2d."""
+    n_path_dev = mesh.shape[path_axis]
+    nb_total = _pad_to(num_blocks(mc), n_path_dev)
+    per_dev = nb_total // n_path_dev
+    local_cfg = mc.replace(n_paths=per_dev * mc.path_block)
+
+    def price_one(task, key, rate, sigma, heston, cp, div_yield):
         from options_model_tpu.core.stats import masked_mean_stderr
         from options_model_tpu.pricers.american import _cv_adjustment
 
+        sigma = sigma if has_sigma else None
+        heston = heston if has_heston else None
         S0, K, T, tid = task
         task_key = jax.random.fold_in(key, tid.astype(jnp.int32))
         rank = jax.lax.axis_index(path_axis)
@@ -266,8 +293,8 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
                                  heston_scheme=heston_scheme,
                                  div_yield=div_yield)
         stat_pb = mc.path_block if mc.antithetic else None
-        cv_leg = ((sigma is not None and model == "gbm")
-                  or (model == "heston" and heston is not None))
+        cv_leg = ((has_sigma and model == "gbm")
+                  or (model == "heston" and has_heston))
         if use_control_variate and cv_leg:
             _, _, (cash, eval_mask) = lsm_poly_backward(
                 S_paths, spec, T, axis_name=path_axis, poly_degree=degree,
@@ -279,17 +306,20 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
         return lsm_poly_backward(S_paths, spec, T, axis_name=path_axis,
                                  poly_degree=degree, stat_pair_block=stat_pb)
 
-    def shard_body(S0_l, K_l, T_l, tid_l):
-        return jax.lax.map(price_one, (S0_l, K_l, T_l, tid_l))
+    def shard_body(S0_l, K_l, T_l, tid_l, key, rate, sigma, heston, cp,
+                   div_yield):
+        return jax.lax.map(
+            lambda task: price_one(task, key, rate, sigma, heston, cp,
+                                   div_yield),
+            (S0_l, K_l, T_l, tid_l))
 
-    prices, stderrs = jax.jit(shard_map(
+    rep = P()
+    return jax.jit(shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(task_axis), P(task_axis), P(task_axis), P(task_axis)),
+        in_specs=(P(task_axis), P(task_axis), P(task_axis), P(task_axis),
+                  rep, rep, rep, rep, rep, rep),
         out_specs=(P(task_axis), P(task_axis)), check_vma=False,
-    ))(S0p, Kp, Tp, task_ids)
-    if return_stderr:
-        return prices[:n_tasks], stderrs[:n_tasks]
-    return prices[:n_tasks]
+    ))
 
 
 def price_european_sharded(key: jax.Array, S0, T, spec: OptionSpec,
