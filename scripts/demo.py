@@ -97,6 +97,39 @@ def main():
     print(f"    {mesh.devices.size}-device mesh, 8-task put grid: "
           f"{np.round(np.asarray(prices), 3).tolist()}")
 
+    print("\n[9] Dividend yield q end-to-end (r2)")
+    q = 0.08
+    cq = float(bs_price(100.0, 100.0, 1.0, 0.05, 0.25, 1.0, q=q))
+    amq, _ = price_american(key, 100.0, 1.0,
+                            OptionSpec(strike=100.0, rate=0.05, cp=CALL,
+                                       sigma=0.25, div_yield=q),
+                            MCConfig(n_paths=2**15, n_steps=50,
+                                     path_block=4096),
+                            LSMConfig(regressor="poly"))
+    crrq = crr_american(100.0, 100.0, 1.0, 0.05, 0.25, cp=1.0, q=q)
+    print(f"    q={q:.0%} call: European {cq:.4f} < American {float(amq):.4f} "
+          f"(early-exercise premium; CRR oracle {crrq:.4f})")
+
+    print("\n[10] Spot-homogeneity curve sweep (one simulation per point, r2)")
+    from options_model_tpu.apps.curves import CurveRequest, compute_curves
+    df = compute_curves(CurveRequest(
+        s0_list=[95.0, 100.0, 105.0], strike=100.0, rate=0.05, cp=PUT,
+        intervals_per_day=1, total_points=2, num_simulations=2**15,
+        sigma=0.2, seed=7))
+    far = df[df["Days to Expiry"] == df["Days to Expiry"].max()]
+    print(f"    3-spot curve (shared paths): "
+          f"{np.round(far['Option Value'].values, 4).tolist()}")
+
+    print("\n[11] Calibrate -> price the American surface (r2 pipeline)")
+    from options_model_tpu.pricers import price_american_surface
+    import jax.numpy as jnp
+    P = np.asarray(price_american_surface(
+        key, 100.0, jnp.linspace(80.0, 120.0, 4), jnp.linspace(0.25, 1.0, 2),
+        0.05, MCConfig(n_paths=2**14, n_steps=25, path_block=4096),
+        cp=PUT, heston=params))
+    print(f"    4x2 put surface under the FITTED params:\n"
+          f"    {np.round(P, 3).tolist()}")
+
     print("\nDemo complete.")
 
 
