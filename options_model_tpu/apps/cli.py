@@ -215,7 +215,10 @@ def run(args) -> Dict[str, "object"]:
     if args.grid_mode == "trading":
         # v1.5 rule (options_model_v1.5.py:326-331): remaining regular-session
         # hours -> fractional trading days -> total_points; the day grid stays
-        # i/intervals_per_day, now measured in trading days.
+        # i/intervals_per_day, now measured in trading days. Parity note: the
+        # far point sits at ceil(days*ipd)/ipd — at or slightly BEYOND the
+        # remaining horizon — exactly as the reference's main path computes it
+        # (total_points = ceil(days*ipd) with d = i/ipd, :330-331 + :221).
         from options_model_tpu.core.timegrid import (
             TRADING_HOURS_PER_DAY, compute_trading_hours_remaining)
         if args.expiry:

@@ -68,11 +68,13 @@ class CurveRequest:
     # LSMConfig(regressor='nn') routes the sweep through the shared
     # continuation-value MLP (the reference's flagship pricer).
     lsm: Optional[LSMConfig] = None
-    # 'auto': GBM/Heston sweeps price each curve point's WHOLE S0 grid on one
-    # shared path set via spot homogeneity (pricers/surface_american.
-    # price_american_curve_shared) — ~|S0 grid|x less simulation AND
-    # regression work. 'off' forces the task-per-cell sharded pricer
-    # (independent streams per cell; use for multi-chip task sharding).
+    # 'auto': on SINGLE-device meshes, GBM/Heston sweeps price each curve
+    # point's WHOLE S0 grid on one shared path set via spot homogeneity
+    # (pricers/surface_american.price_american_curves_shared) — ~|S0 grid|x
+    # less simulation AND regression work. Multi-device meshes keep the
+    # task-per-cell sharded pricer (the shared pricer is single-device; a
+    # quiet 1-chip fallback would forfeit the mesh). 'on' forces the shared
+    # pricer regardless of the mesh; 'off' never uses it.
     shared_paths: str = "auto"
     steps_lo: int = 10
     steps_hi: int = 130
@@ -103,19 +105,24 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
     if req.model == "localvol" and req.sigma_fn is None:
         raise ValueError("model='localvol' sweeps need sigma_fn (the "
                          "IV-surface adapter, IVSurfaceModel.sigma_fn)")
-    if req.shared_paths not in ("auto", "off"):
-        raise ValueError(f"shared_paths must be 'auto' or 'off', "
+    if req.shared_paths not in ("auto", "on", "off"):
+        raise ValueError(f"shared_paths must be 'auto', 'on' or 'off', "
                          f"got {req.shared_paths!r}")
     # Shared-path homogeneity fast path: spot-homogeneous dynamics, the
-    # default cubic poly regressor, full-sample in-sample estimator.
-    use_shared = (
-        req.shared_paths == "auto"
-        and req.model in ("gbm", "heston")
+    # default cubic poly regressor, full-sample in-sample estimator. 'auto'
+    # additionally requires a single-device mesh — the shared pricer runs on
+    # one device, and silently dropping a multi-chip mesh's task sharding
+    # would cost the caller the mesh's throughput.
+    shared_eligible = (
+        req.model in ("gbm", "heston")
         and not req.european_approximation
         and not req.lsm_out_of_sample
         and (req.lsm is None or (req.lsm.regressor == "poly"
                                  and req.lsm.poly_degree == 3
                                  and not req.lsm.out_of_sample)))
+    use_shared = shared_eligible and (
+        req.shared_paths == "on"
+        or (req.shared_paths == "auto" and mesh.devices.size == 1))
 
     tasks: List[Dict] = []
     for s0 in req.s0_list:

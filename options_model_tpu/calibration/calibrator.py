@@ -221,7 +221,8 @@ class HestonCalibrator:
                                    jnp.asarray(surface.strikes, jnp.float32),
                                    jnp.asarray(surface.expiries, jnp.float32),
                                    surface.rate,
-                                   jnp.asarray(surface.ivs, jnp.float32)))
+                                   jnp.asarray(surface.ivs, jnp.float32),
+                                   q=surface.div_yield))
         return plot_calibration_results(
             np.asarray(surface.ivs, np.float64), model, vegas,
             self.best_params, self.best_error, surface.regime,

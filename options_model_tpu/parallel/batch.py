@@ -110,7 +110,7 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
     return prices[:n_tasks]
 
 
-@functools.lru_cache(maxsize=128)
+@functools.lru_cache(maxsize=256)
 def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                use_control_variate: bool, european_approximation: bool,
                heston_scheme: str, lsm_out_of_sample: bool,
@@ -138,21 +138,23 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                                  div_yield=div_yield)
         pb = _pair_block(mc, model, engine, has_table=has_table)
         stat_pb = pb if mc.antithetic else None
+        if european_approximation:
+            # Discounted terminal payoff mean (the reference's streaming-mode
+            # shortcut, options_model_3/options_model_3.py:687-690) —
+            # checked BEFORE the regressor choice: the explicit European
+            # request overrides how a (never-run) American backward would
+            # regress. The stderr is over antithetic PAIR MEANS — raw
+            # antithetic samples are not i.i.d. (core/stats.pair_mean_reduce).
+            disc_T = jnp.exp(-jnp.asarray(rate, S_paths.dtype) * T)
+            pay = vanilla_payoff(S_paths[-1], K, cp) * disc_T
+            price, stderr, _ = masked_mean_stderr(pay, None, None, stat_pb)
+            return price, stderr
         if lsm is not None and lsm.regressor == "nn":
             # Distinct fit stream per task (sim used task_key itself).
             from options_model_tpu.pricers.american import lsm_nn_backward
             fit_key = jax.random.fold_in(task_key, jnp.int32(1))
             return lsm_nn_backward(fit_key, S_paths, spec, T, lsm,
                                    stat_pair_block=stat_pb)
-        if european_approximation:
-            # Discounted terminal payoff mean (the reference's streaming-mode
-            # shortcut, options_model_3/options_model_3.py:687-690). The
-            # stderr is over antithetic PAIR MEANS — raw antithetic samples
-            # are not i.i.d. (core/stats.pair_mean_reduce).
-            disc_T = jnp.exp(-jnp.asarray(rate, S_paths.dtype) * T)
-            pay = vanilla_payoff(S_paths[-1], K, cp) * disc_T
-            price, stderr, _ = masked_mean_stderr(pay, None, None, stat_pb)
-            return price, stderr
         oos = lsm_out_of_sample or (lsm is not None and lsm.out_of_sample)
         degree = lsm.poly_degree if lsm is not None else 3
         cv_leg = ((has_sigma and model == "gbm")
@@ -167,7 +169,8 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                 S_paths, spec, T, poly_degree=degree, out_of_sample=oos,
                 pair_block=pb if oos else None,
                 return_cash=True)
-            cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston)
+            cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston,
+                                       model=model)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, None, stat_pb)
             return price, stderr
         return lsm_poly_backward(
@@ -223,12 +226,9 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
     taus = jnp.asarray(taus, jnp.float32)
     n_tasks = S0s.shape[0]
     n_task_dev = mesh.shape[task_axis]
-    n_path_dev = mesh.shape[path_axis]
     n_pad = _pad_to(n_tasks, n_task_dev)
-
-    nb_total = _pad_to(num_blocks(mc), n_path_dev)
-    per_dev = nb_total // n_path_dev
-    local_cfg = mc.replace(n_paths=per_dev * mc.path_block)
+    # (the path-sharding geometry — blocks per device, local config — lives
+    # in _grid_2d_impl, the single owner of that derivation)
 
     def pad(x):
         return jnp.concatenate([x, jnp.broadcast_to(x[-1:],
@@ -264,7 +264,7 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
     return prices[:n_tasks]
 
 
-@functools.lru_cache(maxsize=128)
+@functools.lru_cache(maxsize=256)
 def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
                   use_control_variate: bool, degree: int, task_axis: str,
                   path_axis: str, has_sigma: bool, has_heston: bool):
@@ -299,7 +299,8 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
             _, _, (cash, eval_mask) = lsm_poly_backward(
                 S_paths, spec, T, axis_name=path_axis, poly_degree=degree,
                 return_cash=True)
-            cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston)
+            cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston,
+                                       model=model)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, path_axis,
                                                   stat_pb)
             return price, stderr

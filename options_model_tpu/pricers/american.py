@@ -119,21 +119,29 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
 
 
 def _cv_adjustment(S_paths, spec: OptionSpec, T,
-                   heston: Optional[HestonParams] = None):
+                   heston: Optional[HestonParams] = None,
+                   model: str = "gbm"):
     """Per-path beta=1 control-variate adjustment (the European closed form
     minus the discounted terminal payoff of the SAME path) — shared by the CV
-    pricer and the Richardson extrapolator. The closed-form leg is BS when a
-    constant sigma exists, else the Heston COS price."""
+    pricer and the Richardson extrapolator.
+
+    The closed-form leg MUST match the simulated dynamics (``model``), never
+    merely whether the spec happens to carry a constant sigma: a BS leg under
+    Heston paths has E[BS - EU_heston] != 0 and silently biases the price by
+    that gap (observed: a ~130% shift behind an unchanged tiny stderr)."""
     dtype = S_paths.dtype
     discount = jnp.exp(-jnp.asarray(spec.rate, dtype) * jnp.asarray(T, dtype))
     pay_T = vanilla_payoff(S_paths[-1], spec.strike, spec.cp) * discount
-    if spec.sigma is not None:
-        eu = bs_price(S_paths[0][0], spec.strike, T, spec.rate, spec.sigma,
-                      spec.cp, q=spec.div_yield)
-    else:
+    if model == "heston":
+        if heston is None:
+            raise ValueError("model='heston' control variate needs heston "
+                             "params for the COS leg")
         from options_model_tpu.calibration.charfn import heston_cos_price
         eu = heston_cos_price(S_paths[0][0], spec.strike, T, spec.rate,
                               heston, cp=spec.cp, q=spec.div_yield)
+    else:
+        eu = bs_price(S_paths[0][0], spec.strike, T, spec.rate, spec.sigma,
+                      spec.cp, q=spec.div_yield)
     return eu - pay_T
 
 
@@ -407,7 +415,7 @@ def price_american_with_control_variate(
     # Per-path CV statistic cv_i = cash_i + (EU - pay_i): the reported stderr
     # then describes the RETURNED estimator (the raw LSM stderr overstates it
     # by the variance the control variate removes).
-    cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston)
+    cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston, model=model)
     return masked_mean_stderr(cv, eval_mask, axis_name,
                               pb if mc.antithetic else None)[:2]
 
@@ -504,7 +512,8 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
     cv_leg = ((spec.sigma is not None and model == "gbm")
               or (model == "heston" and heston is not None))
     if lsm.use_control_variate and cv_leg:
-        stat = stat + _cv_adjustment(S_paths, spec, T, heston=heston)
+        stat = stat + _cv_adjustment(S_paths, spec, T, heston=heston,
+                                     model=model)
     price, stderr, _ = masked_mean_stderr(stat, mask, None,
                                           pb if mc.antithetic else None)
     return price, stderr

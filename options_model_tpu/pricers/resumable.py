@@ -45,6 +45,11 @@ class MCJobState:
     count: float
     mean: float
     m2: float
+    # Unit of the Welford statistics: 'pair_mean' (antithetic pair means,
+    # the i.i.d. unit) or 'path' (raw samples). Checkpoints written before
+    # this field existed counted raw paths; merging them into a pair-mean
+    # stream would silently mix incompatible units — load() refuses instead.
+    stat_unit: str = "pair_mean"
 
     def welford(self) -> WelfordState:
         return WelfordState(count=jnp.float32(self.count),
@@ -60,12 +65,24 @@ class MCJobState:
         os.replace(tmp, path)  # atomic
 
     @classmethod
-    def load(cls, path: str) -> "MCJobState":
+    def load(cls, path: str, expect_unit: str = None) -> "MCJobState":
         with open(path) as f:
             d = json.load(f)
+        unit = d.get("stat_unit")
+        if unit is None:
+            raise ValueError(
+                f"checkpoint {path} predates the stat_unit field (its "
+                f"Welford state counts raw paths, not antithetic pair "
+                f"means) — resuming would merge incompatible statistics; "
+                f"delete it and restart the job")
+        if expect_unit is not None and unit != expect_unit:
+            raise ValueError(
+                f"checkpoint {path} accumulates '{unit}' statistics but "
+                f"this run uses '{expect_unit}' (antithetic setting "
+                f"changed?) — delete it or match the configuration")
         return cls(seed=int(d["seed"]), blocks_done=int(d["blocks_done"]),
                    count=float(d["count"]), mean=float(d["mean"]),
-                   m2=float(d["m2"]))
+                   m2=float(d["m2"]), stat_unit=unit)
 
 
 def run_resumable_european(sampler, spec: OptionSpec, T, cfg: MCConfig,
@@ -81,14 +98,16 @@ def run_resumable_european(sampler, spec: OptionSpec, T, cfg: MCConfig,
     """
     nb_total = max_blocks if max_blocks is not None else num_blocks(cfg)
     key = jax.random.key(seed)
+    stat_unit = "pair_mean" if cfg.antithetic else "path"
 
     if os.path.exists(checkpoint_path):
-        state = MCJobState.load(checkpoint_path)
+        state = MCJobState.load(checkpoint_path, expect_unit=stat_unit)
         if state.seed != seed:
             raise ValueError(
                 f"checkpoint seed {state.seed} != requested seed {seed}")
     else:
-        state = MCJobState(seed=seed, blocks_done=0, count=0.0, mean=0.0, m2=0.0)
+        state = MCJobState(seed=seed, blocks_done=0, count=0.0, mean=0.0,
+                           m2=0.0, stat_unit=stat_unit)
 
     chunk_cfg = cfg.replace(n_paths=blocks_per_flush * cfg.path_block)
     discount = jnp.exp(-jnp.asarray(spec.rate, cfg.dtype)

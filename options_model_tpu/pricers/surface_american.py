@@ -164,7 +164,7 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
               jnp.float32(div_yield))
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=256)
 def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
                  use_cv: bool, has_sigma: bool, has_heston: bool):
     """Compile-cached body of price_american_curves_shared (statics in the

@@ -365,3 +365,26 @@ class TestHestonControlVariate:
                                           LSMConfig(), model="heston",
                                           heston=hp, engine="xla")
         assert np.isfinite(float(p)) and float(se) > 0
+
+    def test_cv_leg_keyed_on_model_not_sigma(self, key):
+        """REGRESSION (review r2, confirmed ~130% bias): Heston dynamics with
+        a spec that happens to carry a constant sigma must still use the COS
+        leg — a BS leg under Heston paths shifts the price by
+        E[BS - EU_heston] behind an unchanged tiny stderr."""
+        from options_model_tpu.core.config import (
+            PUT, HestonParams, LSMConfig, MCConfig, OptionSpec)
+        from options_model_tpu.pricers import price_american
+
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+        mc = MCConfig(n_paths=32768, n_steps=20, path_block=4096)
+        # sigma WILDLY wrong for the dynamics: if the BS leg were used the
+        # price would shift by several units.
+        spec_sig = OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=0.40)
+        spec_none = OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=None)
+        p_sig, _ = price_american(key, 100.0, 1.0, spec_sig, mc,
+                                  LSMConfig(use_control_variate=True),
+                                  model="heston", heston=hp, engine="xla")
+        p_ref, se = price_american(key, 100.0, 1.0, spec_none, mc,
+                                   LSMConfig(use_control_variate=True),
+                                   model="heston", heston=hp, engine="xla")
+        assert abs(float(p_sig) - float(p_ref)) < 6.0 * float(se) + 0.02

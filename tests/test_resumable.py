@@ -66,3 +66,37 @@ class TestResumable:
         st.save(path)
         st2 = MCJobState.load(path)
         assert st2 == st
+
+
+class TestCheckpointUnits:
+    def test_legacy_checkpoint_rejected(self, tmp_path):
+        """Pre-r2 checkpoints (raw-path Welford units, no stat_unit field)
+        must be refused, not silently merged (review finding r2)."""
+        import json
+        from options_model_tpu.pricers.resumable import MCJobState
+
+        p = tmp_path / "legacy.json"
+        p.write_text(json.dumps({"seed": 1, "blocks_done": 4, "count": 4096.0,
+                                 "mean": 5.0, "m2": 10.0}))
+        with pytest.raises(ValueError, match="stat_unit"):
+            MCJobState.load(str(p))
+
+    def test_unit_mismatch_rejected(self, tmp_path):
+        import json
+        from options_model_tpu.pricers.resumable import MCJobState
+
+        p = tmp_path / "pm.json"
+        p.write_text(json.dumps({"seed": 1, "blocks_done": 4, "count": 2048.0,
+                                 "mean": 5.0, "m2": 10.0,
+                                 "stat_unit": "pair_mean"}))
+        with pytest.raises(ValueError, match="antithetic"):
+            MCJobState.load(str(p), expect_unit="path")
+
+    def test_round_trip_preserves_unit(self, tmp_path):
+        from options_model_tpu.pricers.resumable import MCJobState
+
+        st = MCJobState(seed=7, blocks_done=2, count=8.0, mean=1.0, m2=0.5,
+                        stat_unit="path")
+        st.save(str(tmp_path / "s.json"))
+        back = MCJobState.load(str(tmp_path / "s.json"), expect_unit="path")
+        assert back == st

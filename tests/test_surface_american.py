@@ -144,18 +144,20 @@ class TestSharedCurveFastPath:
                 key, np.array([100.0]), 100.0, 0.5, 0.05,
                 MCConfig(n_paths=4096), model="localvol")
 
-    def test_curves_auto_routing_and_s0_stability(self):
-        """compute_curves routes eligible sweeps through the fast path. A
-        spot's RNG stream is keyed by the grid index, so growing the S0 list
-        leaves its paths identical — prices agree up to f32 boundary
-        decision flips (the regression matmul tiles differently for a
-        different strike count; same phenomenon as the 2-D mesh tests) —
-        and an identical call is bitwise reproducible."""
+    def test_curves_shared_routing_and_s0_stability(self):
+        """compute_curves routes eligible sweeps through the fast path
+        (forced with 'on' here: 'auto' engages only on single-device meshes,
+        and the test suite runs a virtual 8-device mesh). A spot's RNG
+        stream is keyed by the grid index, so growing the S0 list leaves its
+        paths identical — prices agree up to f32 boundary decision flips
+        (the regression matmul tiles differently for a different strike
+        count; same phenomenon as the 2-D mesh tests) — and an identical
+        call is bitwise reproducible."""
         from options_model_tpu.apps.curves import CurveRequest, compute_curves
 
         kw = dict(strike=100.0, rate=0.05, cp=-1.0, intervals_per_day=1,
                   total_points=2, num_simulations=16384, sigma=0.2,
-                  engine="xla", seed=11)
+                  engine="xla", seed=11, shared_paths="on")
         df_small = compute_curves(CurveRequest(s0_list=[100.0], **kw))
         df_big = compute_curves(CurveRequest(s0_list=[95.0, 100.0, 105.0],
                                              **kw))
@@ -167,19 +169,37 @@ class TestSharedCurveFastPath:
         np.testing.assert_array_equal(df_small["Option Value"].values,
                                       df_again["Option Value"].values)
 
-    def test_shared_off_forces_per_task(self):
+    def test_shared_on_off_agree_and_validate(self):
         from options_model_tpu.apps.curves import CurveRequest, compute_curves
 
         kw = dict(s0_list=[100.0], strike=100.0, rate=0.05, cp=-1.0,
                   intervals_per_day=1, total_points=1,
                   num_simulations=16384, sigma=0.2, engine="xla", seed=11)
-        p_on = compute_curves(CurveRequest(**kw))["Option Value"].iloc[0]
+        p_on = compute_curves(CurveRequest(shared_paths="on", **kw))[
+            "Option Value"].iloc[0]
         p_off = compute_curves(CurveRequest(shared_paths="off", **kw))[
             "Option Value"].iloc[0]
         # different streams/estimators, same option: agree within MC error
         assert abs(p_on - p_off) < 0.15
         with pytest.raises(ValueError, match="shared_paths"):
             compute_curves(CurveRequest(shared_paths="maybe", **kw))
+
+    def test_auto_respects_multi_device_mesh(self, devices8):
+        """'auto' must NOT quietly drop an 8-device mesh onto one chip: the
+        sweep keeps the task-sharded pricer there (review finding r2)."""
+        from options_model_tpu.apps.curves import CurveRequest, compute_curves
+        from options_model_tpu.parallel import make_mesh
+
+        mesh8 = make_mesh(("tasks",), devices=devices8)
+        kw = dict(s0_list=[95.0, 100.0], strike=100.0, rate=0.05, cp=-1.0,
+                  intervals_per_day=1, total_points=2,
+                  num_simulations=8192, sigma=0.2, engine="xla", seed=11)
+        df_auto = compute_curves(CurveRequest(**kw), mesh=mesh8)
+        df_off = compute_curves(CurveRequest(shared_paths="off", **kw),
+                                mesh=mesh8)
+        # identical routing => bitwise identical results
+        np.testing.assert_array_equal(df_auto["Option Value"].values,
+                                      df_off["Option Value"].values)
 
     def test_heston_cos_control_variate(self, key):
         """The COS closed-form leg extends the beta=1 European control
