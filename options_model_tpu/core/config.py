@@ -171,6 +171,12 @@ class LSMConfig:
     nn_dropout: float = 0.1
     use_control_variate: bool = True
     european_approximation: bool = False
+    # Heston only: span the VARIANCE state in the regression basis (w, w^2,
+    # u*w columns). The continuation value is a function of (S, v); S-only
+    # regression under-detects exercise and prices ~0.7% below the ADI
+    # oracle (pricers/fd_heston.py); with the variance columns the gap is
+    # ~0.01%. Ignored for dynamics without a variance state.
+    variance_basis: bool = struct.field(pytree_node=False, default=True)
     # True: fit regressions on half the paths, price on the other half — the
     # low-biased Longstaff-Schwartz estimator (no foresight bias).
     out_of_sample: bool = struct.field(pytree_node=False, default=False)

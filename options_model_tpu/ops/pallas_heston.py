@@ -118,6 +118,24 @@ def _paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
     _heston_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
 
 
+def _paths_v_kernel(seed_ref, par_ref, s_ref, v_ref, *, n_steps, antithetic):
+    """Full-path kernel that also stores the variance path — the feed for the
+    variance-augmented LSM basis (the continuation value under Heston depends
+    on the state (S, v); regressing on S alone biases the exercise policy
+    ~0.7% low vs the ADI oracle, pricers/fd_heston.py)."""
+    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    S0 = par_ref[0, 0]
+    v0 = par_ref[0, 8]
+
+    def emit(t, logS, v):
+        s_ref[t + 1] = jnp.exp(jnp.log(S0) + logS)
+        v_ref[t + 1] = v
+
+    s_ref[0] = jnp.full((_PATH_ROWS, _LANES), S0, jnp.float32)
+    v_ref[0] = jnp.full((_PATH_ROWS, _LANES), v0, jnp.float32)
+    _heston_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
+
+
 def _params_array(S0, r, T, params: HestonParams, n_steps) -> jnp.ndarray:
     dt = jnp.float32(T) / n_steps
     rho = jnp.float32(params.rho)
@@ -164,17 +182,35 @@ def heston_terminal_pallas(seed, S0, r, T, params: HestonParams,
 
 
 @functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
-                                             "interpret"))
+                                             "interpret", "return_variance"))
 def heston_paths_pallas(seed, S0, r, T, params: HestonParams,
                         n_paths: int, n_steps: int, antithetic: bool = True,
-                        interpret: bool = False):
-    """Full path matrix (n_steps+1, n_paths_rounded) from the fused kernel."""
+                        interpret: bool = False,
+                        return_variance: bool = False):
+    """Full path matrix (n_steps+1, n_paths_rounded) from the fused kernel;
+    with ``return_variance`` also the variance matrix (same layout) — the
+    variance-augmented LSM basis feed."""
     tile = _PATH_ROWS * _LANES
     n_pad = _round_up(n_paths, tile)
     grid = n_pad // tile
     par = _params_array(S0, r, T, params, n_steps)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
+    shape = jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
+                                 jnp.float32)
+    spec = pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
+                        lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    if return_variance:
+        kernel = functools.partial(_paths_v_kernel, n_steps=n_steps,
+                                   antithetic=antithetic)
+        S, V = pl.pallas_call(
+            kernel, grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(spec, spec), out_shape=(shape, shape),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(seed_arr, par)
+        return S.reshape(n_steps + 1, -1), V.reshape(n_steps + 1, -1)
     kernel = functools.partial(_paths_kernel, n_steps=n_steps,
                                antithetic=antithetic)
     out = pl.pallas_call(
@@ -184,10 +220,8 @@ def heston_paths_pallas(seed, S0, r, T, params: HestonParams,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
-                               lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
-                                       jnp.float32),
+        out_specs=spec,
+        out_shape=shape,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, par)
     return out.reshape(n_steps + 1, -1)
@@ -287,6 +321,21 @@ def _qe_paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
     _qe_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
 
 
+def _qe_paths_v_kernel(seed_ref, par_ref, s_ref, v_ref, *, n_steps,
+                       antithetic):
+    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    S0 = par_ref[0, 0]
+    v0 = par_ref[0, 8]
+
+    def emit(t, logS, v):
+        s_ref[t + 1] = jnp.exp(jnp.log(S0) + logS)
+        v_ref[t + 1] = v
+
+    s_ref[0] = jnp.full((_PATH_ROWS, _LANES), S0, jnp.float32)
+    v_ref[0] = jnp.full((_PATH_ROWS, _LANES), v0, jnp.float32)
+    _qe_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
+
+
 def _qe_params_array(S0, r, T, params: HestonParams, n_steps) -> jnp.ndarray:
     dt = jnp.float32(T) / n_steps
     kappa = jnp.float32(params.kappa)
@@ -335,19 +384,36 @@ def heston_terminal_qe_pallas(seed, S0, r, T, params: HestonParams,
 
 
 @functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
-                                             "interpret"))
+                                             "interpret", "return_variance"))
 def heston_paths_qe_pallas(seed, S0, r, T, params: HestonParams,
                            n_paths: int, n_steps: int, antithetic: bool = True,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           return_variance: bool = False):
     """Full path matrix (n_steps+1, n_paths_rounded) under the fused QE-M
     kernel — the LSM/surface feed at QE accuracy (16 QE dates match 50+ Euler
-    dates, so the backward pass shrinks accordingly)."""
+    dates, so the backward pass shrinks accordingly). ``return_variance``
+    also emits the variance matrix."""
     tile = _PATH_ROWS * _LANES
     n_pad = _round_up(n_paths, tile)
     grid = n_pad // tile
     par = _qe_params_array(S0, r, T, params, n_steps)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
+    shape = jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
+                                 jnp.float32)
+    spec = pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
+                        lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    if return_variance:
+        kernel = functools.partial(_qe_paths_v_kernel, n_steps=n_steps,
+                                   antithetic=antithetic)
+        S, V = pl.pallas_call(
+            kernel, grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(spec, spec), out_shape=(shape, shape),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(seed_arr, par)
+        return S.reshape(n_steps + 1, -1), V.reshape(n_steps + 1, -1)
     kernel = functools.partial(_qe_paths_kernel, n_steps=n_steps,
                                antithetic=antithetic)
     out = pl.pallas_call(
@@ -357,10 +423,8 @@ def heston_paths_qe_pallas(seed, S0, r, T, params: HestonParams,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
-                               lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
-                                       jnp.float32),
+        out_specs=spec,
+        out_shape=shape,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, par)
     return out.reshape(n_steps + 1, -1)

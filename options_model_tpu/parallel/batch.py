@@ -131,11 +131,16 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
         task_key = jax.random.fold_in(key, tid.astype(jnp.int32))
         spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma,
                           div_yield=div_yield)
-        S_paths = simulate_paths(task_key, S0, T, mc, model, sigma=sigma,
-                                 rate=rate, heston=heston, engine=engine,
-                                 heston_scheme=heston_scheme,
-                                 localvol_table=table,
-                                 div_yield=div_yield)
+        want_v = (model == "heston" and has_heston
+                  and not european_approximation
+                  and (lsm is None or (lsm.regressor == "poly"
+                                       and lsm.variance_basis)))
+        out = simulate_paths(task_key, S0, T, mc, model, sigma=sigma,
+                             rate=rate, heston=heston, engine=engine,
+                             heston_scheme=heston_scheme,
+                             localvol_table=table,
+                             div_yield=div_yield, return_variance=want_v)
+        S_paths, v_paths = out if want_v else (out, None)
         pb = _pair_block(mc, model, engine, has_table=has_table)
         stat_pb = pb if mc.antithetic else None
         if european_approximation:
@@ -168,7 +173,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
             _, _, (cash, eval_mask) = lsm_poly_backward(
                 S_paths, spec, T, poly_degree=degree, out_of_sample=oos,
                 pair_block=pb if oos else None,
-                return_cash=True)
+                return_cash=True, v_paths=v_paths)
             cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston,
                                        model=model)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, None, stat_pb)
@@ -176,7 +181,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
         return lsm_poly_backward(
             S_paths, spec, T, poly_degree=degree, out_of_sample=oos,
             pair_block=pb if oos else None,
-            stat_pair_block=stat_pb)
+            stat_pair_block=stat_pb, v_paths=v_paths)
 
     def shard_body(S0_l, K_l, T_l, tid_l, key, rate, sigma, heston, table,
                    cp, div_yield):
@@ -285,27 +290,30 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
         rank = jax.lax.axis_index(path_axis)
         spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma,
                           div_yield=div_yield)
+        want_v = model == "heston" and has_heston
         # engine='xla': global-block-index RNG is what makes the result
         # mesh-shape invariant (the Pallas kernels number tiles per call).
-        S_paths = simulate_paths(task_key, S0, T, local_cfg, model,
-                                 sigma=sigma, rate=rate, heston=heston,
-                                 first_block=rank * per_dev, engine="xla",
-                                 heston_scheme=heston_scheme,
-                                 div_yield=div_yield)
+        out = simulate_paths(task_key, S0, T, local_cfg, model,
+                             sigma=sigma, rate=rate, heston=heston,
+                             first_block=rank * per_dev, engine="xla",
+                             heston_scheme=heston_scheme,
+                             div_yield=div_yield, return_variance=want_v)
+        S_paths, v_paths = out if want_v else (out, None)
         stat_pb = mc.path_block if mc.antithetic else None
         cv_leg = ((has_sigma and model == "gbm")
                   or (model == "heston" and has_heston))
         if use_control_variate and cv_leg:
             _, _, (cash, eval_mask) = lsm_poly_backward(
                 S_paths, spec, T, axis_name=path_axis, poly_degree=degree,
-                return_cash=True)
+                return_cash=True, v_paths=v_paths)
             cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston,
                                        model=model)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, path_axis,
                                                   stat_pb)
             return price, stderr
         return lsm_poly_backward(S_paths, spec, T, axis_name=path_axis,
-                                 poly_degree=degree, stat_pair_block=stat_pb)
+                                 poly_degree=degree, stat_pair_block=stat_pb,
+                                 v_paths=v_paths)
 
     def shard_body(S0_l, K_l, T_l, tid_l, key, rate, sigma, heston, cp,
                    div_yield):

@@ -54,7 +54,8 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
                    rate=0.0, heston: Optional[HestonParams] = None, sigma_fn=None,
                    first_block=0, engine: str = "auto",
                    heston_scheme: str = "euler",
-                   localvol_table=None, div_yield=0.0) -> jnp.ndarray:
+                   localvol_table=None, div_yield=0.0,
+                   return_variance: bool = False) -> jnp.ndarray:
     """Full path matrix (n_steps+1, n_paths) under the chosen dynamics.
 
     engine='auto' picks the fused Pallas kernel on TPU backends (gbm/heston,
@@ -65,12 +66,20 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
     simulator sees is (rate - q); discounting (the pricers' job) stays at
     ``rate``. The simulators/kernels themselves are q-agnostic: their ``r``
     argument IS the drift.
+
+    ``return_variance`` (heston only): also return the variance path matrix —
+    the feed for the variance-augmented LSM basis (the continuation value is
+    a function of the state (S, v); S-only regression prices ~0.7% below the
+    ADI oracle, tests/test_fd_heston.py).
     """
     from options_model_tpu.ops.engine import resolve_engine, seed_from_key
 
     if model == "heston" and heston_scheme not in ("euler", "qe"):
         raise ValueError(f"heston_scheme must be 'euler' or 'qe', got "
                          f"{heston_scheme!r}")
+    if return_variance and model != "heston":
+        raise ValueError("return_variance is a Heston feature (the other "
+                         "dynamics carry no variance state)")
     rate = rate - div_yield  # risk-neutral growth under a dividend yield
     if model == "localvol" and localvol_table is not None:
         eng = resolve_engine(engine)
@@ -103,15 +112,18 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
                                     cfg.n_steps, cfg.antithetic)
         if heston_scheme == "qe":
             return heston_paths_qe_pallas(seed, S0, rate, T, heston, n_paths,
-                                          cfg.n_steps, cfg.antithetic)
+                                          cfg.n_steps, cfg.antithetic,
+                                          return_variance=return_variance)
         return heston_paths_pallas(seed, S0, rate, T, heston, n_paths,
-                                   cfg.n_steps, cfg.antithetic)
+                                   cfg.n_steps, cfg.antithetic,
+                                   return_variance=return_variance)
     if model == "gbm":
         return simulate_gbm(key, S0, rate, sigma, T, cfg, return_paths=True,
                             first_block=first_block)
     if model == "heston":
         return simulate_heston(key, S0, rate, T, heston, cfg, return_paths=True,
-                               first_block=first_block, scheme=heston_scheme)
+                               first_block=first_block, scheme=heston_scheme,
+                               return_variance=return_variance)
     if model == "localvol":
         return simulate_local_vol(key, S0, rate, T, sigma_fn, cfg, return_paths=True,
                                   first_block=first_block)
@@ -167,17 +179,29 @@ def _pair_block(mc: MCConfig, model: str, engine: str,
     return mc.path_block
 
 
-def build_centered_basis(S_t, K, itm, poly_degree: int, allsum):
+def build_centered_basis(S_t, K, itm, poly_degree: int, allsum, v_t=None):
     """[1, u, ..., u^degree, (x-1)^+] with u = x centered/scaled against the
     masked (ITM) measure BEFORE taking powers (the conditioning rule both LSM
-    pricers depend on — see lsm_poly_backward's numerics note)."""
+    pricers depend on — see lsm_poly_backward's numerics note).
+
+    ``v_t``: per-path variance state (Heston). Appends [w, w^2, u*w] with w
+    the masked-centered/scaled variance — the continuation value under
+    stochastic vol is a function of the STATE (S, v); regressing on S alone
+    biases the exercise policy ~0.7% low vs the ADI oracle
+    (pricers/fd_heston.py; with these columns the gap closes to ~0.01%)."""
     x = S_t / K
     wsum = jnp.maximum(allsum(itm.sum()), 1.0)
     x_mean = allsum((x * itm).sum()) / wsum
     x_var = allsum(((x - x_mean) ** 2 * itm).sum()) / wsum
     u = (x - x_mean) * jax.lax.rsqrt(jnp.maximum(x_var, 1e-12))
     cols = [u**d for d in range(poly_degree + 1)]
-    return jnp.stack(cols + [jnp.maximum(x - 1.0, 0.0)], axis=-1)
+    cols.append(jnp.maximum(x - 1.0, 0.0))
+    if v_t is not None:
+        v_mean = allsum((v_t * itm).sum()) / wsum
+        v_var = allsum(((v_t - v_mean) ** 2 * itm).sum()) / wsum
+        w = (v_t - v_mean) * jax.lax.rsqrt(jnp.maximum(v_var, 1e-12))
+        cols += [w, w**2, u * w]
+    return jnp.stack(cols, axis=-1)
 
 
 def _pmean(x, axis_name):
@@ -207,7 +231,8 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
                       pair_block: Optional[int] = None,
                       stat_pair_block: Optional[int] = None,
                       return_cash: bool = False,
-                      exercise_stride: int = 1):
+                      exercise_stride: int = 1,
+                      v_paths: Optional[jnp.ndarray] = None):
     """Classic LSM backward induction with per-date masked WLS regression.
 
     S_paths: (n_steps+1, n_paths). Returns (price, stderr). With ``axis_name``
@@ -252,6 +277,7 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
     def step(cash, t):
         cash = cash * disc  # roll value back one step to date t
         S_t = S_paths[t]
+        v_t = v_paths[t] if v_paths is not None else None
 
         def regress_and_exercise(cash):
             immediate = vanilla_payoff(S_t, K, spec.cp)
@@ -265,7 +291,10 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
             #  - powers of raw x on a narrow ITM range are near-affine in x:
             #    column-standardizing AFTER the power leaves cond ~ 1e7+;
             #    centering first brings it to O(10), safe for f32 normals.
-            X = build_centered_basis(S_t, K, itm, poly_degree, allsum)
+            # With v_paths the basis also spans the variance state (w, w^2,
+            # u*w) — see build_centered_basis.
+            X = build_centered_basis(S_t, K, itm, poly_degree, allsum,
+                                     v_t=v_t)
             continuation = masked_wls_predict_centered(X, cash, itm,
                                                        axis_name=axis_name)
             exercise = (immediate > continuation) & (immediate > 0)
@@ -366,16 +395,21 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                        return_paths_stats: bool = False, engine: str = "auto"):
     """Simulate + LSM backward induction. Returns (price, stderr[, S_paths])."""
     sim_key, fit_key = jax.random.split(key)
-    S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
-                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
-                             engine=engine, div_yield=spec.div_yield)
+    want_v = (model == "heston" and lsm.variance_basis
+              and lsm.regressor == "poly")
+    out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
+                         rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                         engine=engine, div_yield=spec.div_yield,
+                         return_variance=want_v)
+    S_paths, v_paths = out if want_v else (out, None)
     pb = _pair_block(mc, model, engine)
     if lsm.regressor == "poly":
         price, stderr = lsm_poly_backward(S_paths, spec, T, axis_name=axis_name,
                                           poly_degree=lsm.poly_degree,
                                           out_of_sample=lsm.out_of_sample,
                                           pair_block=pb,
-                                          stat_pair_block=pb if mc.antithetic else None)
+                                          stat_pair_block=pb if mc.antithetic else None,
+                                          v_paths=v_paths)
     else:
         price, stderr = lsm_nn_backward(fit_key, S_paths, spec, T, lsm,
                                         stat_pair_block=pb if mc.antithetic else None)
@@ -405,13 +439,17 @@ def price_american_with_control_variate(
                                   heston=heston, sigma_fn=sigma_fn,
                                   axis_name=axis_name, engine=engine)
     sim_key, fit_key = jax.random.split(key)
-    S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
-                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
-                             engine=engine, div_yield=spec.div_yield)
+    want_v = model == "heston" and lsm.variance_basis
+    out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
+                         rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                         engine=engine, div_yield=spec.div_yield,
+                         return_variance=want_v)
+    S_paths, v_paths = out if want_v else (out, None)
     pb = _pair_block(mc, model, engine)
     price, _, (cash, eval_mask) = lsm_poly_backward(
         S_paths, spec, T, axis_name=axis_name, poly_degree=lsm.poly_degree,
-        out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True)
+        out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True,
+        v_paths=v_paths)
     # Per-path CV statistic cv_i = cash_i + (EU - pay_i): the reported stderr
     # then describes the RETURNED estimator (the raw LSM stderr overstates it
     # by the variance the control variate removes).
@@ -499,12 +537,15 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
                          "regressor (the nn scheme has no stride variant)")
     sim_key, _ = jax.random.split(key)
     pb = _pair_block(mc, model, engine)
-    S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
-                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
-                             engine=engine, div_yield=spec.div_yield)
+    want_v = model == "heston" and lsm.variance_basis
+    out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
+                         rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                         engine=engine, div_yield=spec.div_yield,
+                         return_variance=want_v)
+    S_paths, v_paths = out if want_v else (out, None)
     kwargs = dict(axis_name=None, poly_degree=lsm.poly_degree,
                   out_of_sample=lsm.out_of_sample, pair_block=pb,
-                  return_cash=True)
+                  return_cash=True, v_paths=v_paths)
     _, _, (cash_f, mask) = lsm_poly_backward(S_paths, spec, T, **kwargs)
     _, _, (cash_c, _) = lsm_poly_backward(S_paths, spec, T,
                                           exercise_stride=2, **kwargs)

@@ -43,13 +43,21 @@ _HI = jax.lax.Precision.HIGHEST
 
 def lsm_surface_backward(S_paths: jnp.ndarray, strikes: jnp.ndarray, rate, T,
                          cp: float = -1.0, ridge: float = 1e-6,
-                         return_cash: bool = False) -> jnp.ndarray:
+                         return_cash: bool = False,
+                         v_paths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """LSM backward induction for ALL strikes at once on shared paths.
 
     S_paths: (n_steps+1, P); strikes: (n_K,). Returns prices (n_K,), or with
     ``return_cash`` the full per-path discounted cashflow matrix (n_K, P) —
     the statistic the curve fast path reduces with pair-aware stderrs and
     control variates.
+
+    ``v_paths``: the variance path matrix (Heston) — extends the shared
+    basis with [w, w^2, u*w] (w = globally centered/scaled variance). The
+    continuation value under stochastic vol depends on the state (S, v);
+    S-only regression prices ~0.7% below the ADI oracle
+    (pricers/fd_heston.py). The basis stays strike-independent, so the
+    two-matmul sufficient-statistics trick is unchanged (d grows 4 -> 7).
     """
     n_steps = S_paths.shape[0] - 1
     P = S_paths.shape[1]
@@ -61,10 +69,10 @@ def lsm_surface_backward(S_paths: jnp.ndarray, strikes: jnp.ndarray, rate, T,
     cash0 = jnp.maximum(cp * (S_paths[-1][None, :] - K[:, None]), 0.0)
     ts = jnp.arange(n_steps - 1, 0, -1)
 
-    # Index pairs of the upper triangle of the 4x4 Gram, plus the static
-    # (4, 4) -> pair-index map that reassembles the full symmetric matrix
+    # Index pairs of the upper triangle of the (d, d) Gram, plus the static
+    # (d, d) -> pair-index map that reassembles the full symmetric matrix
     # with one gather (a scatter loop here ballooned compile time).
-    d = 4
+    d = 4 if v_paths is None else 7
     pairs = [(i, j) for i in range(d) for j in range(i, d)]
     pair_of = {}
     for idx, (i, j) in enumerate(pairs):
@@ -81,7 +89,15 @@ def lsm_surface_backward(S_paths: jnp.ndarray, strikes: jnp.ndarray, rate, T,
         s_mean = jnp.mean(S_t)
         s_std = jnp.sqrt(jnp.maximum(jnp.mean((S_t - s_mean) ** 2), 1e-12))
         u = (S_t - s_mean) / s_std
-        B = jnp.stack([jnp.ones_like(u), u, u**2, u**3], axis=-1)  # (P, 4)
+        cols = [jnp.ones_like(u), u, u**2, u**3]
+        if v_paths is not None:
+            v_t = v_paths[t]
+            v_mean = jnp.mean(v_t)
+            v_std = jnp.sqrt(jnp.maximum(jnp.mean((v_t - v_mean) ** 2),
+                                         1e-12))
+            w = (v_t - v_mean) / v_std
+            cols += [w, w**2, u * w]
+        B = jnp.stack(cols, axis=-1)                # (P, d)
 
         immediate = jnp.maximum(cp * (S_t[None, :] - K[:, None]), 0.0)
         W = (immediate > 0).astype(dtype)           # (n_K, P)
@@ -93,7 +109,7 @@ def lsm_surface_backward(S_paths: jnp.ndarray, strikes: jnp.ndarray, rate, T,
         Astats = jnp.matmul(W, prods, precision=_HI)            # (n_K, 10)
         bstats = jnp.matmul(W * cash, B, precision=_HI)         # (n_K, 4)
 
-        A = Astats[:, gram_gather]                  # (n_K, 4, 4), symmetric
+        A = Astats[:, gram_gather]                  # (n_K, d, d), symmetric
         lam = ridge * (jnp.trace(A, axis1=-2, axis2=-1)[:, None, None] / d + 1.0)
         A = A + lam * jnp.eye(d, dtype=dtype)
         theta = solve_spd_small(A, bstats)                       # (n_K, 4)
@@ -183,16 +199,21 @@ def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
         scale = S0s / base                 # (n,)
         eff_strikes = strike / scale       # K * B / S0_i
 
+        want_v = model == "heston" and has_heston
+
         def one_point(args):
             pid, T = args
             pkey = jax.random.fold_in(key, pid)
-            S_paths = simulate_paths(
+            out = simulate_paths(
                 pkey, base, T, mc, model,
                 sigma=sigma if has_sigma else None, rate=rate,
                 heston=heston if has_heston else None, engine=engine,
-                heston_scheme=heston_scheme, div_yield=div_yield)
+                heston_scheme=heston_scheme, div_yield=div_yield,
+                return_variance=want_v)
+            S_paths, v_paths = out if want_v else (out, None)
             cash = lsm_surface_backward(S_paths, eff_strikes, rate, T, cp,
-                                        return_cash=True)    # (n, P)
+                                        return_cash=True,
+                                        v_paths=v_paths)     # (n, P)
             # beta=1 European control variate with a CLOSED-FORM leg: BS for
             # GBM, the COS characteristic-function price for Heston (the
             # reference could only CV under constant vol; the COS pricer
@@ -241,7 +262,8 @@ def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,
                            heston: Optional[HestonParams] = None,
                            engine: str = "auto",
                            heston_scheme: str = "euler",
-                           div_yield=0.0) -> jnp.ndarray:
+                           div_yield=0.0,
+                           variance_basis: bool = True) -> jnp.ndarray:
     """Price an American option surface. Returns (n_maturities, n_strikes).
 
     strikes: (n_K,), maturities: (n_T,) in years. Each maturity gets an
@@ -250,14 +272,18 @@ def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,
     strikes = jnp.asarray(strikes, jnp.float32)
     maturities = jnp.asarray(maturities, jnp.float32)
 
+    want_v = model == "heston" and variance_basis
+
     def one_maturity(args):
         ti, T = args
         mkey = jax.random.fold_in(key, ti)
-        S_paths = simulate_paths(mkey, S0, T, mc, model, sigma=sigma,
-                                 rate=rate, heston=heston, engine=engine,
-                                 heston_scheme=heston_scheme,
-                                 div_yield=div_yield)
-        return lsm_surface_backward(S_paths, strikes, rate, T, cp)
+        out = simulate_paths(mkey, S0, T, mc, model, sigma=sigma,
+                             rate=rate, heston=heston, engine=engine,
+                             heston_scheme=heston_scheme,
+                             div_yield=div_yield, return_variance=want_v)
+        S_paths, v_paths = out if want_v else (out, None)
+        return lsm_surface_backward(S_paths, strikes, rate, T, cp,
+                                    v_paths=v_paths)
 
     ti = jnp.arange(maturities.shape[0])
     # Plain sequential map: vmapping maturity groups (batch_size=8) measured

@@ -78,13 +78,19 @@ def main():
     log(f"AM replay (O(paths) memory): {float(p_rep):.4f} rel {rel_r*100:.3f}%")
     assert rel_r < 0.01
 
-    # 5. Heston: American via LSM + European COS cross-check.
+    # 5. Heston: American via LSM (variance-augmented basis + COS control
+    # variate) vs the ADI finite-difference oracle, + European COS check.
+    from options_model_tpu.pricers.fd_heston import heston_fd_price
     amh, _ = price_american(key, S0, T, OptionSpec(strike=K, rate=r, cp=PUT,
                                                    sigma=None),
-                            mc, LSMConfig(regressor="poly",
-                                          use_control_variate=False),
+                            mc, LSMConfig(regressor="poly"),
                             model="heston", heston=hp)
-    log(f"AM heston: {float(amh):.4f}")
+    fd = heston_fd_price(S0, K, T, r, hp, cp=-1.0, american=True,
+                         n_s=300, n_v=150, n_t=300)
+    rel_h = abs(float(amh) - fd) / fd
+    log(f"AM heston: LSM(S,v)+CV {float(amh):.4f} vs ADI FD {fd:.4f} "
+        f"rel {rel_h*100:.3f}%")
+    assert rel_h < 0.01, f"Heston American beyond 1% of the FD oracle: {rel_h}"
     from options_model_tpu.calibration import heston_cos_price
     cos = float(heston_cos_price(S0, K, T, r, hp, 1.0))
     cfg_h = MCConfig(n_paths=262_144, n_steps=100)
