@@ -137,6 +137,23 @@ def main():
         details["american_put_lsm_cv_richardson"] = round(float(price), 6)
         details["american_put_crr"] = round(oracle, 6)
 
+        # Heston American vs the ADI finite-difference oracle (the
+        # variance-augmented LSM basis; S-only regression sits ~0.7% low).
+        from options_model_tpu.pricers import price_american
+        from options_model_tpu.pricers.fd_heston import heston_fd_price
+        p_h, _ = price_american(
+            jax.random.key(2026), 100.0, 0.5,
+            OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=None),
+            MCConfig(n_paths=1 << 19 if on_tpu else 1 << 15, n_steps=50,
+                     path_block=4096),
+            LSMConfig(regressor="poly"), model="heston", heston=hp,
+            engine="xla")
+        fd = heston_fd_price(100.0, 100.0, 0.5, 0.05, hp, cp=-1.0,
+                             american=True, n_s=300, n_v=150, n_t=300)
+        details["heston_american_rel_err_vs_fd"] = round(
+            abs(float(p_h) - fd) / fd, 6)
+        details["heston_american_fd_oracle"] = round(fd, 6)
+
     if on_tpu and not args.quick:
         # The reference's flagship workload: an S0-grid x days-to-expiry
         # American curve sweep (ProcessPoolExecutor fan-out there;
