@@ -90,6 +90,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "(options_model_3.py:679-695; --nn-* set its "
                         "hyper-parameters)")
     p.add_argument("--lsm-poly-degree", type=int, default=3)
+    p.add_argument("--no-variance-basis", action="store_true",
+                   help="Heston: drop the variance columns from the LSM "
+                        "regression basis (S-only, the reference's scheme — "
+                        "prices ~0.7%% below the ADI oracle; see "
+                        "pricers/fd_heston.py)")
     # NN hyper-parameters (:476-478) — shared by the IV-surface network and
     # the NN-LSM regressor, as in the reference CLI (options_model_2.py:476-478)
     p.add_argument("--nn-hidden", type=int, default=64)
@@ -265,6 +270,7 @@ def run(args) -> Dict[str, "object"]:
                         nn_hidden=args.nn_hidden, nn_epochs=args.nn_epochs,
                         nn_lr=args.nn_lr,
                         use_control_variate=not args.no_control_variate,
+                        variance_basis=not args.no_variance_basis,
                         out_of_sample=args.lsm_out_of_sample).validate()
     common = dict(s0_list=s0_list, strike=args.K, rate=args.r, cp=cp,
                   div_yield=args.q,

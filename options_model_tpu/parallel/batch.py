@@ -133,8 +133,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                           div_yield=div_yield)
         want_v = (model == "heston" and has_heston
                   and not european_approximation
-                  and (lsm is None or (lsm.regressor == "poly"
-                                       and lsm.variance_basis)))
+                  and (lsm is None or lsm.variance_basis))
         out = simulate_paths(task_key, S0, T, mc, model, sigma=sigma,
                              rate=rate, heston=heston, engine=engine,
                              heston_scheme=heston_scheme,
@@ -159,7 +158,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
             from options_model_tpu.pricers.american import lsm_nn_backward
             fit_key = jax.random.fold_in(task_key, jnp.int32(1))
             return lsm_nn_backward(fit_key, S_paths, spec, T, lsm,
-                                   stat_pair_block=stat_pb)
+                                   stat_pair_block=stat_pb, v_paths=v_paths)
         oos = lsm_out_of_sample or (lsm is not None and lsm.out_of_sample)
         degree = lsm.poly_degree if lsm is not None else 3
         cv_leg = ((has_sigma and model == "gbm")

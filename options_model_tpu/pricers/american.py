@@ -323,7 +323,8 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
 
 def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
                     lsm: LSMConfig,
-                    stat_pair_block: Optional[int] = None
+                    stat_pair_block: Optional[int] = None,
+                    v_paths: Optional[jnp.ndarray] = None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference-style two-pass LSM with one shared continuation-value MLP.
 
@@ -331,6 +332,10 @@ def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
     _pair_block) makes the reported stderr pair-aware: per-path stopped
     cashflows inherit the paths' antithetic pairing, so raw-sample stderr
     misstates the estimator's error exactly as it does for the poly pricer.
+
+    ``v_paths``: Heston variance matrix — appended as an 8th input feature
+    (the state-completeness fix the poly basis gets from
+    LSMConfig.variance_basis).
     """
     n_steps = S_paths.shape[0] - 1
     dtype = S_paths.dtype
@@ -352,6 +357,9 @@ def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
     targets = disc_to_date[:, None] * terminal[None, :]
 
     feats = jax.vmap(lambda S_t, tau: regression_features(S_t, K, tau))(S_ex, taus)
+    if v_paths is not None:
+        feats = jnp.concatenate(
+            [feats, v_paths[1:n_steps][..., None]], axis=-1)
     X = feats.reshape(-1, feats.shape[-1])
     Y = targets.reshape(-1)
     W = itm.reshape(-1)
@@ -395,8 +403,7 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                        return_paths_stats: bool = False, engine: str = "auto"):
     """Simulate + LSM backward induction. Returns (price, stderr[, S_paths])."""
     sim_key, fit_key = jax.random.split(key)
-    want_v = (model == "heston" and lsm.variance_basis
-              and lsm.regressor == "poly")
+    want_v = model == "heston" and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
@@ -412,7 +419,8 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                                           v_paths=v_paths)
     else:
         price, stderr = lsm_nn_backward(fit_key, S_paths, spec, T, lsm,
-                                        stat_pair_block=pb if mc.antithetic else None)
+                                        stat_pair_block=pb if mc.antithetic else None,
+                                        v_paths=v_paths)
     if return_paths_stats:
         return price, stderr, S_paths
     return price, stderr

@@ -96,8 +96,25 @@ def check_dividend_yield():
         "dividend early-exercise premium"
 
 
+def check_heston_vs_fd_oracle():
+    import jax
+    from options_model_tpu.core.config import (
+        PUT, HestonParams, LSMConfig, MCConfig, OptionSpec)
+    from options_model_tpu.pricers import price_american
+    from options_model_tpu.pricers.fd_heston import heston_fd_price
+
+    hp = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+    spec = OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=None)
+    mc = MCConfig(n_paths=2**16, n_steps=50, path_block=4096)
+    p, _ = price_american(jax.random.key(0), 100.0, 0.5, spec, mc,
+                          LSMConfig(), model="heston", heston=hp)
+    fd = heston_fd_price(100.0, 100.0, 0.5, 0.05, hp, cp=-1.0, american=True)
+    rel = abs(float(p) - fd) / fd
+    assert rel < 0.012, f"rel err vs ADI oracle {rel:.4f}"
+
+
 def main():
-    print("Quick validation (backend import + 5 checks):")
+    print("Quick validation (backend import + 6 checks):")
     ok = all([
         check("European MC vs Black-Scholes closed form", check_european_vs_bs),
         check("American LSM+CV vs CRR binomial oracle", check_american_vs_crr),
@@ -105,6 +122,8 @@ def main():
         check("IV-surface NN fits the synthetic smile", check_surface_nn_fit),
         check("Dividend yield q: parity + early-exercise premium",
               check_dividend_yield),
+        check("Heston American LSM(S,v) vs ADI FD oracle",
+              check_heston_vs_fd_oracle),
     ])
     print("ALL CHECKS PASSED" if ok else "SOME CHECKS FAILED")
     return 0 if ok else 1

@@ -146,3 +146,20 @@ class TestVarianceKernels:
         with pytest.raises(ValueError, match="variance"):
             simulate_paths(key, 100.0, 0.5, mc, "gbm", sigma=0.2, rate=0.05,
                            return_variance=True)
+
+    def test_nn_regressor_gets_variance_feature(self, key):
+        """The NN two-pass scheme also receives v as an input feature under
+        Heston (8-dim instead of 7-dim): prices stay finite and inside a
+        loose oracle band (the terminal-cashflow targets make this scheme
+        intrinsically cruder than the per-date poly backward)."""
+        from options_model_tpu.pricers.american import price_american_lsm
+
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=None)
+        mc = MCConfig(n_paths=16384, n_steps=12, path_block=2048)
+        lsm = LSMConfig(regressor="nn", nn_epochs=20, nn_hidden=32,
+                        nn_layers=2, nn_dropout=0.0, nn_lr=3e-3)
+        p, se = price_american_lsm(key, S0, T, spec, mc, lsm, model="heston",
+                                   heston=HP, engine="xla")
+        oracle = heston_fd_price(S0, K, T, R, HP, cp=-1.0, american=True)
+        assert np.isfinite(float(p)) and float(se) > 0
+        assert abs(float(p) / oracle - 1.0) < 0.05
