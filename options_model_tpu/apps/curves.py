@@ -184,7 +184,9 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
                     sigma=req.sigma, heston=req.heston, engine=req.engine,
                     heston_scheme=req.heston_scheme,
                     div_yield=req.div_yield,
-                    use_control_variate=req.use_control_variate)
+                    use_control_variate=req.use_control_variate,
+                    variance_basis=(req.lsm.variance_basis
+                                    if req.lsm is not None else True))
                 prices, stderrs = np.asarray(prices), np.asarray(stderrs)
             done += len(group)
             if progress is not None:

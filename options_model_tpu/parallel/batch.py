@@ -255,7 +255,8 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
 
     fn = _grid_2d_impl(mc, mesh, model, heston_scheme, use_control_variate,
                        degree, task_axis, path_axis,
-                       sigma is not None, heston is not None)
+                       sigma is not None, heston is not None,
+                       lsm.variance_basis if lsm is not None else True)
     sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(
         sigma, jnp.float32)
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
@@ -271,7 +272,8 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
 @functools.lru_cache(maxsize=256)
 def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
                   use_control_variate: bool, degree: int, task_axis: str,
-                  path_axis: str, has_sigma: bool, has_heston: bool):
+                  path_axis: str, has_sigma: bool, has_heston: bool,
+                  variance_basis: bool = True):
     """Compile-cached body of price_american_grid_2d."""
     n_path_dev = mesh.shape[path_axis]
     nb_total = _pad_to(num_blocks(mc), n_path_dev)
@@ -289,7 +291,7 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
         rank = jax.lax.axis_index(path_axis)
         spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma,
                           div_yield=div_yield)
-        want_v = model == "heston" and has_heston
+        want_v = model == "heston" and has_heston and variance_basis
         # engine='xla': global-block-index RNG is what makes the result
         # mesh-shape invariant (the Pallas kernels number tiles per call).
         out = simulate_paths(task_key, S0, T, local_cfg, model,
@@ -377,7 +379,8 @@ def price_american_sharded_paths(key: jax.Array, S0, T, spec: OptionSpec,
                                  mc: MCConfig, mesh: Mesh, *,
                                  model: str = "gbm",
                                  heston: Optional[HestonParams] = None,
-                                 axis: str = "paths"):
+                                 axis: str = "paths",
+                                 variance_basis: bool = True):
     """One American LSM pricing with paths sharded across the mesh.
 
     Per-date regression Gram blocks psum over the axis (regressors.masked_wls),
@@ -390,13 +393,17 @@ def price_american_sharded_paths(key: jax.Array, S0, T, spec: OptionSpec,
     per_dev = nb_total // n_dev
     local_cfg = mc.replace(n_paths=per_dev * mc.path_block)
 
+    want_v = model == "heston" and heston is not None and variance_basis
+
     def body():
         rank = jax.lax.axis_index(axis)
-        S_paths = simulate_paths(key, S0, T, local_cfg, model, sigma=spec.sigma,
-                                 rate=spec.rate, heston=heston,
-                                 first_block=rank * per_dev, engine="xla",
-                                 div_yield=spec.div_yield)
-        return lsm_poly_backward(S_paths, spec, T, axis_name=axis)
+        out = simulate_paths(key, S0, T, local_cfg, model, sigma=spec.sigma,
+                             rate=spec.rate, heston=heston,
+                             first_block=rank * per_dev, engine="xla",
+                             div_yield=spec.div_yield, return_variance=want_v)
+        S_paths, v_paths = out if want_v else (out, None)
+        return lsm_poly_backward(S_paths, spec, T, axis_name=axis,
+                                 v_paths=v_paths)
 
     price, stderr = jax.jit(shard_map(
         body, mesh=mesh, in_specs=(), out_specs=(P(), P())))()

@@ -509,14 +509,18 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
         raise ValueError("price_american_with_stats supports the poly "
                          "regressor")
     sim_key, _ = jax.random.split(key)
-    S_paths = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
-                             rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
-                             engine=engine, div_yield=spec.div_yield)
+    want_v = model == "heston" and lsm.variance_basis
+    out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
+                         rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                         engine=engine, div_yield=spec.div_yield,
+                         return_variance=want_v)
+    S_paths, v_paths = out if want_v else (out, None)
     pb = _pair_block(mc, model, engine)
     price, stderr, (cash, eval_mask) = lsm_poly_backward(
         S_paths, spec, T, poly_degree=lsm.poly_degree,
         out_of_sample=lsm.out_of_sample, pair_block=pb,
-        stat_pair_block=pb if mc.antithetic else None, return_cash=True)
+        stat_pair_block=pb if mc.antithetic else None, return_cash=True,
+        v_paths=v_paths)
     stats = {k: float(v)
              for k, v in cashflow_statistics(cash, eval_mask).items()}
     return price, stderr, stats

@@ -158,24 +158,28 @@ def heston_fd_price(S0: float, K: float, T: float, r: float,
                 hi = max(hi, s_max - K)
         return lo, hi
 
+    # The v-direction coefficients are S-independent and time-invariant:
+    # broadcast the (1, n_v+1) rows across the S batch ONCE (the Thomas
+    # solver overwrites its cp/dp scratch, not these).
+    bshape = (n_s + 1, n_v + 1)
+    I2_sub = np.broadcast_to(I_a2_sub, bshape).copy()
+    I2_diag = np.broadcast_to(I_a2_diag, bshape).copy()
+    I2_sup = np.broadcast_to(I_a2_sup, bshape).copy()
+
     for step in range(1, n_t + 1):
         tau = step * dt
-        FV = apply_A0(V) + apply_A1(V) + apply_A2(V)
-        Y0 = V + dt * FV
+        A1V = apply_A1(V)
+        A2V = apply_A2(V)
+        Y0 = V + dt * (apply_A0(V) + A1V + A2V)
         # S-direction implicit correction
-        rhs1 = Y0 - thet * dt * apply_A1(V)
+        rhs1 = Y0 - thet * dt * A1V
         lo, hi = s_boundaries(tau)
         rhs1[:, 0] = lo
         rhs1[:, -1] = hi
         Y1 = _thomas_batched(I_a1_sub, I_a1_diag, I_a1_sup, rhs1)
-        # v-direction implicit correction (coefficients are S-independent:
-        # broadcast the (1, n_v+1) rows across the S batch)
-        rhs2 = (Y1 - thet * dt * apply_A2(V)).T
-        bshape = rhs2.shape
-        Y2 = _thomas_batched(np.broadcast_to(I_a2_sub, bshape).copy(),
-                             np.broadcast_to(I_a2_diag, bshape).copy(),
-                             np.broadcast_to(I_a2_sup, bshape).copy(),
-                             rhs2).T
+        # v-direction implicit correction
+        rhs2 = (Y1 - thet * dt * A2V).T
+        Y2 = _thomas_batched(I2_sub, I2_diag, I2_sup, rhs2).T
         V = Y2
         V[:, 0] = lo
         V[:, -1] = hi

@@ -71,8 +71,11 @@ def _heston_american_price(x, key, cp, mc: MCConfig, poly_degree: int, q):
     S0, K, T, r = x[0], x[1], x[2], x[3]
     hp = HestonParams(kappa=x[4], theta=x[5], xi=x[6], rho=x[7], v0=x[8])
     spec = OptionSpec(strike=K, rate=r, cp=cp, sigma=None)
-    S_paths = simulate_heston(key, S0, r - q, T, hp, mc, return_paths=True)
-    price, _ = lsm_poly_backward(S_paths, spec, T, poly_degree=poly_degree)
+    S_paths, v_paths = simulate_heston(key, S0, r - q, T, hp, mc,
+                                       return_paths=True,
+                                       return_variance=True)
+    price, _ = lsm_poly_backward(S_paths, spec, T, poly_degree=poly_degree,
+                                 v_paths=v_paths)
     return price
 
 

@@ -106,13 +106,13 @@ def lsm_surface_backward(S_paths: jnp.ndarray, strikes: jnp.ndarray, rate, T,
         #   A_k[i,j] = sum_p W_k(p) B_i(p) B_j(p)  <- W @ prods
         #   b_k[i]   = sum_p W_k(p) cash_k(p) B_i(p) <- (W*cash) @ B
         prods = jnp.stack([B[:, i] * B[:, j] for i, j in pairs], axis=-1)
-        Astats = jnp.matmul(W, prods, precision=_HI)            # (n_K, 10)
-        bstats = jnp.matmul(W * cash, B, precision=_HI)         # (n_K, 4)
+        Astats = jnp.matmul(W, prods, precision=_HI)      # (n_K, n_pairs)
+        bstats = jnp.matmul(W * cash, B, precision=_HI)   # (n_K, d)
 
         A = Astats[:, gram_gather]                  # (n_K, d, d), symmetric
         lam = ridge * (jnp.trace(A, axis1=-2, axis2=-1)[:, None, None] / d + 1.0)
         A = A + lam * jnp.eye(d, dtype=dtype)
-        theta = solve_spd_small(A, bstats)                       # (n_K, 4)
+        theta = solve_spd_small(A, bstats)                       # (n_K, d)
 
         continuation = jnp.matmul(theta, B.T, precision=_HI)     # (n_K, P)
         exercise = (immediate > continuation) & (immediate > 0)
@@ -133,7 +133,8 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
                                  engine: str = "auto",
                                  heston_scheme: str = "euler",
                                  div_yield: float = 0.0,
-                                 use_control_variate: bool = False):
+                                 use_control_variate: bool = False,
+                                 variance_basis: bool = True):
     """Price MANY curve points' whole S0 grids on shared path sets — one
     dispatch for a whole steps-bucket of the sweep.
 
@@ -170,7 +171,7 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
     # jax.jit(lambda ...) per call would retrace every sweep (measured 7.3s
     # vs 0.7s per bucket on the remote-compile backend).
     fn = _shared_impl(mc, model, engine, heston_scheme, use_control_variate,
-                      sigma is not None, heston is not None)
+                      sigma is not None, heston is not None, variance_basis)
     sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(sigma,
                                                                  jnp.float32)
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
@@ -182,7 +183,8 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
 
 @functools.lru_cache(maxsize=256)
 def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
-                 use_cv: bool, has_sigma: bool, has_heston: bool):
+                 use_cv: bool, has_sigma: bool, has_heston: bool,
+                 variance_basis: bool = True):
     """Compile-cached body of price_american_curves_shared (statics in the
     cache key; shapes re-specialize through jit's own cache)."""
     from options_model_tpu.core.payoff import vanilla_payoff
@@ -199,7 +201,7 @@ def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
         scale = S0s / base                 # (n,)
         eff_strikes = strike / scale       # K * B / S0_i
 
-        want_v = model == "heston" and has_heston
+        want_v = model == "heston" and has_heston and variance_basis
 
         def one_point(args):
             pid, T = args

