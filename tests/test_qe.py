@@ -148,3 +148,20 @@ class TestQEPathsKernel:
         cos = float(heston_cos_price(100.0, 100.0, 1.0, 0.05, HP, 1.0))
         se = pay.std() / np.sqrt(pay.size)
         assert abs(pay.mean() - cos) < max(4 * se, 0.05)
+
+
+class TestQEVarianceBasis:
+    def test_qe_grid_with_variance(self, key, devices8):
+        """QE-scheme Heston grid pricing with the variance-augmented basis
+        (the QE kernels/XLA path emit v too)."""
+        import numpy as np
+        from options_model_tpu.core.config import PUT, MCConfig
+        from options_model_tpu.parallel import make_mesh, price_american_grid
+
+        mesh = make_mesh(("tasks",), devices=devices8)
+        mc = MCConfig(n_paths=16384, n_steps=12, path_block=2048)
+        p = price_american_grid(
+            key, np.array([100.0]), np.array([100.0]), np.array([0.5]),
+            0.05, mc, mesh, cp=PUT, sigma=None, heston=HP,
+            model="heston", heston_scheme="qe", engine="xla")
+        assert np.isfinite(float(p[0])) and float(p[0]) > 0
