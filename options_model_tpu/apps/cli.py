@@ -80,6 +80,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--heston-scheme", type=str, default="euler",
                    choices=["euler", "qe"],
                    help="Heston discretization (qe = Andersen QE-M)")
+    p.add_argument("--heston-params", type=float, nargs=5, default=None,
+                   metavar=("KAPPA", "THETA", "XI", "RHO", "V0"),
+                   help="Explicit Heston parameters (e.g. from "
+                        "apps/calibrate.py); default seeds theta=v0=sigma^2 "
+                        "as the reference does (options_model_3.py:948-996)")
     p.add_argument("--lsm-out-of-sample", action="store_true",
                    help="Low-biased LSM: fit regressions on half the paths, "
                         "price on the other half")
@@ -258,10 +263,13 @@ def run(args) -> Dict[str, "object"]:
     for k, v in greeks.items():
         log.info(f"  {k}: {v:.4f}")
 
-    # Heston params seeded from sigma^2 as in the reference main
-    # (options_model_3/options_model_3.py:948-996).
-    heston = HestonParams(kappa=2.0, theta=sigma**2, xi=0.3, rho=-0.7,
-                          v0=sigma**2)
+    # Heston params: explicit (e.g. calibrated) or seeded from sigma^2 as
+    # in the reference main (options_model_3/options_model_3.py:948-996).
+    if args.heston_params is not None:
+        heston = HestonParams(*args.heston_params).validate()
+    else:
+        heston = HestonParams(kappa=2.0, theta=sigma**2, xi=0.3, rho=-0.7,
+                              v0=sigma**2)
 
     out: Dict[str, object] = {"greeks": greeks, "S0_live": S0_live,
                               "sigma": sigma}

@@ -377,3 +377,33 @@ class TestPlotPaths:
         run(args)
         png = tmp_path / "sample_paths.png"
         assert png.exists() and png.stat().st_size > 10_000
+
+
+class TestHestonParamsFlag:
+    def test_explicit_params_flow(self):
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.25", "--K", "100",
+            "--model", "heston", "--heston-params", "2.5", "0.04", "0.3",
+            "-0.7", "0.04", "--num-simulations", "4096",
+            "--s0-start", "100", "--s0-end", "100", "--total-points", "1",
+            "--intervals-per-day", "1", "--engine", "xla"])
+        out = run(args)
+        assert np.isfinite(out["heston"]["Option Value"]).all()
+
+    def test_invalid_params_rejected(self):
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.25", "--model", "heston",
+            "--heston-params", "2.5", "0.04", "0.3", "-2.0", "0.04",
+            "--num-simulations", "2048", "--s0-start", "100",
+            "--s0-end", "100", "--total-points", "1",
+            "--intervals-per-day", "1", "--engine", "xla"])
+        assert main_returns_error(args)
+
+
+def main_returns_error(args):
+    from options_model_tpu.apps.cli import run as _run
+    try:
+        _run(args)
+        return False
+    except ValueError:
+        return True
