@@ -85,6 +85,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Explicit Heston parameters (e.g. from "
                         "apps/calibrate.py); default seeds theta=v0=sigma^2 "
                         "as the reference does (options_model_3.py:948-996)")
+    p.add_argument("--richardson", action="store_true",
+                   help="Common-path Richardson extrapolation to the "
+                        "continuous-exercise limit (removes the n-date "
+                        "Bermudan gap, ~-0.13%% at 50 dates; poly regressor)")
     p.add_argument("--lsm-out-of-sample", action="store_true",
                    help="Low-biased LSM: fit regressions on half the paths, "
                         "price on the other half")
@@ -279,6 +283,7 @@ def run(args) -> Dict[str, "object"]:
                         nn_lr=args.nn_lr,
                         use_control_variate=not args.no_control_variate,
                         variance_basis=not args.no_variance_basis,
+                        richardson=args.richardson,
                         out_of_sample=args.lsm_out_of_sample).validate()
     common = dict(s0_list=s0_list, strike=args.K, rate=args.r, cp=cp,
                   div_yield=args.q,

@@ -119,7 +119,8 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
         and not req.lsm_out_of_sample
         and (req.lsm is None or (req.lsm.regressor == "poly"
                                  and req.lsm.poly_degree == 3
-                                 and not req.lsm.out_of_sample)))
+                                 and not req.lsm.out_of_sample
+                                 and not req.lsm.richardson)))
     use_shared = shared_eligible and (
         req.shared_paths == "on"
         or (req.shared_paths == "auto" and mesh.devices.size == 1))

@@ -180,6 +180,12 @@ class LSMConfig:
     # True: fit regressions on half the paths, price on the other half — the
     # low-biased Longstaff-Schwartz estimator (no foresight bias).
     out_of_sample: bool = struct.field(pytree_node=False, default=False)
+    # Common-path Richardson extrapolation to the continuous-exercise limit:
+    # the n-date LSM prices a BERMUDAN option (-0.13% at 50 dates); the
+    # fine/coarse levels share paths so 2*P_n - P_{n/2} is nearly noise-free
+    # (pricers/american.price_american_richardson — this flag routes grid
+    # sweeps through the same scheme). Poly regressor only.
+    richardson: bool = struct.field(pytree_node=False, default=False)
 
     def validate(self) -> "LSMConfig":
         if self.regressor not in ("poly", "nn"):
@@ -189,6 +195,9 @@ class LSMConfig:
         if self.out_of_sample and self.regressor != "poly":
             raise ValueError("out_of_sample is only implemented for the poly "
                              "regressor; the nn two-pass scheme is in-sample")
+        if self.richardson and self.regressor != "poly":
+            raise ValueError("richardson requires the poly regressor (the nn "
+                             "scheme has no stride variant)")
         return self
 
 

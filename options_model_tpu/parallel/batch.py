@@ -163,6 +163,22 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
         degree = lsm.poly_degree if lsm is not None else 3
         cv_leg = ((has_sigma and model == "gbm")
                   or (model == "heston" and has_heston))
+        if lsm is not None and lsm.richardson:
+            # Common-path Richardson to the continuous-exercise limit (the
+            # grid-sharded twin of pricers/american.price_american_richardson).
+            kwargs = dict(poly_degree=degree, out_of_sample=oos,
+                          pair_block=pb if oos else None, return_cash=True,
+                          v_paths=v_paths)
+            _, _, (cash_f, mask_r) = lsm_poly_backward(S_paths, spec, T,
+                                                       **kwargs)
+            _, _, (cash_c, _) = lsm_poly_backward(S_paths, spec, T,
+                                                  exercise_stride=2, **kwargs)
+            stat = 2.0 * cash_f - cash_c
+            if use_control_variate and cv_leg:
+                stat = stat + _cv_adjustment(S_paths, spec, T, heston=heston,
+                                             model=model)
+            price, stderr, _ = masked_mean_stderr(stat, mask_r, None, stat_pb)
+            return price, stderr
         if use_control_variate and cv_leg:
             # Same-path European leg + closed form (BS for GBM, COS for
             # Heston), beta = 1. The stderr is of the per-path CV statistic

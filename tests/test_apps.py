@@ -407,3 +407,19 @@ def main_returns_error(args):
         return False
     except ValueError:
         return True
+
+
+class TestStreamlitGate:
+    def test_import_without_streamlit_exits_cleanly(self):
+        """The UI module is import-gated: without streamlit it raises
+        SystemExit with a pointer to the CLI instead of a bare ImportError."""
+        import importlib
+        import sys
+        sys.modules.pop("options_model_tpu.apps.streamlit_app", None)
+        try:
+            import streamlit  # noqa: F401
+            pytest.skip("streamlit installed; gate not exercised")
+        except ImportError:
+            pass
+        with pytest.raises(SystemExit, match="streamlit"):
+            importlib.import_module("options_model_tpu.apps.streamlit_app")

@@ -215,3 +215,46 @@ class TestGrid2D:
         with pytest.raises(ValueError, match="out_of_sample"):
             self._price(key, (2, 4), devices8,
                         lsm=LSMConfig(out_of_sample=True))
+
+
+class TestGridRichardson:
+    def test_richardson_shrinks_bermudan_gap(self, key, devices8):
+        """--richardson through the grid pricer attacks the n-date Bermudan
+        gap. At 16 exercise dates the plain LSM sits ~1.5% below CRR; the
+        fine/coarse levels share paths, so the extrapolation's UPLIFT over
+        the plain price is a low-noise common-path statistic (measured:
+        plain -1.50%, richardson -0.97% on this workload — higher-order
+        terms remain at such coarse date grids; at 40+ dates both are
+        noise-level)."""
+        mesh = make_mesh(("tasks",), devices=devices8)
+        cfg = MCConfig(n_paths=65536, n_steps=16, path_block=4096)
+        kw = dict(cp=PUT, sigma=SIG, model="gbm", engine="xla",
+                  use_control_variate=True)
+        oracle = crr_american(S0, K, T, R, SIG, cp=-1.0, n_steps=4096)
+        p_rich = price_american_grid(
+            key, np.array([S0]), np.array([K]), np.array([T]), R, cfg, mesh,
+            lsm=LSMConfig(richardson=True), **kw)
+        p_plain = price_american_grid(
+            key, np.array([S0]), np.array([K]), np.array([T]), R, cfg, mesh,
+            lsm=LSMConfig(), **kw)
+        # the plain 16-date price shows the documented Bermudan gap...
+        assert float(p_plain[0]) / oracle - 1.0 < -0.008
+        # ...and the common-path extrapolation recovers a real part of it
+        assert float(p_rich[0]) > float(p_plain[0])
+        assert abs(float(p_rich[0]) / oracle - 1.0) < abs(
+            float(p_plain[0]) / oracle - 1.0)
+
+    def test_richardson_requires_poly(self):
+        with pytest.raises(ValueError, match="richardson"):
+            LSMConfig(regressor="nn", richardson=True).validate()
+
+    def test_cli_richardson_flag(self):
+        from options_model_tpu.apps.cli import parse_args, run
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.2", "--K", "100",
+            "--model", "bs", "--richardson", "--num-simulations", "8192",
+            "--s0-start", "100", "--s0-end", "100", "--total-points", "1",
+            "--intervals-per-day", "1", "--engine", "xla",
+            "--option-type", "put"])
+        out = run(args)
+        assert np.isfinite(out["bs"]["Option Value"]).all()
