@@ -188,3 +188,26 @@ class TestSpecValidation:
             "1", "--engine", "xla", "--option-type", "put"])
         out = run(args)
         assert np.isfinite(out["bs"]["Option Value"]).all()
+
+
+class TestExoticsWithQ:
+    def test_barrier_parity_with_q(self, key):
+        from options_model_tpu.pricers import bs_price, price_barrier_mc
+        spec = OptionSpec(strike=K, rate=R, cp=CALL, sigma=SIG, div_yield=Q)
+        mc = MCConfig(n_paths=65536, n_steps=32, path_block=4096)
+        ko, _ = price_barrier_mc(key, S0, T, spec, barrier=140.0,
+                                 barrier_type="up-and-out", mc=mc)
+        ki, _ = price_barrier_mc(key, S0, T, spec, barrier=140.0,
+                                 barrier_type="up-and-in", mc=mc)
+        vanilla = float(bs_price(S0, K, T, R, SIG, CALL, q=Q))
+        assert abs(float(ko) + float(ki) - vanilla) < 0.15
+
+    def test_asian_with_q_below_qless(self, key):
+        from options_model_tpu.pricers.exotics import price_asian_mc
+        mc = MCConfig(n_paths=32768, n_steps=16, path_block=4096)
+        spec_q = OptionSpec(strike=K, rate=R, cp=CALL, sigma=SIG, div_yield=Q)
+        spec_0 = OptionSpec(strike=K, rate=R, cp=CALL, sigma=SIG)
+        pq, _ = price_asian_mc(key, S0, T, spec_q, mc)
+        p0, _ = price_asian_mc(key, S0, T, spec_0, mc)
+        # same paths module; q lowers the drift => lower Asian call
+        assert float(pq) < float(p0)
