@@ -164,19 +164,15 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
         cv_leg = ((has_sigma and model == "gbm")
                   or (model == "heston" and has_heston))
         if lsm is not None and lsm.richardson:
-            # Common-path Richardson to the continuous-exercise limit (the
-            # grid-sharded twin of pricers/american.price_american_richardson).
-            kwargs = dict(poly_degree=degree, out_of_sample=oos,
-                          pair_block=pb if oos else None, return_cash=True,
-                          v_paths=v_paths)
-            _, _, (cash_f, mask_r) = lsm_poly_backward(S_paths, spec, T,
-                                                       **kwargs)
-            _, _, (cash_c, _) = lsm_poly_backward(S_paths, spec, T,
-                                                  exercise_stride=2, **kwargs)
-            stat = 2.0 * cash_f - cash_c
-            if use_control_variate and cv_leg:
-                stat = stat + _cv_adjustment(S_paths, spec, T, heston=heston,
-                                             model=model)
+            # Common-path Richardson to the continuous-exercise limit — the
+            # statistic construction is owned by american.richardson_cv_stat
+            # (shared with price_american_richardson).
+            from options_model_tpu.pricers.american import richardson_cv_stat
+            eff_lsm = lsm.replace(
+                use_control_variate=use_control_variate and cv_leg)
+            stat, mask_r = richardson_cv_stat(S_paths, v_paths, spec, T,
+                                              eff_lsm, heston=heston,
+                                              model=model, pair_block=pb)
             price, stderr, _ = masked_mean_stderr(stat, mask_r, None, stat_pb)
             return price, stderr
         if use_control_variate and cv_leg:
@@ -268,6 +264,9 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
         raise ValueError("out_of_sample is not supported on the 2-D mesh "
                          "(the alternating-block split is defined on the "
                          "global path stream; use price_american_grid)")
+    if lsm is not None and lsm.richardson:
+        raise ValueError("richardson is not supported on the 2-D mesh yet; "
+                         "use price_american_grid (which honors it)")
 
     fn = _grid_2d_impl(mc, mesh, model, heston_scheme, use_control_variate,
                        degree, task_axis, path_axis,

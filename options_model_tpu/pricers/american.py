@@ -484,6 +484,10 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                                         div_yield=spec.div_yield)
         price, stderr, _ = price_european_mc(key, sampler, spec, T, mc)
         return price, stderr
+    if lsm.richardson:
+        return price_american_richardson(key, S0, T, spec, mc, lsm, model,
+                                         heston=heston, sigma_fn=sigma_fn,
+                                         engine=engine)
     cv_leg = ((spec.sigma is not None and model == "gbm")
               or (model == "heston" and heston is not None))
     if lsm.use_control_variate and cv_leg:
@@ -555,8 +559,22 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
+    stat, mask = richardson_cv_stat(S_paths, v_paths, spec, T, lsm,
+                                    heston=heston, model=model, pair_block=pb)
+    price, stderr, _ = masked_mean_stderr(stat, mask, None,
+                                          pb if mc.antithetic else None)
+    return price, stderr
+
+
+def richardson_cv_stat(S_paths, v_paths, spec: OptionSpec, T, lsm: LSMConfig,
+                       *, heston: Optional[HestonParams] = None,
+                       model: str = "gbm", pair_block: Optional[int] = None):
+    """(per-path Richardson statistic, eval mask) on given paths — the single
+    owner of the fine/coarse common-path extrapolation shared by
+    price_american_richardson and the grid pricer's richardson branch
+    (parallel/batch._grid_impl)."""
     kwargs = dict(axis_name=None, poly_degree=lsm.poly_degree,
-                  out_of_sample=lsm.out_of_sample, pair_block=pb,
+                  out_of_sample=lsm.out_of_sample, pair_block=pair_block,
                   return_cash=True, v_paths=v_paths)
     _, _, (cash_f, mask) = lsm_poly_backward(S_paths, spec, T, **kwargs)
     _, _, (cash_c, _) = lsm_poly_backward(S_paths, spec, T,
@@ -567,6 +585,4 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
     if lsm.use_control_variate and cv_leg:
         stat = stat + _cv_adjustment(S_paths, spec, T, heston=heston,
                                      model=model)
-    price, stderr, _ = masked_mean_stderr(stat, mask, None,
-                                          pb if mc.antithetic else None)
-    return price, stderr
+    return stat, mask

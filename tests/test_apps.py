@@ -381,14 +381,21 @@ class TestPlotPaths:
 
 class TestHestonParamsFlag:
     def test_explicit_params_flow(self):
-        args = parse_args([
-            "--spot", "100", "--hist-vol", "0.25", "--K", "100",
-            "--model", "heston", "--heston-params", "2.5", "0.04", "0.3",
-            "-0.7", "0.04", "--num-simulations", "4096",
-            "--s0-start", "100", "--s0-end", "100", "--total-points", "1",
-            "--intervals-per-day", "1", "--engine", "xla"])
-        out = run(args)
-        assert np.isfinite(out["heston"]["Option Value"]).all()
+        # Explicit LOW-vol params vs the hist-vol-seeded default (25% vol):
+        # the priced values must differ materially, proving the flag's
+        # parameters actually reach the pricer.
+        base = ["--spot", "100", "--hist-vol", "0.25", "--K", "100",
+                "--model", "heston", "--num-simulations", "8192",
+                "--s0-start", "100", "--s0-end", "100", "--total-points", "1",
+                "--intervals-per-day", "1", "--engine", "xla",
+                "--option-type", "put"]
+        out_lo = run(parse_args(base + ["--heston-params", "2.5", "0.01",
+                                        "0.1", "-0.7", "0.01"]))
+        out_def = run(parse_args(base))
+        p_lo = out_lo["heston"]["Option Value"].iloc[0]
+        p_def = out_def["heston"]["Option Value"].iloc[0]
+        assert np.isfinite(p_lo) and np.isfinite(p_def)
+        assert p_lo < 0.7 * p_def  # 10% vol prices well below 25% vol
 
     def test_invalid_params_rejected(self):
         args = parse_args([
