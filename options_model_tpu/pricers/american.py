@@ -7,8 +7,10 @@ masked fixed shapes:
 - ``lsm_poly``: classic per-exercise-date regression LSM. One ``lax.scan``
   backward over exercise dates carrying the cashflow vector; the dynamic ITM
   subset of the reference becomes a 0/1 weight vector feeding a masked weighted
-  least squares on the 7-feature basis (regressors.masked_wls). Supports exact
-  path sharding: the (7,7) Gram blocks psum across the mesh axis.
+  least squares on a masked-centered polynomial basis — plus variance columns
+  under Heston (build_centered_basis; regressors.masked_wls_predict_centered).
+  Supports exact path sharding: the small (d, d) Gram blocks psum across the
+  mesh axis.
 
 - ``lsm_nn``: the reference's two-pass shared-network scheme. Pass 1 collects
   (features, discounted-terminal-cashflow) pairs at every ITM (date, path) —
