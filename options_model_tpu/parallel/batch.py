@@ -264,14 +264,13 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
         raise ValueError("out_of_sample is not supported on the 2-D mesh "
                          "(the alternating-block split is defined on the "
                          "global path stream; use price_american_grid)")
-    if lsm is not None and lsm.richardson:
-        raise ValueError("richardson is not supported on the 2-D mesh yet; "
-                         "use price_american_grid (which honors it)")
+
 
     fn = _grid_2d_impl(mc, mesh, model, heston_scheme, use_control_variate,
                        degree, task_axis, path_axis,
                        sigma is not None, heston is not None,
-                       lsm.variance_basis if lsm is not None else True)
+                       lsm.variance_basis if lsm is not None else True,
+                       lsm.richardson if lsm is not None else False)
     sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(
         sigma, jnp.float32)
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
@@ -288,7 +287,7 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
 def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
                   use_control_variate: bool, degree: int, task_axis: str,
                   path_axis: str, has_sigma: bool, has_heston: bool,
-                  variance_basis: bool = True):
+                  variance_basis: bool = True, richardson: bool = False):
     """Compile-cached body of price_american_grid_2d."""
     n_path_dev = mesh.shape[path_axis]
     nb_total = _pad_to(num_blocks(mc), n_path_dev)
@@ -318,6 +317,18 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
         stat_pb = mc.path_block if mc.antithetic else None
         cv_leg = ((has_sigma and model == "gbm")
                   or (model == "heston" and has_heston))
+        if richardson:
+            from options_model_tpu.pricers.american import richardson_cv_stat
+            from options_model_tpu.core.config import LSMConfig as _L
+            eff_lsm = _L(poly_degree=degree,
+                         use_control_variate=use_control_variate and cv_leg)
+            stat, mask_r = richardson_cv_stat(S_paths, v_paths, spec, T,
+                                              eff_lsm, heston=heston,
+                                              model=model,
+                                              axis_name=path_axis)
+            price, stderr, _ = masked_mean_stderr(stat, mask_r, path_axis,
+                                                  stat_pb)
+            return price, stderr
         if use_control_variate and cv_leg:
             _, _, (cash, eval_mask) = lsm_poly_backward(
                 S_paths, spec, T, axis_name=path_axis, poly_degree=degree,

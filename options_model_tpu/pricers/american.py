@@ -570,12 +570,14 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
 
 def richardson_cv_stat(S_paths, v_paths, spec: OptionSpec, T, lsm: LSMConfig,
                        *, heston: Optional[HestonParams] = None,
-                       model: str = "gbm", pair_block: Optional[int] = None):
+                       model: str = "gbm", pair_block: Optional[int] = None,
+                       axis_name: Optional[str] = None):
     """(per-path Richardson statistic, eval mask) on given paths — the single
     owner of the fine/coarse common-path extrapolation shared by
-    price_american_richardson and the grid pricer's richardson branch
-    (parallel/batch._grid_impl)."""
-    kwargs = dict(axis_name=None, poly_degree=lsm.poly_degree,
+    price_american_richardson and the grid pricers' richardson branches.
+    ``axis_name``: psum the per-date regressions over a path-sharded mesh
+    axis (the 2-D grid pricer)."""
+    kwargs = dict(axis_name=axis_name, poly_degree=lsm.poly_degree,
                   out_of_sample=lsm.out_of_sample, pair_block=pair_block,
                   return_cash=True, v_paths=v_paths)
     _, _, (cash_f, mask) = lsm_poly_backward(S_paths, spec, T, **kwargs)

@@ -258,3 +258,19 @@ class TestGridRichardson:
             "--option-type", "put"])
         out = run(args)
         assert np.isfinite(out["bs"]["Option Value"]).all()
+
+    def test_richardson_on_2d_mesh(self, key, devices8):
+        """Richardson now runs on the 2-D mesh: psum'ed fine/coarse levels
+        match the 1-D grid pricer's extrapolation within decision-flip
+        tolerance, and recover part of the Bermudan gap."""
+        from options_model_tpu.parallel import price_american_grid_2d
+        mesh2d = make_mesh(("tasks", "paths"), shape=(1, 8), devices=devices8)
+        mesh1d = make_mesh(("tasks",), devices=devices8[:1])
+        cfg = MCConfig(n_paths=65536, n_steps=16, path_block=4096)
+        arrs = (np.array([S0]), np.array([K]), np.array([T]))
+        kw = dict(cp=PUT, sigma=SIG, model="gbm",
+                  use_control_variate=True, lsm=LSMConfig(richardson=True))
+        p2d = price_american_grid_2d(key, *arrs, R, cfg, mesh2d, **kw)
+        p1d = price_american_grid(key, *arrs, R, cfg, mesh1d, engine="xla",
+                                  **kw)
+        np.testing.assert_allclose(float(p2d[0]), float(p1d[0]), rtol=3e-3)
