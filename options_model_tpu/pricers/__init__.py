@@ -22,6 +22,7 @@ from options_model_tpu.pricers.american import (
     price_american,
 )
 from options_model_tpu.pricers.barrier import price_barrier_mc
+from options_model_tpu.pricers.fd_heston import heston_fd_price
 from options_model_tpu.pricers.surface_american import (
     price_american_curve_shared,
     price_american_surface,
@@ -41,6 +42,7 @@ __all__ = [
     "price_american_with_control_variate",
     "price_american",
     "price_barrier_mc",
+    "heston_fd_price",
     "price_american_curve_shared",
     "price_american_surface",
     "price_european_surface_mc",
