@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from options_model_tpu.core.config import MCConfig, OptionSpec
 from options_model_tpu.core.payoff import vanilla_payoff
+from options_model_tpu.core.stats import masked_mean_stderr
 from options_model_tpu.models.gbm import gbm_step_normals, simulate_gbm
 from options_model_tpu.pricers.american import build_centered_basis
 from options_model_tpu.pricers.regressors import masked_wls_predict_centered
@@ -33,9 +34,17 @@ from options_model_tpu.pricers.regressors import masked_wls_predict_centered
 def price_american_lsm_gbm_replay(key: jax.Array, S0, T, spec: OptionSpec,
                                   mc: MCConfig, *, first_block=0,
                                   axis_name: Optional[str] = None,
-                                  poly_degree: int = 3
+                                  poly_degree: int = 3,
+                                  stat_pair_block: Optional[int] = None
                                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """American LSM under GBM with reverse-replayed paths. Returns (price, stderr)."""
+    """American LSM under GBM with reverse-replayed paths. Returns (price, stderr).
+
+    ``stat_pair_block``: the simulator's antithetic mirror granularity
+    (mc.path_block for the XLA GBM stream this pricer replays). The stopped
+    cashflows inherit the paths' antithetic pairing, so the reported stderr
+    must be over pair means — raw antithetic samples are not i.i.d.
+    (core/stats.pair_mean_reduce; same discipline as every other estimator,
+    tests/test_stats_discipline.py). Pass mc.path_block when mc.antithetic."""
     dtype = mc.dtype
     n_steps = mc.n_steps
     dt = jnp.asarray(T, dtype) / n_steps
@@ -74,8 +83,6 @@ def price_american_lsm_gbm_replay(key: jax.Array, S0, T, spec: OptionSpec,
     (cash, _), _ = jax.lax.scan(step, (cash0, S_T), ts)
     cash = cash * disc
 
-    n = jnp.asarray(cash.size, dtype)
-    n_tot = allsum(n)
-    mean_ = allsum(jnp.mean(cash) * n) / n_tot
-    var = allsum(jnp.mean((cash - mean_) ** 2) * n) / n_tot
-    return mean_, jnp.sqrt(var / n_tot)
+    price, stderr, _ = masked_mean_stderr(cash, None, axis_name,
+                                          stat_pair_block)
+    return price, stderr

@@ -73,7 +73,8 @@ def main():
     # 4. Matrix-free replay LSM agrees with the stored-matrix price.
     from options_model_tpu.pricers.replay import price_american_lsm_gbm_replay
     mc_r = MCConfig(n_paths=131_072, n_steps=50)
-    p_rep, _ = price_american_lsm_gbm_replay(key, S0, T, put, mc_r)
+    p_rep, _ = price_american_lsm_gbm_replay(key, S0, T, put, mc_r,
+                                             stat_pair_block=mc_r.path_block)
     rel_r = abs(float(p_rep) - oracle) / oracle
     log(f"AM replay (O(paths) memory): {float(p_rep):.4f} rel {rel_r*100:.3f}%")
     assert rel_r < 0.01

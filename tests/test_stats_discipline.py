@@ -87,6 +87,22 @@ class TestGridControlVariateStderr:
         assert float(stderrs[0]) < 0.95 * float(se_raw)
 
 
+class TestReplayLSMStderr:
+    def test_pair_aware(self, key):
+        from options_model_tpu.pricers.replay import (
+            price_american_lsm_gbm_replay)
+
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=SIG)
+        p_raw, se_raw = price_american_lsm_gbm_replay(key, S0, T, spec, MC)
+        p_pair, se_pair = price_american_lsm_gbm_replay(
+            key, S0, T, spec, MC, stat_pair_block=MC.path_block)
+        # same estimator, different (correct) error accounting; the replayed
+        # XLA GBM stream mirrors within path_block, and put cashflows are
+        # anticorrelated across pairs -> the pair stderr is strictly smaller
+        np.testing.assert_allclose(float(p_raw), float(p_pair), rtol=1e-6)
+        assert float(se_pair) < float(se_raw)
+
+
 class TestNNLSMStderr:
     def test_pair_aware(self, key):
         S_paths = _task0_paths(key)
