@@ -177,14 +177,17 @@ class LSMConfig:
     # oracle (pricers/fd_heston.py); with the variance columns the gap is
     # ~0.01%. Ignored for dynamics without a variance state.
     variance_basis: bool = struct.field(pytree_node=False, default=True)
-    # True: fit regressions on half the paths, price on the other half — the
-    # low-biased Longstaff-Schwartz estimator (no foresight bias).
+    # True: fit regressions (poly) or the continuation net (nn) on half the
+    # paths, price on the other half — the low-biased Longstaff-Schwartz
+    # estimator (no foresight bias).
     out_of_sample: bool = struct.field(pytree_node=False, default=False)
     # Common-path Richardson extrapolation to the continuous-exercise limit:
     # the n-date LSM prices a BERMUDAN option (-0.13% at 50 dates); the
     # fine/coarse levels share paths so 2*P_n - P_{n/2} is nearly noise-free
     # (pricers/american.price_american_richardson — this flag routes grid
-    # sweeps through the same scheme). Poly regressor only.
+    # sweeps through the same scheme). poly re-regresses the coarse sub-grid;
+    # nn reads both policies off one shared continuation net
+    # (pricers/american.richardson_nn_stat).
     richardson: bool = struct.field(pytree_node=False, default=False)
 
     def validate(self) -> "LSMConfig":
@@ -192,12 +195,6 @@ class LSMConfig:
             raise ValueError(f"regressor must be 'poly' or 'nn', got {self.regressor}")
         if not (1 <= self.poly_degree <= 8):
             raise ValueError(f"poly_degree must be in [1, 8], got {self.poly_degree}")
-        if self.out_of_sample and self.regressor != "poly":
-            raise ValueError("out_of_sample is only implemented for the poly "
-                             "regressor; the nn two-pass scheme is in-sample")
-        if self.richardson and self.regressor != "poly":
-            raise ValueError("richardson requires the poly regressor (the nn "
-                             "scheme has no stride variant)")
         return self
 
 

@@ -153,16 +153,37 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
             pay = vanilla_payoff(S_paths[-1], K, cp) * disc_T
             price, stderr, _ = masked_mean_stderr(pay, None, None, stat_pb)
             return price, stderr
-        if lsm is not None and lsm.regressor == "nn":
-            # Distinct fit stream per task (sim used task_key itself).
-            from options_model_tpu.pricers.american import lsm_nn_backward
-            fit_key = jax.random.fold_in(task_key, jnp.int32(1))
-            return lsm_nn_backward(fit_key, S_paths, spec, T, lsm,
-                                   stat_pair_block=stat_pb, v_paths=v_paths)
-        oos = lsm_out_of_sample or (lsm is not None and lsm.out_of_sample)
-        degree = lsm.poly_degree if lsm is not None else 3
         cv_leg = ((has_sigma and model == "gbm")
                   or (model == "heston" and has_heston))
+        if lsm is not None and lsm.regressor == "nn":
+            # Distinct fit stream per task (sim used task_key itself). The nn
+            # estimator composes with the same CV / Richardson / OOS layers
+            # as the poly one (the reference's flagship estimator is CV
+            # around the shared net, options_model_3.py:653-677).
+            from options_model_tpu.pricers.american import (
+                lsm_nn_backward, richardson_nn_stat)
+            fit_key = jax.random.fold_in(task_key, jnp.int32(1))
+            if lsm.richardson:
+                eff_lsm = lsm.replace(
+                    use_control_variate=use_control_variate and cv_leg)
+                stat, mask_r = richardson_nn_stat(
+                    fit_key, S_paths, v_paths, spec, T, eff_lsm,
+                    heston=heston, model=model, pair_block=pb)
+                price, stderr, _ = masked_mean_stderr(stat, mask_r, None,
+                                                      stat_pb)
+                return price, stderr
+            price, stderr, (cash, eval_mask) = lsm_nn_backward(
+                fit_key, S_paths, spec, T, lsm, stat_pair_block=stat_pb,
+                v_paths=v_paths, out_of_sample=lsm.out_of_sample,
+                pair_block=pb, return_cash=True)
+            if use_control_variate and cv_leg:
+                cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston,
+                                           model=model)
+                price, stderr, _ = masked_mean_stderr(cv, eval_mask, None,
+                                                      stat_pb)
+            return price, stderr
+        oos = lsm_out_of_sample or (lsm is not None and lsm.out_of_sample)
+        degree = lsm.poly_degree if lsm is not None else 3
         if lsm is not None and lsm.richardson:
             # Common-path Richardson to the continuous-exercise limit — the
             # statistic construction is owned by american.richardson_cv_stat

@@ -323,22 +323,15 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
     return price, stderr
 
 
-def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
-                    lsm: LSMConfig,
-                    stat_pair_block: Optional[int] = None,
-                    v_paths: Optional[jnp.ndarray] = None
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Reference-style two-pass LSM with one shared continuation-value MLP.
+def _nn_continuation(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
+                     lsm: LSMConfig, v_paths: Optional[jnp.ndarray],
+                     train_mask: Optional[jnp.ndarray]):
+    """Two-pass core of the NN-LSM: train the shared continuation MLP
+    (pass 1) and evaluate it on the full (dates, paths) grid (pass 2).
 
-    ``stat_pair_block`` (the simulator's antithetic mirror granularity,
-    _pair_block) makes the reported stderr pair-aware: per-path stopped
-    cashflows inherit the paths' antithetic pairing, so raw-sample stderr
-    misstates the estimator's error exactly as it does for the poly pricer.
-
-    ``v_paths``: Heston variance matrix — appended as an 8th input feature
-    (the state-completeness fix the poly basis gets from
-    LSMConfig.variance_basis).
-    """
+    Returns (immediate, cont, terminal, ts) — everything a stopping policy
+    needs. ``train_mask``: 0/1 per-path weights restricting the TRAINING set
+    (the out-of-sample split); pass 2 always evaluates every path."""
     n_steps = S_paths.shape[0] - 1
     dtype = S_paths.dtype
     dt = jnp.asarray(T, dtype) / n_steps
@@ -365,6 +358,10 @@ def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
     X = feats.reshape(-1, feats.shape[-1])
     Y = targets.reshape(-1)
     W = itm.reshape(-1)
+    if train_mask is not None:
+        # Fit only on training paths (every date of them); the standardization
+        # below then describes the training distribution, as it must.
+        W = W * jnp.tile(train_mask.astype(dtype), immediate.shape[0])
 
     # Standardize over ITM rows (reference scales targets and features, :550-563).
     wsum = jnp.maximum(W.sum(), 1.0)
@@ -382,20 +379,120 @@ def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
 
     # Pass 2: continuation values for every (date, path) in one batched apply.
     cont = mlp_predict(params, Xn, lsm).reshape(immediate.shape) * y_std + y_mean
+    return immediate, cont, terminal, ts
+
+
+def _nn_stopped_cash(immediate, cont, terminal, ts, spec: OptionSpec, T,
+                     n_steps: int, exercise_stride: int = 1):
+    """Per-path discounted cashflow of the earliest-exercise policy derived
+    from the (dates, paths) continuation grid. ``exercise_stride``: restrict
+    exercise to every stride-th date (the Bermudan sub-grid of the common-path
+    Richardson extrapolation — same semantics as lsm_poly_backward's)."""
+    dtype = immediate.dtype
+    dt = jnp.asarray(T, dtype) / n_steps
+    r = jnp.asarray(spec.rate, dtype)
 
     exercise = (immediate > cont) & (immediate > 0)    # (n_dates, n_paths)
+    if exercise_stride > 1:
+        on_grid = (ts % exercise_stride == 0)
+        exercise = exercise & on_grid[:, None]
     any_ex = jnp.any(exercise, axis=0)
     first_idx = jnp.argmax(exercise, axis=0)           # first True along dates
-    t_star = jnp.where(any_ex, ts[first_idx].astype(dtype), jnp.asarray(n_steps, dtype))
+    t_star = jnp.where(any_ex, ts[first_idx].astype(dtype),
+                       jnp.asarray(n_steps, dtype))
     value_at_stop = jnp.where(
         any_ex,
         jnp.take_along_axis(immediate, first_idx[None, :], axis=0)[0],
         terminal,
     )
-    cash0 = jnp.exp(-r * t_star * dt) * value_at_stop
+    return jnp.exp(-r * t_star * dt) * value_at_stop
 
-    price, stderr, _ = masked_mean_stderr(cash0, None, None, stat_pair_block)
+
+def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
+                    lsm: LSMConfig,
+                    stat_pair_block: Optional[int] = None,
+                    v_paths: Optional[jnp.ndarray] = None,
+                    out_of_sample: bool = False,
+                    pair_block: Optional[int] = None,
+                    return_cash: bool = False):
+    """Reference-style two-pass LSM with one shared continuation-value MLP.
+
+    ``stat_pair_block`` (the simulator's antithetic mirror granularity,
+    _pair_block) makes the reported stderr pair-aware: per-path stopped
+    cashflows inherit the paths' antithetic pairing, so raw-sample stderr
+    misstates the estimator's error exactly as it does for the poly pricer.
+
+    ``v_paths``: Heston variance matrix — appended as an 8th input feature
+    (the state-completeness fix the poly basis gets from
+    LSMConfig.variance_basis).
+
+    ``out_of_sample=True`` trains the net on alternating path blocks and
+    prices on the others (the low-biased estimator, same split discipline as
+    lsm_poly_backward — ``pair_block`` required). ``return_cash`` also
+    returns (cash, eval_mask), the feed for the control-variate and verbose
+    statistics compositions.
+    """
+    n_steps = S_paths.shape[0] - 1
+    dtype = S_paths.dtype
+    n_paths = S_paths.shape[1]
+    if out_of_sample:
+        if pair_block is None:
+            raise ValueError(
+                "out_of_sample=True requires pair_block (the simulator's "
+                "path_block) so the train/eval split respects antithetic pairs")
+        if n_paths < 2 * pair_block:
+            raise ValueError("out_of_sample needs at least two path blocks")
+        train_mask, eval_mask = oos_masks(n_paths, pair_block, dtype)
+    else:
+        train_mask, eval_mask = None, jnp.ones((n_paths,), dtype)
+
+    immediate, cont, terminal, ts = _nn_continuation(
+        key, S_paths, spec, T, lsm, v_paths, train_mask)
+    cash0 = _nn_stopped_cash(immediate, cont, terminal, ts, spec, T, n_steps)
+
+    price, stderr, _ = masked_mean_stderr(cash0, eval_mask, None,
+                                          stat_pair_block)
+    if return_cash:
+        return price, stderr, (cash0, eval_mask)
     return price, stderr
+
+
+def richardson_nn_stat(key: jax.Array, S_paths, v_paths, spec: OptionSpec, T,
+                       lsm: LSMConfig, *,
+                       heston: Optional[HestonParams] = None,
+                       model: str = "gbm",
+                       pair_block: Optional[int] = None):
+    """(per-path Richardson statistic, eval mask) for the NN-LSM — the nn
+    sibling of richardson_cv_stat.
+
+    One shared continuation net is trained (pass 1); the fine and coarse
+    Bermudan levels are two STOPPING POLICIES read off the same continuation
+    grid (every date vs the every-2nd-date sub-grid), so 2*P_n - P_{n/2} is
+    computed on identical paths AND identical continuation estimates — the
+    extrapolation statistic carries only the policy-grid difference, not
+    training noise. The optional beta=1 control variate composes exactly as
+    for the poly pricer."""
+    n_steps = S_paths.shape[0] - 1
+    dtype = S_paths.dtype
+    n_paths = S_paths.shape[1]
+    if lsm.out_of_sample:
+        if pair_block is None:
+            raise ValueError("out_of_sample richardson needs pair_block")
+        train_mask, eval_mask = oos_masks(n_paths, pair_block, dtype)
+    else:
+        train_mask, eval_mask = None, jnp.ones((n_paths,), dtype)
+    immediate, cont, terminal, ts = _nn_continuation(
+        key, S_paths, spec, T, lsm, v_paths, train_mask)
+    cash_f = _nn_stopped_cash(immediate, cont, terminal, ts, spec, T, n_steps)
+    cash_c = _nn_stopped_cash(immediate, cont, terminal, ts, spec, T, n_steps,
+                              exercise_stride=2)
+    stat = 2.0 * cash_f - cash_c
+    cv_leg = ((spec.sigma is not None and model == "gbm")
+              or (model == "heston" and heston is not None))
+    if lsm.use_control_variate and cv_leg:
+        stat = stat + _cv_adjustment(S_paths, spec, T, heston=heston,
+                                     model=model)
+    return stat, eval_mask
 
 
 def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
@@ -422,7 +519,9 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     else:
         price, stderr = lsm_nn_backward(fit_key, S_paths, spec, T, lsm,
                                         stat_pair_block=pb if mc.antithetic else None,
-                                        v_paths=v_paths)
+                                        v_paths=v_paths,
+                                        out_of_sample=lsm.out_of_sample,
+                                        pair_block=pb)
     if return_paths_stats:
         return price, stderr, S_paths
     return price, stderr
@@ -440,11 +539,16 @@ def price_american_with_control_variate(
     653-677.) The closed-form leg is Black-Scholes for GBM (the reference's
     only case) or the COS characteristic-function price for Heston — the COS
     pricer extends the variate to stochastic vol with zero extra MC work.
+
+    Both regressors compose: the reference's flagship estimator IS this CV
+    wrapped around the shared-NETWORK scheme (:653-677 around :439-651); the
+    variate acts on the stopped per-path cashflows, which both backwards
+    produce identically shaped.
     """
     analytic = (model == "gbm" and spec.sigma is not None) or \
                (model == "heston" and heston is not None)
-    if lsm.regressor != "poly" or not analytic:
-        # NN regressor / no analytic leg: fall back to the plain price.
+    if not analytic:
+        # No closed-form European leg: fall back to the plain price.
         return price_american_lsm(key, S0, T, spec, mc, lsm, model,
                                   heston=heston, sigma_fn=sigma_fn,
                                   axis_name=axis_name, engine=engine)
@@ -456,10 +560,15 @@ def price_american_with_control_variate(
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
     pb = _pair_block(mc, model, engine)
-    price, _, (cash, eval_mask) = lsm_poly_backward(
-        S_paths, spec, T, axis_name=axis_name, poly_degree=lsm.poly_degree,
-        out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True,
-        v_paths=v_paths)
+    if lsm.regressor == "poly":
+        price, _, (cash, eval_mask) = lsm_poly_backward(
+            S_paths, spec, T, axis_name=axis_name, poly_degree=lsm.poly_degree,
+            out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True,
+            v_paths=v_paths)
+    else:
+        price, _, (cash, eval_mask) = lsm_nn_backward(
+            fit_key, S_paths, spec, T, lsm, v_paths=v_paths,
+            out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True)
     # Per-path CV statistic cv_i = cash_i + (EU - pay_i): the reported stderr
     # then describes the RETURNED estimator (the raw LSM stderr overstates it
     # by the variance the control variate removes).
@@ -508,13 +617,10 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
                               sigma_fn=None, engine: str = "auto"):
     """(price, stderr, cashflow_stats) — the reference's verbose pricing
     report (mean/std/min/max/P(worthless) of the per-path discounted
-    cashflows, options_model_2.py:316-333). Poly regressor only."""
+    cashflows, options_model_2.py:316-333). Both regressors."""
     from options_model_tpu.core.stats import cashflow_statistics
 
-    if lsm.regressor != "poly":
-        raise ValueError("price_american_with_stats supports the poly "
-                         "regressor")
-    sim_key, _ = jax.random.split(key)
+    sim_key, fit_key = jax.random.split(key)
     want_v = model == "heston" and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
@@ -522,11 +628,17 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
     pb = _pair_block(mc, model, engine)
-    price, stderr, (cash, eval_mask) = lsm_poly_backward(
-        S_paths, spec, T, poly_degree=lsm.poly_degree,
-        out_of_sample=lsm.out_of_sample, pair_block=pb,
-        stat_pair_block=pb if mc.antithetic else None, return_cash=True,
-        v_paths=v_paths)
+    if lsm.regressor == "poly":
+        price, stderr, (cash, eval_mask) = lsm_poly_backward(
+            S_paths, spec, T, poly_degree=lsm.poly_degree,
+            out_of_sample=lsm.out_of_sample, pair_block=pb,
+            stat_pair_block=pb if mc.antithetic else None, return_cash=True,
+            v_paths=v_paths)
+    else:
+        price, stderr, (cash, eval_mask) = lsm_nn_backward(
+            fit_key, S_paths, spec, T, lsm,
+            stat_pair_block=pb if mc.antithetic else None, v_paths=v_paths,
+            out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True)
     stats = {k: float(v)
              for k, v in cashflow_statistics(cash, eval_mask).items()}
     return price, stderr, stats
@@ -547,13 +659,12 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
     streams variant's variance swamped the bias it removes). With the same-
     path control variate on both levels, measured accuracy vs the 4096-step
     CRR oracle: |rel| ~ 0.03% at 2^19 paths. Returns (price, stderr of the
-    extrapolated per-path statistic). Only the poly regressor supports the
-    common-path two-level backward.
+    extrapolated per-path statistic). Both regressors: the poly backward
+    re-regresses the coarse level per sub-grid date (richardson_cv_stat); the
+    nn scheme reads both policies off ONE shared continuation net
+    (richardson_nn_stat).
     """
-    if lsm.regressor != "poly":
-        raise ValueError("price_american_richardson requires the poly "
-                         "regressor (the nn scheme has no stride variant)")
-    sim_key, _ = jax.random.split(key)
+    sim_key, fit_key = jax.random.split(key)
     pb = _pair_block(mc, model, engine)
     want_v = model == "heston" and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
@@ -561,8 +672,14 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
-    stat, mask = richardson_cv_stat(S_paths, v_paths, spec, T, lsm,
-                                    heston=heston, model=model, pair_block=pb)
+    if lsm.regressor == "poly":
+        stat, mask = richardson_cv_stat(S_paths, v_paths, spec, T, lsm,
+                                        heston=heston, model=model,
+                                        pair_block=pb)
+    else:
+        stat, mask = richardson_nn_stat(fit_key, S_paths, v_paths, spec, T,
+                                        lsm, heston=heston, model=model,
+                                        pair_block=pb)
     price, stderr, _ = masked_mean_stderr(stat, mask, None,
                                           pb if mc.antithetic else None)
     return price, stderr

@@ -117,16 +117,19 @@ class TestTableSamplerBackendConsistency:
             simulate_paths(key, 100.0, 0.5, MCConfig(n_paths=1024), "heston",
                            rate=0.05, heston=hp, heston_scheme="milstein")
 
-    def test_richardson_rejects_nn(self, key):
+    def test_richardson_supports_nn(self, key):
+        # r2 rejected the nn regressor here; r3 reads both Richardson levels
+        # off one shared continuation net (american.richardson_nn_stat).
         from options_model_tpu.core.config import (
             PUT, LSMConfig, MCConfig, OptionSpec)
         from options_model_tpu.pricers.american import price_american_richardson
 
-        with pytest.raises(ValueError):
-            price_american_richardson(
-                key, 100.0, 0.5, OptionSpec(strike=100.0, rate=0.05, cp=PUT,
-                                            sigma=0.2),
-                MCConfig(n_paths=4096), LSMConfig(regressor="nn"))
+        p, se = price_american_richardson(
+            key, 100.0, 0.5, OptionSpec(strike=100.0, rate=0.05, cp=PUT,
+                                        sigma=0.2),
+            MCConfig(n_paths=4096, n_steps=10, path_block=1024),
+            LSMConfig(regressor="nn", nn_epochs=2, nn_hidden=8, nn_layers=1))
+        assert np.isfinite(float(p)) and np.isfinite(float(se))
 
 
 class TestLocalVolPathsKernel:

@@ -244,9 +244,10 @@ class TestGridRichardson:
         assert abs(float(p_rich[0]) / oracle - 1.0) < abs(
             float(p_plain[0]) / oracle - 1.0)
 
-    def test_richardson_requires_poly(self):
-        with pytest.raises(ValueError, match="richardson"):
-            LSMConfig(regressor="nn", richardson=True).validate()
+    def test_richardson_nn_config_valid(self):
+        # r2 rejected this combination; r3 supports it (richardson_nn_stat).
+        cfg = LSMConfig(regressor="nn", richardson=True).validate()
+        assert cfg.richardson and cfg.regressor == "nn"
 
     def test_cli_richardson_flag(self):
         from options_model_tpu.apps.cli import parse_args, run
