@@ -145,12 +145,10 @@ class TestSharedCurveFastPath:
                 MCConfig(n_paths=4096), model="localvol")
 
     def test_curves_shared_routing_and_s0_stability(self):
-        """compute_curves routes eligible sweeps through the fast path
-        (forced with 'on' here: 'auto' engages only on single-device meshes,
-        and the test suite runs a virtual 8-device mesh). A spot's RNG
-        stream is keyed by the grid index, so growing the S0 list leaves its
-        paths identical — prices agree up to f32 boundary decision flips
-        (the regression matmul tiles differently for a different strike
+        """compute_curves routes eligible sweeps through the fast path. A
+        spot's RNG stream is keyed by the grid index, so growing the S0 list
+        leaves its paths identical — prices agree up to f32 boundary decision
+        flips (the regression matmul tiles differently for a different strike
         count; same phenomenon as the 2-D mesh tests) — and an identical
         call is bitwise reproducible."""
         from options_model_tpu.apps.curves import CurveRequest, compute_curves
@@ -184,9 +182,11 @@ class TestSharedCurveFastPath:
         with pytest.raises(ValueError, match="shared_paths"):
             compute_curves(CurveRequest(shared_paths="maybe", **kw))
 
-    def test_auto_respects_multi_device_mesh(self, devices8):
-        """'auto' must NOT quietly drop an 8-device mesh onto one chip: the
-        sweep keeps the task-sharded pricer there (review finding r2)."""
+    def test_auto_routes_shared_on_multi_device_mesh(self, devices8):
+        """r3: 'auto' keeps the shared-path engine on a multi-device mesh —
+        the curve points shard over the mesh instead of forfeiting the
+        ~|S0 grid|x shared-path win (VERDICT r2 next #1). Routing identity:
+        'auto' == 'on' bitwise on an 8-device mesh."""
         from options_model_tpu.apps.curves import CurveRequest, compute_curves
         from options_model_tpu.parallel import make_mesh
 
@@ -195,11 +195,56 @@ class TestSharedCurveFastPath:
                   intervals_per_day=1, total_points=2,
                   num_simulations=8192, sigma=0.2, engine="xla", seed=11)
         df_auto = compute_curves(CurveRequest(**kw), mesh=mesh8)
-        df_off = compute_curves(CurveRequest(shared_paths="off", **kw),
-                                mesh=mesh8)
-        # identical routing => bitwise identical results
+        df_on = compute_curves(CurveRequest(shared_paths="on", **kw),
+                               mesh=mesh8)
         np.testing.assert_array_equal(df_auto["Option Value"].values,
-                                      df_off["Option Value"].values)
+                                      df_on["Option Value"].values)
+
+    def test_shared_mesh_equals_single_device(self, key, devices8):
+        """The point-sharded shared engine must reproduce the single-device
+        result: per-point RNG is keyed by the global point_id, which travels
+        with the shard — same paths, same regressions. Tolerance is f32
+        roundoff only (the shard_map program fuses slightly differently;
+        measured max rel diff 3e-6), NOT MC noise."""
+        from options_model_tpu.parallel import make_mesh
+        from options_model_tpu.pricers.surface_american import (
+            price_american_curves_shared)
+
+        mesh8 = make_mesh(("tasks",), devices=devices8)
+        S0s = np.array([95.0, 100.0, 105.0], np.float32)
+        Ts = np.array([0.5, 0.4, 0.3, 0.2, 0.1], np.float32)  # 5 pts: padded
+        mc = MCConfig(n_paths=8192, n_steps=10, path_block=1024)
+        for hp, model, sig in ((None, "gbm", 0.2), (HESTON, "heston", None)):
+            p1, s1 = price_american_curves_shared(
+                key, S0s, 100.0, Ts, 0.05, mc, model=model, sigma=sig,
+                heston=hp, engine="xla", use_control_variate=True, mesh=None)
+            p8, s8 = price_american_curves_shared(
+                key, S0s, 100.0, Ts, 0.05, mc, model=model, sigma=sig,
+                heston=hp, engine="xla", use_control_variate=True, mesh=mesh8)
+            np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                                       rtol=5e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s8),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_surface_mesh_equals_single_device(self, key, devices8):
+        """Maturity-axis sharding of price_american_surface reproduces the
+        sequential single-device surface (global maturity-index RNG travels
+        with the shard; tolerance is compilation-dependent f32 roundoff, not
+        MC noise). 5 maturities on 8 devices also exercises the
+        pad-and-slice path."""
+        from options_model_tpu.parallel import make_mesh
+
+        mesh8 = make_mesh(("tasks",), devices=devices8)
+        Ks = jnp.linspace(90.0, 110.0, 6)
+        Ts = jnp.array([0.1, 0.2, 0.3, 0.4, 0.5])
+        mc = MCConfig(n_paths=8192, n_steps=10, path_block=1024)
+        P1 = np.asarray(price_american_surface(key, 100.0, Ks, Ts, 0.05, mc,
+                                               cp=-1.0, heston=HESTON,
+                                               engine="xla"))
+        P8 = np.asarray(price_american_surface(key, 100.0, Ks, Ts, 0.05, mc,
+                                               cp=-1.0, heston=HESTON,
+                                               engine="xla", mesh=mesh8))
+        np.testing.assert_allclose(P1, P8, rtol=5e-5, atol=1e-5)
 
     def test_heston_cos_control_variate(self, key):
         """The COS closed-form leg extends the beta=1 European control
