@@ -239,6 +239,7 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
                            sigma=None, heston: Optional[HestonParams] = None,
                            model: str = "gbm", heston_scheme: str = "euler",
                            use_control_variate: bool = False,
+                           european_approximation: bool = False,
                            lsm: Optional[LSMConfig] = None,
                            div_yield: float = 0.0,
                            task_ids=None, return_stderr: bool = False,
@@ -257,7 +258,15 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
 
     Returns prices (n_tasks,) [and stderrs with return_stderr]; stderrs are
     over antithetic pair means of the evaluated statistic.
+
+    ``european_approximation``: discounted terminal-payoff mean instead of
+    the American backward (the reference's streaming-mode shortcut) — the
+    per-shard partial means psum over ``path_axis``.
     """
+    if model not in ("gbm", "heston"):
+        raise ValueError(
+            "price_american_grid_2d supports gbm/heston (localvol tables "
+            f"have no global-block-index XLA stream), got {model!r}")
     S0s = jnp.asarray(S0s, jnp.float32)
     strikes = jnp.asarray(strikes, jnp.float32)
     taus = jnp.asarray(taus, jnp.float32)
@@ -291,7 +300,8 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
                        degree, task_axis, path_axis,
                        sigma is not None, heston is not None,
                        lsm.variance_basis if lsm is not None else True,
-                       lsm.richardson if lsm is not None else False)
+                       lsm.richardson if lsm is not None else False,
+                       european_approximation)
     sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(
         sigma, jnp.float32)
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
@@ -308,7 +318,8 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
 def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
                   use_control_variate: bool, degree: int, task_axis: str,
                   path_axis: str, has_sigma: bool, has_heston: bool,
-                  variance_basis: bool = True, richardson: bool = False):
+                  variance_basis: bool = True, richardson: bool = False,
+                  european_approximation: bool = False):
     """Compile-cached body of price_american_grid_2d."""
     n_path_dev = mesh.shape[path_axis]
     nb_total = _pad_to(num_blocks(mc), n_path_dev)
@@ -326,7 +337,8 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
         rank = jax.lax.axis_index(path_axis)
         spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma,
                           div_yield=div_yield)
-        want_v = model == "heston" and has_heston and variance_basis
+        want_v = (model == "heston" and has_heston and variance_basis
+                  and not european_approximation)
         # engine='xla': global-block-index RNG is what makes the result
         # mesh-shape invariant (the Pallas kernels number tiles per call).
         out = simulate_paths(task_key, S0, T, local_cfg, model,
@@ -336,6 +348,15 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
                              div_yield=div_yield, return_variance=want_v)
         S_paths, v_paths = out if want_v else (out, None)
         stat_pb = mc.path_block if mc.antithetic else None
+        if european_approximation:
+            # Discounted terminal payoff, partial means psum'ed across the
+            # path axis (same semantics as _grid_impl's branch, here with
+            # the cross-shard reduction).
+            disc_T = jnp.exp(-jnp.asarray(rate, S_paths.dtype) * T)
+            pay = vanilla_payoff(S_paths[-1], K, cp) * disc_T
+            price, stderr, _ = masked_mean_stderr(pay, None, path_axis,
+                                                  stat_pb)
+            return price, stderr
         cv_leg = ((has_sigma and model == "gbm")
                   or (model == "heston" and has_heston))
         if richardson:
