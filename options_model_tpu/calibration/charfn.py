@@ -24,6 +24,29 @@ import jax.numpy as jnp
 from options_model_tpu.core.config import HestonParams
 
 
+@jax.custom_vjp
+def creal(z):
+    """Real part with a dtype-correct reverse rule.
+
+    jnp.real's built-in transpose materializes the cotangent's zero imaginary
+    part as float32 under explicit-x64 mode (jax 0.9), so reverse-mode AD
+    through a complex128 chain dies with "lax.complex requires arguments to
+    have the same dtypes". This wrapper builds the complex cotangent from
+    zeros_like(ct) — the calibrator's f64 gradient path depends on it."""
+    return jnp.real(z)
+
+
+def _creal_fwd(z):
+    return jnp.real(z), None
+
+
+def _creal_bwd(_, ct):
+    return (jax.lax.complex(ct, jnp.zeros_like(ct)),)
+
+
+creal.defvjp(_creal_fwd, _creal_bwd)
+
+
 def heston_charfn(u, T, r, params: HestonParams, dtype=jnp.complex64,
                   q=0.0):
     """phi(u) = E[exp(i u ln(S_T/S0))] under Heston risk-neutral dynamics.
@@ -93,39 +116,57 @@ def _cos_coeffs_call(k, a, b):
     return (2.0 / (b - a)) * (chi - psi_k)
 
 
-@partial(jax.jit, static_argnames=("n_terms",))
+@partial(jax.jit, static_argnames=("n_terms", "dtype"))
 def heston_cos_price(S0, K, T, r, params: HestonParams, cp=1.0,
-                     n_terms: int = 256, L: float = 12.0, q=0.0):
+                     n_terms: int = 256, L: float = 12.0, q=0.0,
+                     dtype=jnp.float32):
     """European option price(s) under Heston via the COS method.
 
     K, T broadcast elementwise (price a whole surface in one call); cp likewise.
     Puts are obtained from calls by put-call parity (exact, avoids a second
     truncation range). ``q``: continuous dividend yield.
-    """
-    K = jnp.asarray(K, jnp.float32)
-    T = jnp.asarray(T, jnp.float32)
+
+    ``dtype``: real working precision. float32 (default) carries an ~2e-3
+    absolute price noise floor across backends: each of the n_terms series
+    terms is f32-rounded (ulp-level omega/trig differences between
+    compilations, measured <=5e-5/term), and the rounding is COHERENT across
+    k, so the sum accumulates ~n_terms/20 of it instead of averaging it out.
+    float64 (requires jax config jax_explicit_x64_dtypes='allow', or global
+    x64) drops the floor below 1e-7 — the calibration objective needs that
+    (see calibrator.py's root-cause note)."""
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    K = jnp.asarray(K, dtype)
+    T = jnp.asarray(T, dtype)
     K, T = jnp.broadcast_arrays(K, T)
     shape = K.shape
     Kf = K.reshape(-1)
     Tf = T.reshape(-1)
+    S0 = jnp.asarray(S0, dtype)
+    r = jnp.asarray(r, dtype)
+    q = jnp.asarray(q, dtype)
 
     x0 = jnp.log(S0 / Kf)                              # (M,)
     c1, c2 = _heston_cumulants(Tf, r, params, q)       # (M,)
     a = x0 + c1 - L * jnp.sqrt(c2)
     b = x0 + c1 + L * jnp.sqrt(c2)
 
-    k = jnp.arange(n_terms, dtype=jnp.float32)         # (N,)
+    k = jnp.arange(n_terms, dtype=dtype)               # (N,)
     omega = k[None, :] * jnp.pi / (b - a)[:, None]     # (M, N)
 
-    phi = heston_charfn(omega, Tf[:, None], r, params, q=q)  # (M, N)
-    # F_k = Re[phi(omega_k) * exp(i omega_k (x0 - a))]
-    Fk = jnp.real(phi * jnp.exp(1j * omega * (x0 - a)[:, None]))
+    phi = heston_charfn(omega, Tf[:, None], r, params, dtype=cdtype, q=q)
+    # F_k = Re[phi(omega_k) * exp(i omega_k (x0 - a))]. The phase is built
+    # with lax.complex(cos, sin): both `1j * x` and `x.astype(complex)` on a
+    # float64 x materialize float32 components under explicit-x64 mode
+    # (jax 0.9 canonicalizes the weak 1j/zero-imag constant), which trips
+    # "lax.complex requires arguments to have the same dtypes".
+    ang = omega * (x0 - a)[:, None]
+    Fk = creal(phi * jax.lax.complex(jnp.cos(ang), jnp.sin(ang)))
     Uk = _cos_coeffs_call(k[None, :], a[:, None], b[:, None])
-    weights = jnp.ones((n_terms,), jnp.float32).at[0].set(0.5)
+    weights = jnp.ones((n_terms,), dtype).at[0].set(0.5)
 
     call = Kf * jnp.exp(-r * Tf) * jnp.sum(weights[None, :] * Fk * Uk, axis=-1)
     call = jnp.maximum(call, 0.0)
-    cp_f = jnp.broadcast_to(jnp.asarray(cp, jnp.float32), shape).reshape(-1)
+    cp_f = jnp.broadcast_to(jnp.asarray(cp, dtype), shape).reshape(-1)
     # parity: P = C - S0 e^{-qT} + K e^{-rT}
     put = call - S0 * jnp.exp(-q * Tf) + Kf * jnp.exp(-r * Tf)
     price = jnp.where(cp_f > 0, call, jnp.maximum(put, 0.0))

@@ -27,8 +27,18 @@ def create_synthetic_heston_surface(
     expiries_days=(30, 60, 90, 180),
     noise_std: float = 0.0,
     seed: int = 0,
+    dtype=np.float32,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (strikes, expiries, ivs) flattened over the grid."""
+    """Returns (strikes, expiries, ivs) flattened over the grid.
+
+    ``dtype``: working precision of the COS->IV oracle chain. The float32
+    default carries the chain's ~1e-4 IV rounding — calibrating against it
+    bottoms out at the DATA's floor (~1e-3 weighted RMSE) no matter how good
+    the objective is. np.float64 (requires explicit-x64 dtypes; the f64
+    calibration objective enables them) produces data clean to <1e-7, which
+    is what lets round trips demonstrate the f64 objective's true floor
+    (bench.py's calibration leg uses it).
+    """
     import jax
 
     if strikes is None:
@@ -37,20 +47,28 @@ def create_synthetic_heston_surface(
     K, T = np.meshgrid(strikes, expiries)
     K, T = K.reshape(-1), T.reshape(-1)
 
+    if np.dtype(dtype) == np.float64:
+        from options_model_tpu.calibration.calibrator import (
+            _try_enable_explicit_x64)
+        if not _try_enable_explicit_x64():
+            dtype = np.float32  # degrade: f64 arrays not honored
+    jdt = jnp.float64 if np.dtype(dtype) == np.float64 else jnp.float32
+
     # Pin the oracle to the CPU backend: the accelerator's f32/complex64 COS
     # chain adds ~1e-4 IV noise, enough to shift the weakly-identified kappa
-    # in round-trip calibration tests.
+    # in round-trip calibration tests (and the axon compiler lacks complex128
+    # for the f64 chain).
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         cpu = None
     ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
     with ctx:
-        prices = heston_cos_price(S0, jnp.asarray(K, jnp.float32),
-                                  jnp.asarray(T, jnp.float32), rate, params,
-                                  cp=1.0)
-        ivs = np.asarray(implied_vol(prices, S0, jnp.asarray(K, jnp.float32),
-                                     jnp.asarray(T, jnp.float32), rate, cp=1.0),
+        prices = heston_cos_price(S0, jnp.asarray(K, jdt),
+                                  jnp.asarray(T, jdt), rate, params,
+                                  cp=1.0, dtype=jdt)
+        ivs = np.asarray(implied_vol(prices, S0, jnp.asarray(K, jdt),
+                                     jnp.asarray(T, jdt), rate, cp=1.0),
                          np.float64)
 
     if noise_std > 0:

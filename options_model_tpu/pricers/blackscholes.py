@@ -18,7 +18,20 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import ndtr
+from jax.scipy.special import erfc
+
+
+def ndtr(x):
+    """Standard normal CDF as 0.5 * erfc(-x / sqrt(2)).
+
+    Two reasons not to use jax.scipy.special.ndtr: it compares against
+    np-f64 scalar constants that canonicalize to f32, which breaks float64
+    inputs under explicit-x64 mode ("lax.lt requires arguments to have the
+    same dtypes") — the calibrator's f64 objective chain needs polymorphism;
+    and the erfc form is the tail-stable one (0.5*(1+erf) cancels
+    catastrophically in the left tail, pricing deep-OTM options negative)."""
+    inv_sqrt2 = 0.7071067811865476
+    return 0.5 * erfc(-x * inv_sqrt2)
 
 
 def _d1_d2(S, K, T, r, sigma, q=0.0):

@@ -115,6 +115,111 @@ class TestMarketSurface:
             MarketSurface(strikes=[-1.0], expiries=[0.5], ivs=[0.2], S0=100.0)
 
 
+class TestObjectivePrecision:
+    """Root cause of the r1/r2 on-chip calibration degradation (VERDICT r2
+    next #4): the f32 COS chain has an ~1e-3 objective noise floor (coherent
+    per-term rounding over the series, correlated with the CPU-generated
+    synthetic data only on CPU); the f64 path drops it below 1e-7 on every
+    backend. See calibrator._make_objective's analysis."""
+
+    def _x64(self):
+        from options_model_tpu.calibration.calibrator import (
+            _try_enable_explicit_x64)
+        if not _try_enable_explicit_x64():
+            pytest.skip("explicit x64 dtypes unavailable")
+
+    def _cpu(self):
+        # The f64/complex128 COS chain is a CPU-evaluated objective (the
+        # axon TPU toolchain SIGABRTs compiling complex128; the calibrator's
+        # fallback chain handles that) — pin these precision claims to CPU
+        # so they also run under OPTIONS_TPU_TEST_BACKEND=native.
+        return jax.default_device(jax.devices("cpu")[0])
+
+    def test_f64_objective_floor(self):
+        """On f64-GENERATED data the f64 objective at truth is essentially
+        zero (< 1e-6); on f32-generated data it bottoms out at the DATA's
+        f32 rounding floor (~1e-4) — while the f32 CPU objective on the same
+        f32 data reads near-zero only because the data's rounding is
+        bit-correlated with the evaluator (the artificially-low CPU baseline
+        of the r1/r2 reports)."""
+        self._x64()
+        from options_model_tpu.pricers.blackscholes import implied_vol
+
+        with self._cpu():
+            x64 = jnp.array([2.5, 0.04, 0.3, -0.7, 0.04], jnp.float64)
+            # f64 generator: same grid as create_synthetic_heston_surface
+            Ks = np.linspace(80.0, 120.0, 15)
+            Ts = np.asarray([30, 60, 90, 180], np.float64) / 365.0
+            Kg, Tg = np.meshgrid(Ks, Ts)
+            Kg, Tg = Kg.reshape(-1), Tg.reshape(-1)
+            K64 = jnp.asarray(Kg, jnp.float64)
+            T64 = jnp.asarray(Tg, jnp.float64)
+            p64 = heston_cos_price(S0, K64, T64, R, TRUE, cp=1.0,
+                                   dtype=jnp.float64)
+            iv64 = implied_vol(p64, S0, K64, T64, R, cp=1.0)
+            v64_clean = float(_objective_core(x64, K64, T64, iv64, S0, R,
+                                              dtype=jnp.float64))
+            assert v64_clean < 1e-6
+            # f32-generated data: the floor is the data's rounding, not ours
+            K, T, iv = create_synthetic_heston_surface(TRUE)
+            v64_f32data = float(_objective_core(
+                x64, jnp.asarray(K, jnp.float64), jnp.asarray(T, jnp.float64),
+                jnp.asarray(iv, jnp.float64), S0, R, dtype=jnp.float64))
+            assert v64_clean < v64_f32data < 1e-3
+
+    def test_f64_cos_price_precision(self):
+        """f64 COS prices match an independent high-precision reference (the
+        f32 path's documented ~2e-3 floor must be gone)."""
+        self._x64()
+        with self._cpu():
+            K, T, _ = create_synthetic_heston_surface(TRUE)
+            p32 = np.asarray(heston_cos_price(
+                S0, jnp.asarray(K, jnp.float32), jnp.asarray(T, jnp.float32),
+                R, TRUE, cp=1.0))
+            p64 = np.asarray(heston_cos_price(
+                S0, jnp.asarray(K, jnp.float64), jnp.asarray(T, jnp.float64),
+                R, TRUE, cp=1.0, dtype=jnp.float64))
+            # doubling the term count changes f64 prices by < 1e-6
+            # (converged), while f32-vs-f64 shows the f32 rounding floor
+            p64b = np.asarray(heston_cos_price(
+                S0, jnp.asarray(K, jnp.float64), jnp.asarray(T, jnp.float64),
+                R, TRUE, cp=1.0, n_terms=512, dtype=jnp.float64))
+            assert np.max(np.abs(p64 - p64b)) < 1e-6
+            assert np.max(np.abs(p32 - p64)) < 5e-3  # the f32 floor, bounded
+
+    @pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                        reason="fallback check is for real accelerators")
+    def test_f64_fallback_on_accelerator(self):
+        """On an accelerator the calibrator must land on f64-on-CPU, never
+        f32-on-accelerator (the broken r1/r2 combination) and never attempt
+        complex128 on the chip (the axon remote compiler SIGABRTs on it —
+        a wasted multi-minute failed compile)."""
+        from options_model_tpu.calibration.calibrator import HestonCalibrator
+
+        self._x64()
+        with self._cpu():
+            K, T, iv = create_synthetic_heston_surface(TRUE)
+        surf = MarketSurface(strikes=K, expiries=T, ivs=iv, S0=S0, rate=R)
+        cal = HestonCalibrator(CalibrationConfig(max_iterations=1))
+        import time
+        t0 = time.perf_counter()
+        cal._make_objective(surf)
+        dt = time.perf_counter() - t0
+        assert cal._objective_dtype == np.float64
+        assert dt < 120.0, "objective factory attempted an on-chip c128 compile"
+
+    def test_calibrator_selects_f64(self):
+        """The objective factory must pick the f64 path when available."""
+        from options_model_tpu.calibration.calibrator import HestonCalibrator
+
+        self._x64()
+        K, T, iv = create_synthetic_heston_surface(TRUE)
+        surf = MarketSurface(strikes=K, expiries=T, ivs=iv, S0=S0, rate=R)
+        cal = HestonCalibrator(CalibrationConfig(max_iterations=1))
+        cal._make_objective(surf)
+        assert cal._objective_dtype == np.float64
+
+
 class TestCalibration:
     def test_objective_zero_at_truth(self):
         K, T, iv = create_synthetic_heston_surface(TRUE)
@@ -142,6 +247,23 @@ class TestCalibration:
         assert abs(params.theta - TRUE.theta) < 0.02
         assert abs(params.v0 - TRUE.v0) < 0.02
         assert abs(params.rho - TRUE.rho) < 0.25
+
+    def test_round_trip_f64_data_recovers_tightly(self):
+        """On f64-generated data the f64 objective's floor (<1e-7) lets the
+        round trip recover EVERY parameter to ~0.1% and the weighted IV RMSE
+        to <1e-4 — the bench.py calibration leg's configuration (the f32-data
+        round trip above stops at the data's own rounding floor)."""
+        from options_model_tpu.calibration.calibrator import (
+            _try_enable_explicit_x64)
+        if not _try_enable_explicit_x64():
+            pytest.skip("explicit x64 dtypes unavailable")
+        K, T, iv = create_synthetic_heston_surface(TRUE, dtype=np.float64)
+        cfg = CalibrationConfig(optimization_methods=("L-BFGS-B",), verbose=False)
+        params, summary = calibrate_heston_to_data(K, T, iv, S0=S0, config=cfg)
+        assert summary["error"] < 1e-4
+        for name in ("kappa", "theta", "xi", "rho", "v0"):
+            got, true = getattr(params, name), getattr(TRUE, name)
+            assert abs(got / true - 1.0) < 1e-2, (name, got, true)
 
     def test_feller_penalty_active(self):
         K, T, iv = create_synthetic_heston_surface(TRUE)
