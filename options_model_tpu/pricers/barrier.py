@@ -4,6 +4,12 @@ A real implementation of the capability the reference only stubbed
 (ExoticOptionPricer.price_barrier_option, options_model_2.py:62-66: print-and-
 return-NaN). Discretely monitored at the simulation grid; path matrices come
 from any dynamics in models/.
+
+Beyond-reference (r3): a Brownian-bridge continuity correction for GBM —
+discrete monitoring misses crossings BETWEEN grid points, an O(1/sqrt(steps))
+bias (Broadie-Glasserman-Kou); weighting each path by its exact conditional
+survival probability removes it — and the Reiner-Rubinstein closed form for
+continuously-monitored barriers under GBM as the validation oracle.
 """
 
 from __future__ import annotations
@@ -20,23 +26,69 @@ from options_model_tpu.core.payoff import (
     vanilla_payoff,
 )
 from options_model_tpu.pricers.american import simulate_paths
+from options_model_tpu.pricers.blackscholes import bs_price, ndtr
 
 BARRIER_TYPES = ("up-and-out", "down-and-out", "up-and-in", "down-and-in")
 
 
+def _bridge_survival(S_paths, barrier, sigma, T, is_up):
+    """Per-path probability that a continuous GBM bridge through the sampled
+    points never touches the barrier.
+
+    Conditional on endpoints x = S_t, y = S_{t+dt} on the safe side, the
+    log-price is a Brownian bridge and the crossing probability is exactly
+    exp(-2 ln(B/x) ln(B/y) / (sigma^2 dt)) (up barrier; mirrored for down).
+    The product of per-step survivals (zero once an endpoint breaches) is the
+    path's exact continuous-monitoring survival weight.
+    """
+    dtype = S_paths.dtype
+    n_steps = S_paths.shape[0] - 1
+    dt = jnp.asarray(T, dtype) / n_steps
+    x, y = S_paths[:-1], S_paths[1:]
+    B = jnp.asarray(barrier, dtype)
+    if is_up:
+        lx, ly = jnp.log(B / x), jnp.log(B / y)
+    else:
+        lx, ly = jnp.log(x / B), jnp.log(y / B)
+    inside = (lx > 0) & (ly > 0)
+    sig2dt = jnp.asarray(sigma, dtype) ** 2 * dt
+    p_cross = jnp.exp(-2.0 * jnp.maximum(lx, 0.0) * jnp.maximum(ly, 0.0)
+                      / sig2dt)
+    step_surv = jnp.where(inside, 1.0 - p_cross, 0.0)
+    return jnp.prod(step_surv, axis=0)
+
+
 def price_barrier_mc(key: jax.Array, S0, T, spec: OptionSpec, barrier: float,
                      barrier_type: str, mc: MCConfig, model: str = "gbm", *,
-                     heston: Optional[HestonParams] = None, sigma_fn=None):
-    """Price a discretely-monitored barrier option. Returns (price, stderr)."""
+                     heston: Optional[HestonParams] = None, sigma_fn=None,
+                     continuity_correction: bool = False):
+    """Price a barrier option by Monte Carlo. Returns (price, stderr).
+
+    Default: discretely monitored at the simulation grid (the estimator a
+    naive path check gives — biased toward the vanilla by O(1/sqrt(steps))
+    for the continuous contract). ``continuity_correction=True`` (GBM with
+    constant sigma only) weights each path by its exact Brownian-bridge
+    survival probability instead, pricing the CONTINUOUSLY monitored
+    contract without refining the grid — validated against the
+    Reiner-Rubinstein closed form (barrier_price_rr) at 50 steps in
+    tests/test_pricers.py.
+    """
     if barrier_type not in BARRIER_TYPES:
         raise ValueError(f"barrier_type must be one of {BARRIER_TYPES}")
     is_up = barrier_type.startswith("up")
     is_out = barrier_type.endswith("out")
+    if continuity_correction and (model != "gbm" or spec.sigma is None):
+        raise ValueError("continuity_correction requires GBM with a constant "
+                         "sigma (the bridge crossing law is exact only "
+                         "there)")
 
     S_paths = simulate_paths(key, S0, T, mc, model, sigma=spec.sigma,
                              rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
                              div_yield=spec.div_yield)
-    if is_out:
+    if continuity_correction:
+        surv = _bridge_survival(S_paths, barrier, spec.sigma, T, is_up)
+        alive = surv if is_out else 1.0 - surv
+    elif is_out:
         alive = barrier_knockout_mask(S_paths, barrier, is_up)
     else:
         alive = barrier_knockin_mask(S_paths, barrier, is_up)
@@ -50,3 +102,63 @@ def price_barrier_mc(key: jax.Array, S0, T, spec: OptionSpec, barrier: float,
     pb = _pair_block(mc, model, "auto") if mc.antithetic else None
     price, stderr, _ = masked_mean_stderr(payoffs, pair_block=pb)
     return price, stderr
+
+
+def barrier_price_rr(S0, K, T, r, sigma, barrier, barrier_type: str,
+                     cp: float = 1.0, q: float = 0.0):
+    """Reiner-Rubinstein (1991) closed form for a continuously-monitored
+    barrier option under GBM, zero rebate — the oracle for the corrected MC.
+
+    Standard A/B/C/D decomposition (Haug, "Complete Guide", ch. 4.17):
+    knock-INs from the table below, knock-OUTs via in-out parity
+    KO = vanilla - KI. Requires the spot on the safe side of the barrier
+    (S0 < B for up types, S0 > B for down types).
+    """
+    if barrier_type not in BARRIER_TYPES:
+        raise ValueError(f"barrier_type must be one of {BARRIER_TYPES}")
+    is_up = barrier_type.startswith("up")
+    is_out = barrier_type.endswith("out")
+    if (is_up and S0 >= barrier) or (not is_up and S0 <= barrier):
+        raise ValueError("spot must start on the safe side of the barrier")
+
+    phi = jnp.asarray(cp, jnp.float32)          # +1 call / -1 put
+    eta = jnp.where(is_up, -1.0, 1.0)           # +1 down / -1 up
+    S0 = jnp.asarray(S0, jnp.float32)
+    B = jnp.asarray(barrier, jnp.float32)
+    vsqrt = sigma * jnp.sqrt(T)
+    mu = (r - q - 0.5 * sigma**2) / sigma**2
+    df_q = jnp.exp(-q * T)
+    df_r = jnp.exp(-r * T)
+
+    x1 = jnp.log(S0 / K) / vsqrt + (1.0 + mu) * vsqrt
+    x2 = jnp.log(S0 / B) / vsqrt + (1.0 + mu) * vsqrt
+    y1 = jnp.log(B**2 / (S0 * K)) / vsqrt + (1.0 + mu) * vsqrt
+    y2 = jnp.log(B / S0) / vsqrt + (1.0 + mu) * vsqrt
+    pw1 = (B / S0) ** (2.0 * (mu + 1.0))
+    pw2 = (B / S0) ** (2.0 * mu)
+
+    A = (phi * S0 * df_q * ndtr(phi * x1)
+         - phi * K * df_r * ndtr(phi * (x1 - vsqrt)))
+    Bv = (phi * S0 * df_q * ndtr(phi * x2)
+          - phi * K * df_r * ndtr(phi * (x2 - vsqrt)))
+    C = (phi * S0 * df_q * pw1 * ndtr(eta * y1)
+         - phi * K * df_r * pw2 * ndtr(eta * (y1 - vsqrt)))
+    D = (phi * S0 * df_q * pw1 * ndtr(eta * y2)
+         - phi * K * df_r * pw2 * ndtr(eta * (y2 - vsqrt)))
+
+    K_above_B = K > barrier
+    if cp > 0:   # calls
+        if is_up:
+            ki = jnp.where(K_above_B, A, Bv - C + D)     # up-and-in call
+        else:
+            ki = jnp.where(K_above_B, C, A - Bv + D)     # down-and-in call
+    else:        # puts
+        if is_up:
+            ki = jnp.where(K_above_B, A - Bv + D, C)     # up-and-in put
+        else:
+            ki = jnp.where(K_above_B, Bv - C + D, A)     # down-and-in put
+
+    if is_out:
+        vanilla = bs_price(S0, K, T, r, sigma, cp, q=q)
+        return jnp.maximum(vanilla - ki, 0.0)
+    return jnp.maximum(ki, 0.0)
