@@ -161,16 +161,67 @@ class TestInteractiveWizard:
     def test_wizard_overrides_and_defaults(self):
         from options_model_tpu.apps.cli import interactive_wizard
         args = parse_args(["--K", "100"])
-        answers = iter(["TSLA", "", "105", "", "put", "", "", "", "", "", "",
-                        "heston", "0.3", "y"])
+        answers = iter([
+            "TSLA",   # ticker
+            "",       # expiry
+            "105",    # strike
+            "",       # rate
+            "0.01",   # dividend yield q
+            "put",    # option type
+            "",       # simulations
+            "",       # seed
+            "", "", "",  # s0 start/end/step
+            "",       # intervals per day
+            "heston",  # model
+            "0.3",    # iv
+            "qe",     # heston scheme
+            "nn",     # lsm regressor
+            "y",      # richardson
+            "y",      # european approximation
+            "",       # greeks override (blank = compute)
+        ])
         out = interactive_wizard(args, input_fn=lambda prompt: next(answers))
         assert out.ticker == "TSLA"
         assert out.K == 105.0
+        assert out.q == 0.01
         assert out.option_type == "put"
         assert out.model == "heston"
         assert out.iv == "0.3"
+        assert out.heston_scheme == "qe"
+        assert out.lsm_regressor == "nn"
+        assert out.richardson is True
         assert out.european_approximation is True
+        assert out.greeks is None  # blank kept the computed Greeks
         assert out.r == 0.05  # blank kept the default
+
+    def test_wizard_greeks_override(self):
+        from options_model_tpu.apps.cli import interactive_wizard
+        args = parse_args([])
+        answers = iter([""] * 18 + ["0.5 0.02 0.1 -0.01 0.05"])
+        out = interactive_wizard(args, input_fn=lambda prompt: next(answers))
+        assert out.greeks == [0.5, 0.02, 0.1, -0.01, 0.05]
+
+    @pytest.mark.parametrize("bad", ["0.5 0.02 0.1", "delta=0.5"])
+    def test_wizard_greeks_malformed_keeps_computed(self, bad, capsys):
+        # malformed override must not abort the 19-prompt session
+        from options_model_tpu.apps.cli import interactive_wizard
+        args = parse_args([])
+        answers = iter([""] * 18 + [bad])
+        out = interactive_wizard(args, input_fn=lambda prompt: next(answers))
+        assert out.greeks is None
+        assert "exactly 5 numbers" in capsys.readouterr().out
+
+    def test_cli_progress_bar_renders(self):
+        import io
+
+        from options_model_tpu.apps.cli import _progress_bar
+        buf = io.StringIO()
+        cb = _progress_bar("sweep", stream=buf)
+        cb(0.5, 12.0)
+        cb(1.0, 0.0)
+        text = buf.getvalue()
+        assert "sweep" in text and "50%" in text and "100%" in text
+        assert text.endswith("\n")  # finished bar closes the line
 
     def test_european_approximation_grid(self, key):
         # euro-approx sweep should track BS European closely
