@@ -26,8 +26,38 @@ import jax  # noqa: E402
 if not _NATIVE:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
+    # Hermeticity: the CLI tests call enable_compilation_cache(), which would
+    # otherwise point the WHOLE pytest process at the shared on-disk cache
+    # (/tmp/options_tpu_jit_cache) that real-TPU drives also write.
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
+    except Exception:
+        pass
 
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bound_jit_memory_maps():
+    """Keep the process under vm.max_map_count (default 65530).
+
+    Every compiled XLA executable holds several anonymous mappings (JIT code
+    + guard pages); the full suite compiles thousands of distinct programs
+    and crosses the kernel limit near the end, at which point LLVM's JIT
+    segfaults on the next big compile (observed: deterministic SIGSEGV in
+    backend_compile_and_load at ~50k maps while compiling the surface
+    program; isolated runs of the same test pass). Dropping compiled-program
+    caches between modules releases the maps (verified: 300 jits 1364 maps
+    -> 470 after clear_caches). Threshold-gated so cheap modules keep their
+    warm caches."""
+    yield
+    try:
+        with open("/proc/self/maps") as fh:
+            n = sum(1 for _ in fh)
+    except OSError:  # non-Linux: no limit to manage
+        return
+    if n > 25_000:
+        jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

@@ -193,6 +193,12 @@ class TestCompilationCache:
         from options_model_tpu.ops.engine import enable_compilation_cache
 
         cache = str(tmp_path / "jit_cache")
+        # conftest globally disables the persistent cache for hermeticity;
+        # this test is ABOUT the cache, so re-enable it for its scope.
+        try:
+            jax.config.update("jax_enable_compilation_cache", True)
+        except Exception:
+            pass
         enable_compilation_cache(cache, min_compile_time_secs=0.0)
         # jax memoizes the cache object at the first compile of the process;
         # tests running earlier in the suite may have pinned a no-cache state.
@@ -214,6 +220,10 @@ class TestCompilationCache:
             assert entries, "no cache entries written"
         finally:
             jax.config.update("jax_compilation_cache_dir", None)
+            try:
+                jax.config.update("jax_enable_compilation_cache", False)
+            except Exception:
+                pass
 
     def test_enable_is_idempotent(self, tmp_path):
         from options_model_tpu.ops.engine import enable_compilation_cache
