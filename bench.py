@@ -154,6 +154,45 @@ def main():
             abs(float(p_h) - fd) / fd, 6)
         details["heston_american_fd_oracle"] = round(fd, 6)
 
+        # The reference's FLAGSHIP estimator: control variate around the
+        # shared continuation NETWORK (options_model_3.py:653-677), driver-
+        # measured every round (VERDICT r2 next #2).
+        from options_model_tpu.pricers.american import (
+            price_american_with_control_variate)
+        p_nn, _ = price_american_with_control_variate(
+            jax.random.key(2026), 100.0, 0.5, spec,
+            MCConfig(n_paths=1 << 18 if on_tpu else 1 << 14, n_steps=50,
+                     path_block=4096),
+            LSMConfig(regressor="nn"), engine="xla")
+        details["american_put_nn_rel_err_vs_crr"] = round(
+            abs(float(p_nn) - oracle) / oracle, 6)
+        details["american_put_nn_cv"] = round(float(p_nn), 6)
+
+        # Synthetic Heston calibration round trip (VERDICT r2 next #4):
+        # wall time + recovered-parameter RMSE. The objective runs in f64
+        # (on CPU where the accelerator toolchain lacks complex128 — see
+        # calibrator._make_objective's root-cause note).
+        from options_model_tpu.calibration import (
+            calibrate_heston_to_data, create_synthetic_heston_surface)
+        cal_true = HestonParams(kappa=3.0, theta=0.05, xi=0.4, rho=-0.6,
+                                v0=0.045)
+        # f64 data: measure the OBJECTIVE's floor, not the f32 data's
+        # rounding floor (see synthetic.create_synthetic_heston_surface).
+        Kc, Tc, ivc = create_synthetic_heston_surface(cal_true,
+                                                      dtype=np.float64)
+        t0 = time.perf_counter()
+        fit, summary = calibrate_heston_to_data(Kc, Tc, ivc, 100.0, 0.05)
+        dt_cal = time.perf_counter() - t0
+        rel = np.array([fit.kappa / cal_true.kappa - 1.0,
+                        fit.theta / cal_true.theta - 1.0,
+                        fit.xi / cal_true.xi - 1.0,
+                        fit.rho / cal_true.rho - 1.0,
+                        fit.v0 / cal_true.v0 - 1.0])
+        details["calibration_seconds"] = round(dt_cal, 2)
+        details["calibration_param_rel_rmse"] = round(
+            float(np.sqrt(np.mean(rel ** 2))), 6)
+        details["calibration_iv_rmse"] = round(float(summary["error"]), 8)
+
     if on_tpu and not args.quick:
         # The reference's flagship workload: an S0-grid x days-to-expiry
         # American curve sweep (ProcessPoolExecutor fan-out there;
