@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from contextlib import contextmanager, nullcontext as _nullcontext
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -147,31 +148,62 @@ def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
     return weighted_rmse + feller_penalty
 
 
-def _try_enable_explicit_x64() -> bool:
-    """Allow explicit float64/complex128 dtypes (JAX 'explicit x64' mode)
-    without flipping the global x64 default. Returns True if f64 arrays are
-    actually honored afterwards — probed on the CPU device when one exists,
-    because that is where the f64 objective actually evaluates (probing the
-    default accelerator would gate the fix on the wrong backend)."""
+@contextmanager
+def _explicit_x64_scope():
+    """Temporarily allow explicit float64/complex128 dtypes (JAX 'explicit
+    x64' mode) without flipping the global x64 default — and, crucially,
+    RESTORE the previous mode on exit. Leaving the flag flipped would change
+    dtype canonicalization (np.float64 inputs no longer downcast to f32)
+    library-wide as a side effect of one calibration — and f64 HestonParams
+    leaking into the complex chain means a complex128 program, which the
+    accelerator backend cannot compile. Yields True when the mode switch
+    itself succeeded."""
+    try:
+        old = jax.config.jax_explicit_x64_dtypes
+    except AttributeError:
+        old = None
+    ok = False
     try:
         try:
             jax.config.update("jax_explicit_x64_dtypes", "allow")
+            ok = True
         except TypeError:
             from jax._src.config import ExplicitX64Mode
             jax.config.update("jax_explicit_x64_dtypes", ExplicitX64Mode.ALLOW)
+            ok = True
+        except Exception:
+            pass
     except Exception:
         pass
     try:
+        yield ok
+    finally:
+        if ok and old is not None:
+            try:
+                jax.config.update("jax_explicit_x64_dtypes", old)
+            except Exception:
+                pass
+
+
+def _try_enable_explicit_x64() -> bool:
+    """True if explicit-f64 arrays are honored inside _explicit_x64_scope()
+    — probed on the CPU device when one exists, because that is where the f64
+    objective actually evaluates (probing the default accelerator would gate
+    the fix on the wrong backend). Does NOT leave the mode flipped."""
+    with _explicit_x64_scope() as ok:
+        if not ok:
+            return False
         try:
-            cpu = jax.devices("cpu")[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None:
-            with jax.default_device(cpu):
-                return jnp.zeros((), jnp.float64).dtype == jnp.float64
-        return jnp.zeros((), jnp.float64).dtype == jnp.float64
-    except Exception:
-        return False
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    return jnp.zeros((), jnp.float64).dtype == jnp.float64
+            return jnp.zeros((), jnp.float64).dtype == jnp.float64
+        except Exception:
+            return False
 
 
 class HestonCalibrator:
@@ -237,9 +269,14 @@ class HestonCalibrator:
                      lo, hi)
         val_and_grad = None
         for dtype, dev in candidates:
-            K = jnp.asarray(surface.strikes, dtype)
-            T = jnp.asarray(surface.expiries, dtype)
-            iv = jnp.asarray(surface.ivs, dtype)
+            # The f64 surface arrays must be created INSIDE the scope too —
+            # outside it they are silently truncated to f32, which would
+            # reintroduce the exact data-rounding floor the f64 path removes.
+            with (_explicit_x64_scope() if dtype == jnp.float64
+                  else _nullcontext()):
+                K = jnp.asarray(surface.strikes, dtype)
+                T = jnp.asarray(surface.expiries, dtype)
+                iv = jnp.asarray(surface.ivs, dtype)
             vg = jax.jit(jax.value_and_grad(
                 lambda x, K=K, T=T, iv=iv, dtype=dtype: _objective_core(
                     x, K, T, iv, surface.S0, surface.rate,
@@ -250,12 +287,19 @@ class HestonCalibrator:
                     div_yield=surface.div_yield, dtype=dtype)))
 
             def _eval(x, vg=vg, dtype=dtype, dev=dev):
+                # f64 candidates need explicit-x64 mode live for every
+                # evaluation (scipy drives these host-side long after
+                # _make_objective returned); the scope restores the global
+                # mode on exit so nothing leaks between optimizer steps.
                 xa = np.asarray(x, np.float64 if dtype == jnp.float64
                                 else np.float32)
-                if dev is not None:
-                    with jax.default_device(dev):
-                        return vg(jax.device_put(xa, dev))
-                return vg(jnp.asarray(xa))
+                ctx = (_explicit_x64_scope() if dtype == jnp.float64
+                       else _nullcontext())
+                with ctx:
+                    if dev is not None:
+                        with jax.default_device(dev):
+                            return vg(jax.device_put(xa, dev))
+                    return vg(jnp.asarray(xa))
 
             try:  # one probe evaluation validates compile + finite output
                 v0, g0 = _eval(x0)

@@ -17,6 +17,9 @@ from contextlib import nullcontext as _nullcontext
 from options_model_tpu.core.config import HestonParams
 from options_model_tpu.calibration.charfn import heston_cos_price
 from options_model_tpu.pricers.blackscholes import implied_vol
+from options_model_tpu.utils.logging import get_logger
+
+_log = get_logger("options_model_tpu.calibration.synthetic")
 
 
 def create_synthetic_heston_surface(
@@ -47,12 +50,19 @@ def create_synthetic_heston_surface(
     K, T = np.meshgrid(strikes, expiries)
     K, T = K.reshape(-1), T.reshape(-1)
 
-    if np.dtype(dtype) == np.float64:
-        from options_model_tpu.calibration.calibrator import (
-            _try_enable_explicit_x64)
-        if not _try_enable_explicit_x64():
-            dtype = np.float32  # degrade: f64 arrays not honored
-    jdt = jnp.float64 if np.dtype(dtype) == np.float64 else jnp.float32
+    from options_model_tpu.calibration.calibrator import (
+        _explicit_x64_scope, _try_enable_explicit_x64)
+    want_f64 = np.dtype(dtype) == np.float64
+    if want_f64 and not _try_enable_explicit_x64():
+        # Never silently: a caller asking for the f64 oracle and getting f32
+        # data would report round-trip RMSEs that measure the DATA's ~1e-4
+        # IV rounding floor while claiming the f64 floor (<1e-7).
+        _log.warning(
+            "synthetic Heston oracle: float64 requested but explicit-x64 "
+            "dtypes are unavailable — degrading to float32 (results carry "
+            "the f32 chain's ~1e-4 IV rounding)")
+        want_f64 = False
+    jdt = jnp.float64 if want_f64 else jnp.float32
 
     # Pin the oracle to the CPU backend: the accelerator's f32/complex64 COS
     # chain adds ~1e-4 IV noise, enough to shift the weakly-identified kappa
@@ -63,7 +73,8 @@ def create_synthetic_heston_surface(
     except RuntimeError:
         cpu = None
     ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
-    with ctx:
+    x64ctx = _explicit_x64_scope() if want_f64 else _nullcontext()
+    with x64ctx, ctx:
         prices = heston_cos_price(S0, jnp.asarray(K, jdt),
                                   jnp.asarray(T, jdt), rate, params,
                                   cp=1.0, dtype=jdt)

@@ -32,6 +32,19 @@ def _pad_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def pad_to_multiple(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Pad axis 0 of ``x`` up to a multiple of ``m`` by repeating the last
+    row — padded tasks recompute a real cell (cheap, shape-static) and the
+    caller slices the results back to the true length. Single owner of the
+    device-count padding used by every sharded grid/surface/curve engine."""
+    n = x.shape[0]
+    n_pad = _pad_to(n, m)
+    if n_pad == n:
+        return x
+    return jnp.concatenate(
+        [x, jnp.broadcast_to(x[-1:], (n_pad - n,) + x.shape[1:])])
+
+
 def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
                         mesh: Mesh, *, cp: float = -1.0, sigma=None,
                         heston: Optional[HestonParams] = None,
@@ -72,10 +85,9 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
     taus = jnp.asarray(taus, jnp.float32)
     n_tasks = S0s.shape[0]
     n_dev = mesh.devices.size
-    n_pad = _pad_to(n_tasks, n_dev)
 
     def pad(x):
-        return jnp.concatenate([x, jnp.broadcast_to(x[-1:], (n_pad - n_tasks,))])
+        return pad_to_multiple(x, n_dev)
 
     S0p, Kp, Tp = pad(S0s), pad(strikes), pad(taus)
     # Global task ids drive per-task RNG; callers slicing a larger task list
@@ -155,6 +167,11 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
             return price, stderr
         cv_leg = ((has_sigma and model == "gbm")
                   or (model == "heston" and has_heston))
+        # The grid-level flag and the LSMConfig knob both request the
+        # low-biased estimator; every branch below (poly/nn, plain/richardson)
+        # must honor their OR — pricing in-sample while the caller asked for
+        # out-of-sample would silently return the foresight-biased estimate.
+        oos = lsm_out_of_sample or (lsm is not None and lsm.out_of_sample)
         if lsm is not None and lsm.regressor == "nn":
             # Distinct fit stream per task (sim used task_key itself). The nn
             # estimator composes with the same CV / Richardson / OOS layers
@@ -165,7 +182,8 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
             fit_key = jax.random.fold_in(task_key, jnp.int32(1))
             if lsm.richardson:
                 eff_lsm = lsm.replace(
-                    use_control_variate=use_control_variate and cv_leg)
+                    use_control_variate=use_control_variate and cv_leg,
+                    out_of_sample=oos)
                 stat, mask_r = richardson_nn_stat(
                     fit_key, S_paths, v_paths, spec, T, eff_lsm,
                     heston=heston, model=model, pair_block=pb)
@@ -174,7 +192,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                 return price, stderr
             price, stderr, (cash, eval_mask) = lsm_nn_backward(
                 fit_key, S_paths, spec, T, lsm, stat_pair_block=stat_pb,
-                v_paths=v_paths, out_of_sample=lsm.out_of_sample,
+                v_paths=v_paths, out_of_sample=oos,
                 pair_block=pb, return_cash=True)
             if use_control_variate and cv_leg:
                 cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston,
@@ -182,7 +200,6 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                 price, stderr, _ = masked_mean_stderr(cv, eval_mask, None,
                                                       stat_pb)
             return price, stderr
-        oos = lsm_out_of_sample or (lsm is not None and lsm.out_of_sample)
         degree = lsm.poly_degree if lsm is not None else 3
         if lsm is not None and lsm.richardson:
             # Common-path Richardson to the continuous-exercise limit — the
@@ -190,7 +207,8 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
             # (shared with price_american_richardson).
             from options_model_tpu.pricers.american import richardson_cv_stat
             eff_lsm = lsm.replace(
-                use_control_variate=use_control_variate and cv_leg)
+                use_control_variate=use_control_variate and cv_leg,
+                out_of_sample=oos)
             stat, mask_r = richardson_cv_stat(S_paths, v_paths, spec, T,
                                               eff_lsm, heston=heston,
                                               model=model, pair_block=pb)
@@ -272,13 +290,11 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
     taus = jnp.asarray(taus, jnp.float32)
     n_tasks = S0s.shape[0]
     n_task_dev = mesh.shape[task_axis]
-    n_pad = _pad_to(n_tasks, n_task_dev)
     # (the path-sharding geometry — blocks per device, local config — lives
     # in _grid_2d_impl, the single owner of that derivation)
 
     def pad(x):
-        return jnp.concatenate([x, jnp.broadcast_to(x[-1:],
-                                                    (n_pad - n_tasks,))])
+        return pad_to_multiple(x, n_task_dev)
 
     S0p, Kp, Tp = pad(S0s), pad(strikes), pad(taus)
     if task_ids is None:

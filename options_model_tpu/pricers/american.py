@@ -181,7 +181,8 @@ def _pair_block(mc: MCConfig, model: str, engine: str,
     return mc.path_block
 
 
-def build_centered_basis(S_t, K, itm, poly_degree: int, allsum, v_t=None):
+def build_centered_basis(S_t, K, itm, poly_degree: int, allsum, v_t=None,
+                         return_stats: bool = False):
     """[1, u, ..., u^degree, (x-1)^+] with u = x centered/scaled against the
     masked (ITM) measure BEFORE taking powers (the conditioning rule both LSM
     pricers depend on — see lsm_poly_backward's numerics note).
@@ -190,12 +191,18 @@ def build_centered_basis(S_t, K, itm, poly_degree: int, allsum, v_t=None):
     the masked-centered/scaled variance — the continuation value under
     stochastic vol is a function of the STATE (S, v); regressing on S alone
     biases the exercise policy ~0.7% low vs the ADI oracle
-    (pricers/fd_heston.py; with these columns the gap closes to ~0.01%)."""
+    (pricers/fd_heston.py; with these columns the gap closes to ~0.01%).
+
+    ``return_stats``: also return (x_mean, x_rstd) — the affine map behind u.
+    Consumers that evaluate the fitted polynomial as a FUNCTION of x (the
+    martingale-dual bound's closed-form expectations, pricers/dual.py) need
+    the map, not just the design matrix."""
     x = S_t / K
     wsum = jnp.maximum(allsum(itm.sum()), 1.0)
     x_mean = allsum((x * itm).sum()) / wsum
     x_var = allsum(((x - x_mean) ** 2 * itm).sum()) / wsum
-    u = (x - x_mean) * jax.lax.rsqrt(jnp.maximum(x_var, 1e-12))
+    x_rstd = jax.lax.rsqrt(jnp.maximum(x_var, 1e-12))
+    u = (x - x_mean) * x_rstd
     cols = [u**d for d in range(poly_degree + 1)]
     cols.append(jnp.maximum(x - 1.0, 0.0))
     if v_t is not None:
@@ -203,7 +210,10 @@ def build_centered_basis(S_t, K, itm, poly_degree: int, allsum, v_t=None):
         v_var = allsum(((v_t - v_mean) ** 2 * itm).sum()) / wsum
         w = (v_t - v_mean) * jax.lax.rsqrt(jnp.maximum(v_var, 1e-12))
         cols += [w, w**2, u * w]
-    return jnp.stack(cols, axis=-1)
+    X = jnp.stack(cols, axis=-1)
+    if return_stats:
+        return X, (x_mean, x_rstd)
+    return X
 
 
 def _pmean(x, axis_name):
@@ -478,6 +488,11 @@ def richardson_nn_stat(key: jax.Array, S_paths, v_paths, spec: OptionSpec, T,
     if lsm.out_of_sample:
         if pair_block is None:
             raise ValueError("out_of_sample richardson needs pair_block")
+        if n_paths < 2 * pair_block:
+            # Same guard as lsm_nn_backward: with a single block the split
+            # degenerates to train=all / eval=none and masked_mean_stderr
+            # would confidently report price 0.0 +/- 0.0.
+            raise ValueError("out_of_sample needs at least two path blocks")
         train_mask, eval_mask = oos_masks(n_paths, pair_block, dtype)
     else:
         train_mask, eval_mask = None, jnp.ones((n_paths,), dtype)

@@ -35,16 +35,23 @@ def price_american_lsm_gbm_replay(key: jax.Array, S0, T, spec: OptionSpec,
                                   mc: MCConfig, *, first_block=0,
                                   axis_name: Optional[str] = None,
                                   poly_degree: int = 3,
-                                  stat_pair_block: Optional[int] = None
+                                  stat_pair_block="auto"
                                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """American LSM under GBM with reverse-replayed paths. Returns (price, stderr).
 
-    ``stat_pair_block``: the simulator's antithetic mirror granularity
-    (mc.path_block for the XLA GBM stream this pricer replays). The stopped
-    cashflows inherit the paths' antithetic pairing, so the reported stderr
-    must be over pair means — raw antithetic samples are not i.i.d.
-    (core/stats.pair_mean_reduce; same discipline as every other estimator,
-    tests/test_stats_discipline.py). Pass mc.path_block when mc.antithetic."""
+    ``stat_pair_block``: the simulator's antithetic mirror granularity. The
+    default ("auto") derives it from ``mc`` exactly like every sibling
+    estimator — mc.path_block when mc.antithetic, else None — so no caller
+    has to remember to thread it. The stopped cashflows inherit the paths'
+    antithetic pairing, so the reported stderr must be over pair means — raw
+    antithetic samples are not i.i.d. (core/stats.pair_mean_reduce; same
+    discipline as every other estimator, tests/test_stats_discipline.py).
+    Pass an explicit None to get the raw-sample stderr."""
+    if isinstance(stat_pair_block, str) and stat_pair_block == "auto":
+        # mc.path_block is the XLA GBM stream's mirror granularity (the
+        # stream this pricer replays; american._pair_block's engine='xla'
+        # case).
+        stat_pair_block = mc.path_block if mc.antithetic else None
     dtype = mc.dtype
     n_steps = mc.n_steps
     dt = jnp.asarray(T, dtype) / n_steps

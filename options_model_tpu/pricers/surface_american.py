@@ -187,16 +187,13 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
                 if heston is None else heston)
     if multi:
+        from options_model_tpu.parallel.batch import pad_to_multiple
         n_d = Ts.shape[0]
         n_dev = mesh.devices.size
-        n_pad = ((n_d + n_dev - 1) // n_dev) * n_dev
-
-        def pad(x):
-            return jnp.concatenate([x, jnp.broadcast_to(x[-1:],
-                                                        (n_pad - n_d,))])
-
         prices, stderrs = fn(key, S0s, jnp.asarray(strike, jnp.float32),
-                             pad(Ts), pad(point_ids), jnp.float32(rate),
+                             pad_to_multiple(Ts, n_dev),
+                             pad_to_multiple(point_ids, n_dev),
+                             jnp.float32(rate),
                              sigma_a, heston_a, jnp.float32(cp),
                              jnp.float32(div_yield))
         return prices[:n_d], stderrs[:n_d]
@@ -332,14 +329,11 @@ def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
                 if heston is None else heston)
     if mesh is not None and mesh.devices.size > 1:
+        from options_model_tpu.parallel.batch import pad_to_multiple
         n_dev = mesh.devices.size
-        n_pad = ((n_T + n_dev - 1) // n_dev) * n_dev
-
-        def pad(x):
-            return jnp.concatenate(
-                [x, jnp.broadcast_to(x[-1:], (n_pad - n_T,) + x.shape[1:])])
-
-        out = fn(key, jnp.float32(S0), strikes, pad(maturities), pad(ti),
+        out = fn(key, jnp.float32(S0), strikes,
+                 pad_to_multiple(maturities, n_dev),
+                 pad_to_multiple(ti, n_dev),
                  jnp.float32(rate), sigma_a, heston_a, jnp.float32(cp),
                  jnp.float32(div_yield))
         return out[:n_T]

@@ -132,8 +132,30 @@ class TestObjectivePrecision:
         # The f64/complex128 COS chain is a CPU-evaluated objective (the
         # axon TPU toolchain SIGABRTs compiling complex128; the calibrator's
         # fallback chain handles that) — pin these precision claims to CPU
-        # so they also run under OPTIONS_TPU_TEST_BACKEND=native.
-        return jax.default_device(jax.devices("cpu")[0])
+        # so they also run under OPTIONS_TPU_TEST_BACKEND=native. Explicit-x64
+        # mode is entered HERE (scoped, not leaked: the library probe no
+        # longer flips the process-global flag — calibrator._explicit_x64_scope).
+        from contextlib import ExitStack
+        from options_model_tpu.calibration.calibrator import (
+            _explicit_x64_scope)
+        st = ExitStack()
+        st.enter_context(_explicit_x64_scope())
+        st.enter_context(jax.default_device(jax.devices("cpu")[0]))
+        return st
+
+    def test_x64_probe_does_not_leak_global_mode(self):
+        """Neither the probe nor f64 surface generation may leave the
+        process-global jax_explicit_x64_dtypes flag flipped (review fix: the
+        leak changed np.float64 canonicalization library-wide, and f64
+        HestonParams leaking into the complex chain means a complex128
+        program the accelerator backend cannot compile)."""
+        from options_model_tpu.calibration.calibrator import (
+            _try_enable_explicit_x64)
+        before = jax.config.jax_explicit_x64_dtypes
+        _try_enable_explicit_x64()
+        assert jax.config.jax_explicit_x64_dtypes == before
+        create_synthetic_heston_surface(TRUE, dtype=np.float64)
+        assert jax.config.jax_explicit_x64_dtypes == before
 
     def test_f64_objective_floor(self):
         """On f64-GENERATED data the f64 objective at truth is essentially

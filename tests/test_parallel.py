@@ -115,6 +115,26 @@ class TestAmericanGrid:
         assert prices.shape == (n,)
         assert np.all(np.isfinite(np.asarray(prices)))
 
+    def test_nn_grid_honors_grid_level_oos(self, key, devices8):
+        """The grid-level lsm_out_of_sample flag must reach the NN branch
+        exactly like the poly branch (review fix: it silently priced
+        in-sample — the foresight-biased estimator — before)."""
+        mesh = make_mesh(("tasks",), devices=devices8)
+        n = 2
+        args = (key, jnp.full((n,), S0), jnp.full((n,), K), jnp.full((n,), T),
+                R, MCConfig(n_paths=2048, n_steps=10, path_block=256), mesh)
+        kw = dict(cp=-1.0, sigma=SIG, engine="xla")
+        nn = LSMConfig(regressor="nn", nn_epochs=2, nn_hidden=8, nn_layers=1)
+        p_flag = price_american_grid(*args, lsm=nn, lsm_out_of_sample=True,
+                                     **kw)
+        p_cfg = price_american_grid(*args, lsm=nn.replace(out_of_sample=True),
+                                    **kw)
+        p_ins = price_american_grid(*args, lsm=nn, **kw)
+        # both spellings request the same estimator -> identical programs
+        np.testing.assert_array_equal(np.asarray(p_flag), np.asarray(p_cfg))
+        # and it is NOT the in-sample estimator
+        assert not np.array_equal(np.asarray(p_flag), np.asarray(p_ins))
+
     def test_heston_grid(self, key, devices8):
         mesh = make_mesh(("tasks",), devices=devices8)
         n = 8

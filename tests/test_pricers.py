@@ -253,7 +253,10 @@ class TestReplayLSM:
             key, S0, T, PUT_SPEC, mc)
         S_paths = simulate_paths(key, S0, T, mc, "gbm", sigma=SIG, rate=R,
                                  engine="xla")
-        p_stored, se_stored = lsm_poly_backward(S_paths, PUT_SPEC, T)
+        # like-for-like error accounting: the replay default is pair-aware
+        # (derived from mc), so give the stored-matrix pricer the same unit
+        p_stored, se_stored = lsm_poly_backward(
+            S_paths, PUT_SPEC, T, stat_pair_block=mc.path_block)
         # identical streams; f32 replay roundoff can flip a handful of
         # boundary exercise decisions (~2e-4 on the price), nothing more
         np.testing.assert_allclose(float(p_replay), float(p_stored), rtol=1e-3)
@@ -365,6 +368,23 @@ class TestOOSPairIntegrity:
         with pytest.raises(ValueError, match="pair_block"):
             lsm_nn_backward(fit_key, S_paths, PUT_SPEC, T, lsm,
                             out_of_sample=True)
+
+    def test_nn_richardson_single_block_rejected(self, key):
+        """richardson_nn_stat must enforce the same >= 2 path blocks guard as
+        lsm_nn_backward: with one block the OOS split degenerates to
+        train=all/eval=none and the estimator would confidently report
+        0.0 +/- 0.0 (review fix)."""
+        from options_model_tpu.pricers.american import (
+            richardson_nn_stat, simulate_paths)
+
+        mc = MCConfig(n_paths=1024, n_steps=12, path_block=1024)
+        S_paths = simulate_paths(key, S0, T, mc, "gbm", sigma=SIG, rate=R,
+                                 engine="xla")
+        lsm = LSMConfig(regressor="nn", nn_epochs=2, nn_hidden=8, nn_layers=1,
+                        out_of_sample=True, richardson=True)
+        with pytest.raises(ValueError, match="two path blocks"):
+            richardson_nn_stat(jax.random.fold_in(key, 7), S_paths, None,
+                               PUT_SPEC, T, lsm, pair_block=mc.path_block)
 
     def test_bad_grid_mode_rejected(self):
         from options_model_tpu.apps.curves import CurveRequest, compute_curves

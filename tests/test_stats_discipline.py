@@ -93,7 +93,8 @@ class TestReplayLSMStderr:
             price_american_lsm_gbm_replay)
 
         spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=SIG)
-        p_raw, se_raw = price_american_lsm_gbm_replay(key, S0, T, spec, MC)
+        p_raw, se_raw = price_american_lsm_gbm_replay(
+            key, S0, T, spec, MC, stat_pair_block=None)
         p_pair, se_pair = price_american_lsm_gbm_replay(
             key, S0, T, spec, MC, stat_pair_block=MC.path_block)
         # same estimator, different (correct) error accounting; the replayed
@@ -101,6 +102,11 @@ class TestReplayLSMStderr:
         # anticorrelated across pairs -> the pair stderr is strictly smaller
         np.testing.assert_allclose(float(p_raw), float(p_pair), rtol=1e-6)
         assert float(se_pair) < float(se_raw)
+        # the DEFAULT derives the pair block from mc like every sibling
+        # estimator — no caller has to thread it (review fix: it was opt-in)
+        p_auto, se_auto = price_american_lsm_gbm_replay(key, S0, T, spec, MC)
+        np.testing.assert_array_equal(float(p_auto), float(p_pair))
+        np.testing.assert_array_equal(float(se_auto), float(se_pair))
 
 
 class TestNNLSMStderr:
