@@ -154,6 +154,20 @@ def main():
             abs(float(p_h) - fd) / fd, 6)
         details["heston_american_fd_oracle"] = round(fd, 6)
 
+        # Primal-dual bracket (Rogers martingale dual, pricers/dual.py):
+        # [low, high] bounds the 50-date Bermudan value from BOTH sides on
+        # one simulation — the bracket width is a measured bound on the
+        # estimator BIAS, beyond any point estimate's reach.
+        from options_model_tpu.pricers import price_american_bracket
+        br = price_american_bracket(
+            jax.random.key(11), 100.0, 0.5, spec,
+            MCConfig(n_paths=1 << 18 if on_tpu else 1 << 15, n_steps=50,
+                     path_block=4096), engine="xla")
+        details["american_put_dual_upper_rel_vs_crr"] = round(
+            float(br.high) / oracle - 1.0, 6)
+        details["american_put_bracket_width_pct"] = round(
+            (float(br.high) - float(br.low)) / oracle * 100.0, 4)
+
         # The reference's FLAGSHIP estimator: control variate around the
         # shared continuation NETWORK (options_model_3.py:653-677), driver-
         # measured every round (VERDICT r2 next #2).
@@ -178,6 +192,13 @@ def main():
                                 v0=0.045)
         # f64 data: measure the OBJECTIVE's floor, not the f32 data's
         # rounding floor (see synthetic.create_synthetic_heston_surface).
+        # Record which oracle actually ran — on a JAX build without
+        # explicit-x64 dtypes the generator degrades to f32 (and warns), and
+        # the RMSE legs then measure the data's rounding, not the objective.
+        from options_model_tpu.calibration.calibrator import (
+            _try_enable_explicit_x64)
+        details["calibration_oracle_dtype"] = (
+            "float64" if _try_enable_explicit_x64() else "float32")
         Kc, Tc, ivc = create_synthetic_heston_surface(cal_true,
                                                       dtype=np.float64)
         t0 = time.perf_counter()

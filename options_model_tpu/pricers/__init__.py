@@ -5,6 +5,7 @@
 - american:     Longstaff-Schwartz American pricer (poly + NN regressors), control variate
 - binomial:     CRR binomial oracle (accuracy ground truth, incl. native C++ build)
 - barrier:      barrier-option MC pricer (implements the reference's v2 stub)
+- dual:         Rogers martingale-dual upper bound + primal-dual bracket
 """
 
 from options_model_tpu.pricers.blackscholes import (
@@ -22,6 +23,7 @@ from options_model_tpu.pricers.american import (
     price_american,
 )
 from options_model_tpu.pricers.barrier import price_barrier_mc
+from options_model_tpu.pricers.dual import price_american_bracket
 from options_model_tpu.pricers.fd_heston import heston_fd_price
 from options_model_tpu.pricers.surface_american import (
     price_american_curve_shared,
@@ -42,6 +44,7 @@ __all__ = [
     "price_american_with_control_variate",
     "price_american",
     "price_barrier_mc",
+    "price_american_bracket",
     "heston_fd_price",
     "price_american_curve_shared",
     "price_american_surface",

@@ -71,6 +71,26 @@ def solve_spd_small(A: jnp.ndarray, b: jnp.ndarray,
     return x
 
 
+def masked_wls_theta_centered(X: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
+                              axis_name: Optional[str] = None,
+                              ridge: float = 1e-7) -> jnp.ndarray:
+    """Coefficients of the masked WLS on a caller-conditioned basis — the
+    solve half of masked_wls_predict_centered, exposed for consumers that
+    need the fitted FUNCTION rather than fitted values (the martingale-dual
+    upper bound evaluates it in closed-form expectations, pricers/dual.py)."""
+    hi = jax.lax.Precision.HIGHEST
+    d = X.shape[-1]
+    Z = jnp.concatenate([X, y[:, None]], axis=-1)
+    G = jnp.matmul((Z * w[:, None]).T, Z, precision=hi)   # (d+1, d+1)
+    if axis_name is not None:
+        G = jax.lax.psum(G, axis_name)
+    A = G[:d, :d]
+    b = G[:d, d]
+    lam = ridge * (jnp.trace(A) / d + 1.0)
+    A = A + lam * jnp.eye(d, dtype=A.dtype)
+    return solve_spd_small(A, b)
+
+
 def masked_wls_predict_centered(X: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
                                 axis_name: Optional[str] = None,
                                 ridge: float = 1e-7) -> jnp.ndarray:
@@ -84,18 +104,9 @@ def masked_wls_predict_centered(X: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
     regression instead of ~12 separate masked reductions, which is what the
     per-(date, strike) LSM backward pass is latency-bound on.
     """
-    hi = jax.lax.Precision.HIGHEST
-    d = X.shape[-1]
-    Z = jnp.concatenate([X, y[:, None]], axis=-1)
-    G = jnp.matmul((Z * w[:, None]).T, Z, precision=hi)   # (d+1, d+1)
-    if axis_name is not None:
-        G = jax.lax.psum(G, axis_name)
-    A = G[:d, :d]
-    b = G[:d, d]
-    lam = ridge * (jnp.trace(A) / d + 1.0)
-    A = A + lam * jnp.eye(d, dtype=A.dtype)
-    theta = solve_spd_small(A, b)
-    return jnp.matmul(X, theta, precision=hi)
+    theta = masked_wls_theta_centered(X, y, w, axis_name=axis_name,
+                                      ridge=ridge)
+    return jnp.matmul(X, theta, precision=jax.lax.Precision.HIGHEST)
 
 
 def masked_wls_predict(X: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,

@@ -79,6 +79,19 @@ def main():
     log(f"AM replay (O(paths) memory): {float(p_rep):.4f} rel {rel_r*100:.3f}%")
     assert rel_r < 0.01
 
+    # 4b. Primal-dual bracket: the Rogers martingale-dual upper bound must
+    # close within 1% of the CRR oracle and the bracket must contain it
+    # (allowing the 50-date Bermudan-vs-continuous gap; pricers/dual.py).
+    from options_model_tpu.pricers import price_american_bracket
+    br = price_american_bracket(key, S0, T, put,
+                                MCConfig(n_paths=131_072, n_steps=50),
+                                engine="xla")
+    log(f"AM bracket: [{float(br.low):.4f}, {float(br.high):.4f}] "
+        f"(dual gap {float(br.high)/oracle-1:+.3%})")
+    assert float(br.low) - 4 * float(br.low_stderr) <= oracle
+    assert float(br.high) + 4 * float(br.high_stderr) >= oracle * 0.9985
+    assert float(br.high) <= oracle * 1.01
+
     # 5. Heston: American via LSM (variance-augmented basis + COS control
     # variate) vs the ADI finite-difference oracle, + European COS check.
     from options_model_tpu.pricers.fd_heston import heston_fd_price
