@@ -129,6 +129,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "feature, options_model_v1.5.py:130-138)")
     p.add_argument("--show-plot", action="store_true")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--bracket", action="store_true",
+                   help="Print a primal-dual price bracket at the live spot: "
+                        "out-of-sample LSM lower bound + Rogers "
+                        "martingale-dual upper bound on one simulation "
+                        "(pricers/dual.py) — a measured bound on estimator "
+                        "bias, beyond-reference capability")
     p.add_argument("--interactive", action="store_true",
                    help="Prompt for each parameter (v3-style wizard); "
                         "entered values override the flags")
@@ -151,14 +157,28 @@ def interactive_wizard(args, input_fn=input) -> argparse.Namespace:
     def ask_bool(prompt, cur):
         return ask(prompt, "y" if cur else "n", str.lower) == "y"
 
+    def ask_choice(prompt, cur, choices):
+        # Mirror the argparse choices= validation the wizard path bypasses:
+        # a typo ('qe-m', 'poli') must not survive all ~19 prompts only to
+        # crash deep in pricing. Same forgiveness as the Greeks override —
+        # an invalid answer keeps the current value, visibly.
+        raw = input_fn(f"{prompt} [{cur}]: ").strip().lower()
+        if not raw:
+            return cur
+        if raw not in choices:
+            print(f"'{raw}' is not one of {'/'.join(choices)} — "
+                  f"keeping '{cur}'.")
+            return cur
+        return raw
+
     print("=== TPU American Option Pricer (interactive) ===")
     args.ticker = ask("Ticker symbol", args.ticker, str.upper)
     args.expiry = ask("Expiry date (YYYY-MM-DD)", args.expiry, str)
     args.K = ask("Strike price", args.K, float)
     args.r = ask("Risk-free rate (e.g. 0.03)", args.r, float)
     args.q = ask("Dividend yield q (e.g. 0.01)", args.q, float)
-    args.option_type = ask("Option type (call/put)", args.option_type,
-                           str.lower)
+    args.option_type = ask_choice("Option type (call/put)", args.option_type,
+                                  ("call", "put"))
     args.num_simulations = ask("Monte Carlo simulations",
                                args.num_simulations, int)
     args.seed = ask("Random seed", args.seed, int)
@@ -167,14 +187,15 @@ def interactive_wizard(args, input_fn=input) -> argparse.Namespace:
     args.s0_step = ask("S0 grid step", args.s0_step, int)
     args.intervals_per_day = ask("Intervals per day", args.intervals_per_day,
                                  int)
-    args.model = ask("Model (bs/heston/both)", args.model, str.lower)
+    args.model = ask_choice("Model (bs/heston/both)", args.model,
+                            ("bs", "heston", "both"))
     iv = ask("Implied vol (float, 'nn', or blank to auto-fetch)",
              args.iv or "", str)
     args.iv = iv or None
-    args.heston_scheme = ask("Heston scheme (euler/qe)", args.heston_scheme,
-                             str.lower)
-    args.lsm_regressor = ask("LSM regressor (poly/nn)", args.lsm_regressor,
-                             str.lower)
+    args.heston_scheme = ask_choice("Heston scheme (euler/qe)",
+                                    args.heston_scheme, ("euler", "qe"))
+    args.lsm_regressor = ask_choice("LSM regressor (poly/nn)",
+                                    args.lsm_regressor, ("poly", "nn"))
     args.richardson = ask_bool("Richardson extrapolation? (y/n)",
                                args.richardson)
     args.european_approximation = ask_bool(
@@ -387,6 +408,33 @@ def run(args) -> Dict[str, "object"]:
         log.info(f"  probability expires worthless: "
                  f"{stats['p_worthless']:.2%}")
         out["live_stats"] = stats
+
+    if args.bracket and run_bs and iv_model is None:
+        # Primal-dual bracket at the live spot (pricers/dual.py): LSM is
+        # low-biased; the Rogers martingale dual bounds from above — the
+        # interval bounds the estimator BIAS, which no point estimate can.
+        import jax
+        from options_model_tpu.core.config import MCConfig, OptionSpec
+        from options_model_tpu.pricers import price_american_bracket
+        probe_spec = OptionSpec(strike=args.K, rate=args.r, cp=cp,
+                                sigma=sigma, div_yield=args.q)
+        # >= 2 antithetic path blocks for the out-of-sample split
+        n_b = max(min(args.num_simulations, 262_144), 8192)
+        br = price_american_bracket(
+            jax.random.key(args.seed), S0_live, max(T_live, 1e-3), probe_spec,
+            MCConfig(n_paths=n_b, n_steps=50, path_block=4096),
+            engine=args.engine, poly_degree=args.lsm_poly_degree)
+        lo = float(br.low) - 2 * float(br.low_stderr)
+        hi = float(br.high) + 2 * float(br.high_stderr)
+        log.info(f"Live-spot American {args.option_type} bracket (~95%): "
+                 f"[${lo:.4f}, ${hi:.4f}]  "
+                 f"(LSM low ${float(br.low):.4f} +- {float(br.low_stderr):.4f}, "
+                 f"dual high ${float(br.high):.4f} +- "
+                 f"{float(br.high_stderr):.4f})")
+        out["bracket"] = {"low": float(br.low),
+                          "low_stderr": float(br.low_stderr),
+                          "high": float(br.high),
+                          "high_stderr": float(br.high_stderr)}
 
     if run_bs:
         if iv_model is not None:

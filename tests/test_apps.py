@@ -211,6 +211,25 @@ class TestInteractiveWizard:
         assert out.greeks is None
         assert "exactly 5 numbers" in capsys.readouterr().out
 
+    def test_wizard_invalid_choice_keeps_current(self, capsys):
+        # Choice-constrained prompts mirror argparse's choices= validation: a
+        # typo ('qe-m', 'poli') keeps the current value visibly instead of
+        # surviving all 19 prompts and crashing deep in pricing.
+        from options_model_tpu.apps.cli import interactive_wizard
+        args = parse_args([])
+        answers = [""] * 19
+        answers[5] = "pu"            # option type typo
+        answers[12] = "blackscholes"  # model typo
+        answers[14] = "qe-m"         # heston scheme typo
+        answers[15] = "poli"         # lsm regressor typo
+        it = iter(answers)
+        out = interactive_wizard(args, input_fn=lambda prompt: next(it))
+        assert out.option_type == "call"
+        assert out.model == "both"
+        assert out.heston_scheme == "euler"
+        assert out.lsm_regressor == "poly"
+        assert capsys.readouterr().out.count("is not one of") == 4
+
     def test_cli_progress_bar_renders(self):
         import io
 
@@ -246,6 +265,24 @@ class TestNewCLIFlags:
             "--intervals-per-day", "1", "--engine", "xla"])
         out = run(args)
         assert np.isfinite(out["heston"]["Option Value"]).all()
+
+
+class TestBracketFlag:
+    def test_cli_bracket(self, caplog):
+        """--bracket reports a live-spot primal-dual interval with
+        low <= high and both finite (pricers/dual.py through the CLI)."""
+        from options_model_tpu.apps.cli import parse_args, run
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.2", "--K", "100",
+            "--model", "bs", "--bracket", "--num-simulations", "8192",
+            "--s0-start", "100", "--s0-end", "100", "--total-points", "1",
+            "--intervals-per-day", "1", "--engine", "xla",
+            "--option-type", "put"])
+        out = run(args)
+        br = out["bracket"]
+        assert np.isfinite([br["low"], br["high"]]).all()
+        assert 0.0 < br["low"] <= br["high"]
+        assert br["low_stderr"] > 0 and br["high_stderr"] > 0
 
 
 class TestNNLSMEndToEnd:
