@@ -134,7 +134,8 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "out-of-sample LSM lower bound + Rogers "
                         "martingale-dual upper bound on one simulation "
                         "(pricers/dual.py) — a measured bound on estimator "
-                        "bias, beyond-reference capability")
+                        "bias, beyond-reference capability; under GBM and/or "
+                        "Heston per --model")
     p.add_argument("--interactive", action="store_true",
                    help="Prompt for each parameter (v3-style wizard); "
                         "entered values override the flags")
@@ -409,32 +410,43 @@ def run(args) -> Dict[str, "object"]:
                  f"{stats['p_worthless']:.2%}")
         out["live_stats"] = stats
 
-    if args.bracket and run_bs and iv_model is None:
+    if args.bracket and iv_model is None:
         # Primal-dual bracket at the live spot (pricers/dual.py): LSM is
         # low-biased; the Rogers martingale dual bounds from above — the
         # interval bounds the estimator BIAS, which no point estimate can.
+        # Under --model heston the policy carries the (S, v) variance basis
+        # and the dual's inner sampler replicates the Euler transition.
         import jax
         from options_model_tpu.core.config import MCConfig, OptionSpec
         from options_model_tpu.pricers import price_american_bracket
-        probe_spec = OptionSpec(strike=args.K, rate=args.r, cp=cp,
-                                sigma=sigma, div_yield=args.q)
         # >= 2 antithetic path blocks for the out-of-sample split
         n_b = max(min(args.num_simulations, 262_144), 8192)
-        br = price_american_bracket(
-            jax.random.key(args.seed), S0_live, max(T_live, 1e-3), probe_spec,
-            MCConfig(n_paths=n_b, n_steps=50, path_block=4096),
-            engine=args.engine, poly_degree=args.lsm_poly_degree)
-        lo = float(br.low) - 2 * float(br.low_stderr)
-        hi = float(br.high) + 2 * float(br.high_stderr)
-        log.info(f"Live-spot American {args.option_type} bracket (~95%): "
-                 f"[${lo:.4f}, ${hi:.4f}]  "
-                 f"(LSM low ${float(br.low):.4f} +- {float(br.low_stderr):.4f}, "
-                 f"dual high ${float(br.high):.4f} +- "
-                 f"{float(br.high_stderr):.4f})")
-        out["bracket"] = {"low": float(br.low),
-                          "low_stderr": float(br.low_stderr),
-                          "high": float(br.high),
-                          "high_stderr": float(br.high_stderr)}
+        for mdl, enabled in (("gbm", run_bs), ("heston", run_heston)):
+            if not enabled:
+                continue
+            probe_spec = OptionSpec(
+                strike=args.K, rate=args.r, cp=cp,
+                sigma=sigma if mdl == "gbm" else None, div_yield=args.q)
+            br = price_american_bracket(
+                jax.random.key(args.seed), S0_live, max(T_live, 1e-3),
+                probe_spec, MCConfig(n_paths=n_b, n_steps=50,
+                                     path_block=4096),
+                engine=args.engine, poly_degree=args.lsm_poly_degree,
+                model=mdl, heston=heston if mdl == "heston" else None)
+            lo = float(br.low) - 2 * float(br.low_stderr)
+            hi = float(br.high) + 2 * float(br.high_stderr)
+            name = "BS" if mdl == "gbm" else "Heston"
+            log.info(f"Live-spot American {args.option_type} {name} bracket "
+                     f"(~95%): [${lo:.4f}, ${hi:.4f}]  "
+                     f"(LSM low ${float(br.low):.4f} +- "
+                     f"{float(br.low_stderr):.4f}, "
+                     f"dual high ${float(br.high):.4f} +- "
+                     f"{float(br.high_stderr):.4f})")
+            key_name = "bracket" if mdl == "gbm" else "bracket_heston"
+            out[key_name] = {"low": float(br.low),
+                             "low_stderr": float(br.low_stderr),
+                             "high": float(br.high),
+                             "high_stderr": float(br.high_stderr)}
 
     if run_bs:
         if iv_model is not None:

@@ -193,10 +193,11 @@ def build_centered_basis(S_t, K, itm, poly_degree: int, allsum, v_t=None,
     biases the exercise policy ~0.7% low vs the ADI oracle
     (pricers/fd_heston.py; with these columns the gap closes to ~0.01%).
 
-    ``return_stats``: also return (x_mean, x_rstd) — the affine map behind u.
-    Consumers that evaluate the fitted polynomial as a FUNCTION of x (the
-    martingale-dual bound's closed-form expectations, pricers/dual.py) need
-    the map, not just the design matrix."""
+    ``return_stats``: also return (x_mean, x_rstd) — or, with ``v_t``,
+    (x_mean, x_rstd, v_mean, v_rstd) — the affine maps behind u and w.
+    Consumers that evaluate the fitted polynomial as a FUNCTION of the state
+    (the martingale-dual bound's inner expectations, pricers/dual.py) need
+    the maps, not just the design matrix."""
     x = S_t / K
     wsum = jnp.maximum(allsum(itm.sum()), 1.0)
     x_mean = allsum((x * itm).sum()) / wsum
@@ -208,10 +209,13 @@ def build_centered_basis(S_t, K, itm, poly_degree: int, allsum, v_t=None,
     if v_t is not None:
         v_mean = allsum((v_t * itm).sum()) / wsum
         v_var = allsum(((v_t - v_mean) ** 2 * itm).sum()) / wsum
-        w = (v_t - v_mean) * jax.lax.rsqrt(jnp.maximum(v_var, 1e-12))
+        v_rstd = jax.lax.rsqrt(jnp.maximum(v_var, 1e-12))
+        w = (v_t - v_mean) * v_rstd
         cols += [w, w**2, u * w]
     X = jnp.stack(cols, axis=-1)
     if return_stats:
+        if v_t is not None:
+            return X, (x_mean, x_rstd, v_mean, v_rstd)
         return X, (x_mean, x_rstd)
     return X
 

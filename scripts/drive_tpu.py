@@ -105,6 +105,19 @@ def main():
     log(f"AM heston: LSM(S,v)+CV {float(amh):.4f} vs ADI FD {fd:.4f} "
         f"rel {rel_h*100:.3f}%")
     assert rel_h < 0.01, f"Heston American beyond 1% of the FD oracle: {rel_h}"
+    # 5b. Heston primal-dual bracket: variance-basis policy + the
+    # Euler-replicating inner sampler, anchored by the ADI oracle.
+    br_h = price_american_bracket(key, S0, T,
+                                  OptionSpec(strike=K, rate=r, cp=PUT,
+                                             sigma=None),
+                                  MCConfig(n_paths=131_072, n_steps=50),
+                                  engine="xla", model="heston", heston=hp)
+    log(f"AM heston bracket: [{float(br_h.low):.4f}, {float(br_h.high):.4f}] "
+        f"(dual gap vs ADI {float(br_h.high)/fd-1:+.3%})")
+    assert float(br_h.low) - 4 * float(br_h.low_stderr) <= fd
+    assert float(br_h.high) + 4 * float(br_h.high_stderr) >= fd * 0.9985
+    assert float(br_h.high) <= fd * 1.01
+
     from options_model_tpu.calibration import heston_cos_price
     cos = float(heston_cos_price(S0, K, T, r, hp, 1.0))
     cfg_h = MCConfig(n_paths=262_144, n_steps=100)

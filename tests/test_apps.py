@@ -284,6 +284,23 @@ class TestBracketFlag:
         assert 0.0 < br["low"] <= br["high"]
         assert br["low_stderr"] > 0 and br["high_stderr"] > 0
 
+    def test_cli_bracket_heston(self):
+        """--bracket under --model heston routes the variance-basis policy
+        and the Euler-replicating dual (out['bracket_heston'])."""
+        from options_model_tpu.apps.cli import parse_args, run
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.2", "--K", "100",
+            "--model", "heston", "--bracket", "--num-simulations", "8192",
+            "--s0-start", "100", "--s0-end", "100", "--total-points", "1",
+            "--intervals-per-day", "1", "--engine", "xla",
+            "--option-type", "put"])
+        out = run(args)
+        assert "bracket" not in out  # GBM leg not requested
+        br = out["bracket_heston"]
+        assert np.isfinite([br["low"], br["high"]]).all()
+        assert 0.0 < br["low"] <= br["high"]
+        assert br["low_stderr"] > 0 and br["high_stderr"] > 0
+
 
 class TestNNLSMEndToEnd:
     def test_grid_nn_regressor_agrees_with_poly_and_crr(self, key, devices8):

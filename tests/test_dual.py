@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from options_model_tpu.core.config import MCConfig, OptionSpec
+from options_model_tpu.core.config import HestonParams, MCConfig, OptionSpec
 from options_model_tpu.pricers.american import lsm_poly_backward, simulate_paths
 from options_model_tpu.pricers.binomial import crr_american
 from options_model_tpu.pricers.dual import (
@@ -21,10 +21,13 @@ from options_model_tpu.pricers.dual import (
     fit_lsm_policy,
     price_american_bracket,
 )
+from options_model_tpu.pricers.fd_heston import heston_fd_price
 
 S0, K, T, R, SIG = 100.0, 100.0, 0.5, 0.05, 0.2
 PUT_SPEC = OptionSpec(strike=K, rate=R, cp=-1.0, sigma=SIG)
 MC = MCConfig(n_paths=1 << 16, n_steps=50, path_block=4096)
+HP = HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+H_SPEC = OptionSpec(strike=K, rate=R, cp=-1.0, sigma=None)
 
 
 @pytest.fixture(scope="module")
@@ -107,6 +110,87 @@ class TestBracket:
         spec = OptionSpec(strike=K, rate=R, cp=-1.0, sigma=None)
         with pytest.raises(ValueError, match="sigma"):
             price_american_bracket(jax.random.key(0), S0, T, spec, MC)
+
+
+class TestHestonBracket:
+    """The bracket under Heston dynamics: the policy carries the variance
+    basis, the dual's inner sampler replicates the full-truncation Euler
+    transition, and the ADI solver (pricers/fd_heston.py) is the independent
+    oracle the bracket must contain."""
+
+    @pytest.fixture(scope="class")
+    def oracle_h(self):
+        return heston_fd_price(S0, K, T, R, HP, cp=-1.0, american=True)
+
+    @pytest.fixture(scope="class")
+    def bracket_h(self):
+        return price_american_bracket(jax.random.key(0), S0, T, H_SPEC, MC,
+                                      model="heston", heston=HP)
+
+    def test_contains_oracle(self, bracket_h, oracle_h):
+        """low - 4se <= ADI <= high + 4se (with the Bermudan-vs-continuous
+        slack on the upper side, as in the GBM test — the 50-date dual bounds
+        the discretized price). Measured: [-0.73%, +0.42%] around the oracle,
+        so both sides clear with room."""
+        lo = float(bracket_h.low) - 4 * float(bracket_h.low_stderr)
+        hi = float(bracket_h.high) + 4 * float(bracket_h.high_stderr)
+        assert lo <= oracle_h
+        assert hi >= oracle_h * (1.0 - 0.0015)
+
+    def test_tightness(self, bracket_h, oracle_h):
+        """The Heston dual sits within 1% of the ADI oracle (measured ~0.42%
+        — looser than GBM's ~0.11% because the surrogate's European floor is
+        a moment-matched BS price, not the exact Heston value) and the whole
+        bracket is under 2% wide."""
+        assert float(bracket_h.high) <= oracle_h * 1.01
+        width = float(bracket_h.high) - float(bracket_h.low)
+        assert 0.0 < width < oracle_h * 0.02
+
+    def test_policy_cash_matches_variance_basis_backward(self, key):
+        """fit_lsm_policy(v_paths=...) must be bitwise lsm_poly_backward with
+        the variance basis — same masked WLS on the same 7-column design."""
+        mc = MCConfig(n_paths=1 << 14, n_steps=20, path_block=4096)
+        S, v = simulate_paths(key, S0, T, mc, "heston", heston=HP, rate=R,
+                              engine="xla", return_variance=True)
+        policy, cash = fit_lsm_policy(S, H_SPEC, T, v_paths=v)
+        _, _, (cash_ref, _) = lsm_poly_backward(S, H_SPEC, T, v_paths=v,
+                                                return_cash=True)
+        assert bool(jnp.all(cash == cash_ref))
+        assert policy.betas.shape == (mc.n_steps - 1, 8)  # degree 3 + 2 + 3
+        assert policy.v_mean is not None and policy.v_rstd is not None
+
+    def test_deterministic(self, bracket_h):
+        br2 = price_american_bracket(jax.random.key(0), S0, T, H_SPEC, MC,
+                                     model="heston", heston=HP)
+        assert float(br2.low) == float(bracket_h.low)
+        assert float(br2.high) == float(bracket_h.high)
+
+    def test_requires_heston_params(self):
+        with pytest.raises(ValueError, match="heston"):
+            price_american_bracket(jax.random.key(0), S0, T, H_SPEC, MC,
+                                   model="heston")
+
+    def test_rejects_sigma_under_heston(self, key):
+        """spec.sigma must be None under model='heston' — the variance state
+        drives the vol; a constant sigma would silently be ignored."""
+        mc = MCConfig(n_paths=4096, n_steps=10, path_block=1024)
+        S, v = simulate_paths(key, S0, T, mc, "heston", heston=HP, rate=R,
+                              engine="xla", return_variance=True)
+        policy, _ = fit_lsm_policy(S, H_SPEC, T, v_paths=v)
+        with pytest.raises(ValueError, match="sigma"):
+            dual_upper_from_policy(key, S, PUT_SPEC, T, policy,
+                                   model="heston", heston=HP, v_paths=v)
+
+    def test_rejects_gbm_policy(self, key):
+        """A policy fitted WITHOUT the variance basis cannot drive the Heston
+        dual (its surrogate has no variance columns)."""
+        mc = MCConfig(n_paths=4096, n_steps=10, path_block=1024)
+        S, v = simulate_paths(key, S0, T, mc, "heston", heston=HP, rate=R,
+                              engine="xla", return_variance=True)
+        policy, _ = fit_lsm_policy(S, H_SPEC, T)  # no v_paths
+        with pytest.raises(ValueError, match="v_paths"):
+            dual_upper_from_policy(key, S, H_SPEC, T, policy,
+                                   model="heston", heston=HP, v_paths=v)
 
 
 class TestDualEstimator:
