@@ -169,6 +169,21 @@ class LSMConfig:
     nn_lr: float = 1e-3
     nn_batch: int = 4096
     nn_dropout: float = 0.1
+    # Policy-iteration rounds for the shared continuation net. The
+    # reference's pass-1 targets are the discounted TERMINAL cashflows
+    # (options_model_3/options_model_3.py:485-516) — whose true regression
+    # function IS the European value, so the induced policy exercises
+    # wherever the payoff's time value is negative: far too early (measured
+    # -2.6% to -3.4% vs CRR on the 50-date put at 2^16 paths; no net
+    # capacity can fix targets that point at the wrong function). Rounds
+    # >= 2 refit the net on the cashflows realized under the CURRENT policy
+    # (the classic Longstaff-Schwartz target, pricers/american.
+    # _policy_targets), converging to a self-consistent policy while keeping
+    # the single-shared-net design. Measured (with the residual baseline,
+    # pricers/american._nn_continuation): 2 rounds -0.5/-1.0%, 3 rounds
+    # -0.3/-0.9% (in-sample/out-of-sample; a 4th is noise). 1 =
+    # reference-exact.
+    nn_policy_iters: int = struct.field(pytree_node=False, default=3)
     use_control_variate: bool = True
     european_approximation: bool = False
     # Heston only: span the VARIANCE state in the regression basis (w, w^2,
@@ -195,6 +210,9 @@ class LSMConfig:
             raise ValueError(f"regressor must be 'poly' or 'nn', got {self.regressor}")
         if not (1 <= self.poly_degree <= 8):
             raise ValueError(f"poly_degree must be in [1, 8], got {self.poly_degree}")
+        if self.nn_policy_iters < 1:
+            raise ValueError(
+                f"nn_policy_iters must be >= 1, got {self.nn_policy_iters}")
         return self
 
 

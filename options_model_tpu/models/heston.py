@@ -23,6 +23,24 @@ from options_model_tpu.core.config import HestonParams, MCConfig
 from options_model_tpu.models.blocks import block_normals, num_blocks
 
 
+def effective_bs_sigma(v, tau, heston: HestonParams, dtype=None):
+    """Effective Black-Scholes vol matching the expected integrated Heston
+    variance over remaining time tau from variance state v:
+    E[bar v] = theta + (v - theta)(1 - e^{-kappa tau})/(kappa tau).
+
+    Shared by the martingale-dual surrogate (pricers/dual._vhat and
+    _vhat_nn) and the NN-LSM's residual regression baseline
+    (pricers/american._nn_continuation): both need a closed-form European
+    proxy at an arbitrary Heston state."""
+    if dtype is None:
+        dtype = jnp.asarray(v).dtype
+    kappa = jnp.asarray(heston.kappa, dtype)
+    theta = jnp.asarray(heston.theta, dtype)
+    kt = jnp.maximum(kappa * tau, 1e-6)
+    frac = -jnp.expm1(-kt) / kt
+    return jnp.sqrt(jnp.maximum(theta + (v - theta) * frac, 1e-8))
+
+
 @jax.custom_jvp
 def _safe_sqrt(x):
     """sqrt with a bounded derivative at 0.

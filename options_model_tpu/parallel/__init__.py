@@ -19,6 +19,7 @@ from options_model_tpu.parallel.batch import (
     price_american_grid_2d,
     price_european_sharded,
     price_american_sharded_paths,
+    price_american_bracket_sharded,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "price_american_grid_2d",
     "price_european_sharded",
     "price_american_sharded_paths",
+    "price_american_bracket_sharded",
 ]

@@ -193,7 +193,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
             price, stderr, (cash, eval_mask) = lsm_nn_backward(
                 fit_key, S_paths, spec, T, lsm, stat_pair_block=stat_pb,
                 v_paths=v_paths, out_of_sample=oos,
-                pair_block=pb, return_cash=True)
+                pair_block=pb, return_cash=True, heston=heston)
             if use_control_variate and cv_leg:
                 cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston,
                                            model=model)
@@ -492,3 +492,76 @@ def price_american_sharded_paths(key: jax.Array, S0, T, spec: OptionSpec,
     price, stderr = jax.jit(shard_map(
         body, mesh=mesh, in_specs=(), out_specs=(P(), P())))()
     return price, stderr
+
+
+def price_american_bracket_sharded(key: jax.Array, S0, T, spec: OptionSpec,
+                                   mc: MCConfig, mesh: Mesh, *,
+                                   model: str = "gbm",
+                                   heston: Optional[HestonParams] = None,
+                                   poly_degree: int = 3, n_inner: int = 64,
+                                   out_of_sample: bool = True,
+                                   axis: str = "paths"):
+    """Primal-dual bracket (pricers/dual.py) with paths sharded on the mesh.
+
+    Equal to the single-device ``price_american_bracket(engine='xla')`` on
+    the same total paths (tested at rtol 2e-5 on the virtual mesh): each
+    device simulates its own global block range, the policy fit psums its
+    Gram blocks (so every device sees the GLOBAL regressions), the
+    out-of-sample split keys on the GLOBAL block parity, and the dual's
+    inner draws are blocked per global path block (_inner_normals) — rank
+    never enters any stream. Returns a BracketResult of scalars.
+    """
+    from options_model_tpu.core.stats import masked_mean_stderr
+    from options_model_tpu.pricers.dual import (
+        BracketResult, dual_upper_from_policy, fit_lsm_policy)
+
+    use_v = model == "heston"
+    if use_v and heston is None:
+        raise ValueError("model='heston' needs heston params")
+    if not use_v and spec.sigma is None:
+        raise ValueError("the one-step dual increments need spec.sigma "
+                         "(GBM dynamics)")
+    n_dev = mesh.devices.size
+    nb_total = _pad_to(num_blocks(mc), n_dev)
+    per_dev = nb_total // n_dev
+    local_cfg = mc.replace(n_paths=per_dev * mc.path_block)
+    pb = mc.path_block            # engine='xla' pair granularity
+    stat_pb = pb if mc.antithetic else None
+    if out_of_sample and nb_total < 2:
+        raise ValueError("out_of_sample needs at least two path blocks")
+    sim_key, inner_key = jax.random.split(key)
+
+    def body():
+        rank = jax.lax.axis_index(axis)
+        first = rank * per_dev
+        out = simulate_paths(sim_key, S0, T, local_cfg, model,
+                             sigma=spec.sigma, rate=spec.rate, heston=heston,
+                             first_block=first, engine="xla",
+                             div_yield=spec.div_yield, return_variance=use_v)
+        S_paths, v_paths = out if use_v else (out, None)
+        n_local = S_paths.shape[1]
+        if out_of_sample:
+            # Global block parity — NOT the local index: with an odd
+            # per-device block count the parity alternates across ranks,
+            # and only the global rule reproduces the unsharded split.
+            gblock = first + jnp.arange(n_local) // pb
+            train_mask = (gblock % 2 == 0).astype(S_paths.dtype)
+            eval_mask = 1.0 - train_mask
+        else:
+            train_mask = eval_mask = jnp.ones((n_local,), S_paths.dtype)
+        policy, cash = fit_lsm_policy(S_paths, spec, T,
+                                      poly_degree=poly_degree,
+                                      train_mask=train_mask, v_paths=v_paths,
+                                      axis_name=axis)
+        low, low_se, _ = masked_mean_stderr(cash, eval_mask, axis, stat_pb)
+        high, high_se = dual_upper_from_policy(
+            inner_key, S_paths, spec, T, policy, n_inner=n_inner,
+            model=model, heston=heston, v_paths=v_paths, eval_mask=eval_mask,
+            stat_pair_block=stat_pb, inner_block=pb, first_block=first,
+            axis_name=axis)
+        return low, low_se, high, high_se
+
+    low, low_se, high, high_se = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(), out_specs=(P(), P(), P(), P())))()
+    return BracketResult(low=low, low_stderr=low_se,
+                         high=high, high_stderr=high_se)

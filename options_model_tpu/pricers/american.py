@@ -337,15 +337,58 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
     return price, stderr
 
 
+def _policy_targets(immediate, cont, terminal, disc1):
+    """Per-(date, path) continuation targets under the CURRENT policy: the
+    cashflow, discounted to date-t dollars, of NOT exercising at t and then
+    following the stopping rule induced by ``cont`` over dates t+1..n. One
+    backward scan over dates. This is the classic Longstaff-Schwartz
+    regression target; the reference's shared-net scheme instead regresses on
+    the discounted TERMINAL cashflow (options_model_3.py:485-516) — the
+    European continuation — whose induced policy exercises too early
+    (LSMConfig.nn_policy_iters)."""
+    exercise = (immediate > cont) & (immediate > 0)
+
+    def step(v_next, inp):
+        imm_t, ex_t = inp
+        tgt_t = disc1 * v_next
+        return jnp.where(ex_t, imm_t, tgt_t), tgt_t
+
+    _, tgts_rev = jax.lax.scan(step, terminal,
+                               (immediate[::-1], exercise[::-1]))
+    return tgts_rev[::-1]
+
+
 def _nn_continuation(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
                      lsm: LSMConfig, v_paths: Optional[jnp.ndarray],
-                     train_mask: Optional[jnp.ndarray]):
+                     train_mask: Optional[jnp.ndarray],
+                     return_net: bool = False,
+                     heston: Optional[HestonParams] = None):
     """Two-pass core of the NN-LSM: train the shared continuation MLP
     (pass 1) and evaluate it on the full (dates, paths) grid (pass 2).
 
     Returns (immediate, cont, terminal, ts) — everything a stopping policy
     needs. ``train_mask``: 0/1 per-path weights restricting the TRAINING set
-    (the out-of-sample split); pass 2 always evaluates every path."""
+    (the out-of-sample split); pass 2 always evaluates every path.
+
+    Residual regression: when the dynamics admit a closed-form European
+    proxy (GBM: Black-Scholes at spec.sigma; Heston: BS at the
+    moment-matched effective vol, models.heston.effective_bs_sigma), the net
+    is trained on targets MINUS that baseline and the baseline is added back
+    (with the residual floored at 0 — holding to expiry is one admissible
+    continuation policy, so continuation >= European pointwise) at
+    evaluation. The raw value surface spans ~0-30 and a global MLP fit
+    misses it by O(1) deep ITM (measured: the induced policy exercises up to
+    S~91.5 instead of ~88.5 and prices 2.6-3.4% BELOW CRR — the reference's
+    shared-net scheme, which regresses the raw surface, has the same
+    failure); the early-exercise premium is small and smooth, and the
+    residual fit recovers the poly pricer's accuracy. No baseline (local
+    vol): raw targets, the reference's exact scheme.
+
+    ``return_net``: also return (params, x_mean, x_std, y_mean, y_std,
+    has_baseline) — the trained net plus its standardization, for consumers
+    that evaluate the continuation as a FUNCTION of fresh states (the
+    martingale-dual bound's inner expectations, pricers/dual.fit_nn_policy);
+    such consumers must reconstruct the SAME baseline at their own states."""
     n_steps = S_paths.shape[0] - 1
     dtype = S_paths.dtype
     dt = jnp.asarray(T, dtype) / n_steps
@@ -365,12 +408,29 @@ def _nn_continuation(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
     disc_to_date = jnp.exp(-r * (jnp.asarray(T, dtype) - ts.astype(dtype) * dt))
     targets = disc_to_date[:, None] * terminal[None, :]
 
+    # Closed-form European baseline at every (date, path) state (docstring).
+    q = jnp.asarray(spec.div_yield, dtype)
+    if v_paths is not None:
+        from options_model_tpu.models.heston import effective_bs_sigma
+        v_ex = v_paths[1:n_steps]
+        sig_b = (effective_bs_sigma(v_ex, taus[:, None], heston, dtype)
+                 if heston is not None
+                 else jnp.sqrt(jnp.maximum(v_ex, 1e-8)))
+        baseline = bs_price(S_ex, K, taus[:, None], r, sig_b, spec.cp, q=q)
+        has_baseline = True
+    elif spec.sigma is not None:
+        baseline = bs_price(S_ex, K, taus[:, None], r,
+                            jnp.asarray(spec.sigma, dtype), spec.cp, q=q)
+        has_baseline = True
+    else:
+        baseline = jnp.zeros_like(immediate)
+        has_baseline = False
+
     feats = jax.vmap(lambda S_t, tau: regression_features(S_t, K, tau))(S_ex, taus)
     if v_paths is not None:
         feats = jnp.concatenate(
             [feats, v_paths[1:n_steps][..., None]], axis=-1)
     X = feats.reshape(-1, feats.shape[-1])
-    Y = targets.reshape(-1)
     W = itm.reshape(-1)
     if train_mask is not None:
         # Fit only on training paths (every date of them); the standardization
@@ -382,17 +442,36 @@ def _nn_continuation(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
     x_mean = (X * W[:, None]).sum(0) / wsum
     x_var = ((X - x_mean) ** 2 * W[:, None]).sum(0) / wsum
     x_std = jnp.sqrt(jnp.maximum(x_var, 1e-12))
-    y_mean = (Y * W).sum() / wsum
-    y_var = ((Y - y_mean) ** 2 * W).sum() / wsum
-    y_std = jnp.sqrt(jnp.maximum(y_var, 1e-12))
-
     Xn = (X - x_mean) / x_std
-    Yn = (Y - y_mean) / y_std
 
-    params, _ = fit_continuation_mlp(key, Xn, Yn, W, lsm)
+    def fit_and_eval(fit_key, tgts):
+        """Standardize (residual) targets on the (ITM x train) rows, train,
+        and run pass 2 (continuation for every (date, path)) in one batched
+        apply. With a baseline the de-standardized net output is the
+        early-exercise premium, floored at 0 and added back."""
+        Yf = (tgts - baseline).reshape(-1)
+        ym = (Yf * W).sum() / wsum
+        ys = jnp.sqrt(jnp.maximum(((Yf - ym) ** 2 * W).sum() / wsum, 1e-12))
+        p, _ = fit_continuation_mlp(fit_key, Xn, (Yf - ym) / ys, W, lsm)
+        out = mlp_predict(p, Xn, lsm).reshape(immediate.shape) * ys + ym
+        c = baseline + jnp.maximum(out, 0.0) if has_baseline else out
+        return p, ym, ys, c
 
-    # Pass 2: continuation values for every (date, path) in one batched apply.
-    cont = mlp_predict(params, Xn, lsm).reshape(immediate.shape) * y_std + y_mean
+    params, y_mean, y_std, cont = fit_and_eval(key, targets)
+
+    # Policy iteration (nn_policy_iters >= 2): the first fit's targets are
+    # the EUROPEAN continuation (the reference's scheme) whose induced policy
+    # exercises too early; refit on the cashflows realized under the current
+    # policy — the Longstaff-Schwartz target — until the policy is
+    # self-consistent (core/config.LSMConfig.nn_policy_iters).
+    disc1 = jnp.exp(-r * dt)
+    for it in range(1, lsm.nn_policy_iters):
+        targets = _policy_targets(immediate, cont, terminal, disc1)
+        params, y_mean, y_std, cont = fit_and_eval(
+            jax.random.fold_in(key, it), targets)
+    if return_net:
+        return immediate, cont, terminal, ts, (params, x_mean, x_std,
+                                               y_mean, y_std, has_baseline)
     return immediate, cont, terminal, ts
 
 
@@ -428,7 +507,8 @@ def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
                     v_paths: Optional[jnp.ndarray] = None,
                     out_of_sample: bool = False,
                     pair_block: Optional[int] = None,
-                    return_cash: bool = False):
+                    return_cash: bool = False,
+                    heston: Optional[HestonParams] = None):
     """Reference-style two-pass LSM with one shared continuation-value MLP.
 
     ``stat_pair_block`` (the simulator's antithetic mirror granularity,
@@ -461,7 +541,7 @@ def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
         train_mask, eval_mask = None, jnp.ones((n_paths,), dtype)
 
     immediate, cont, terminal, ts = _nn_continuation(
-        key, S_paths, spec, T, lsm, v_paths, train_mask)
+        key, S_paths, spec, T, lsm, v_paths, train_mask, heston=heston)
     cash0 = _nn_stopped_cash(immediate, cont, terminal, ts, spec, T, n_steps)
 
     price, stderr, _ = masked_mean_stderr(cash0, eval_mask, None,
@@ -501,7 +581,7 @@ def richardson_nn_stat(key: jax.Array, S_paths, v_paths, spec: OptionSpec, T,
     else:
         train_mask, eval_mask = None, jnp.ones((n_paths,), dtype)
     immediate, cont, terminal, ts = _nn_continuation(
-        key, S_paths, spec, T, lsm, v_paths, train_mask)
+        key, S_paths, spec, T, lsm, v_paths, train_mask, heston=heston)
     cash_f = _nn_stopped_cash(immediate, cont, terminal, ts, spec, T, n_steps)
     cash_c = _nn_stopped_cash(immediate, cont, terminal, ts, spec, T, n_steps,
                               exercise_stride=2)
@@ -540,7 +620,7 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                                         stat_pair_block=pb if mc.antithetic else None,
                                         v_paths=v_paths,
                                         out_of_sample=lsm.out_of_sample,
-                                        pair_block=pb)
+                                        pair_block=pb, heston=heston)
     if return_paths_stats:
         return price, stderr, S_paths
     return price, stderr
@@ -587,7 +667,8 @@ def price_american_with_control_variate(
     else:
         price, _, (cash, eval_mask) = lsm_nn_backward(
             fit_key, S_paths, spec, T, lsm, v_paths=v_paths,
-            out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True)
+            out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True,
+            heston=heston)
     # Per-path CV statistic cv_i = cash_i + (EU - pay_i): the reported stderr
     # then describes the RETURNED estimator (the raw LSM stderr overstates it
     # by the variance the control variate removes).
@@ -657,7 +738,8 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
         price, stderr, (cash, eval_mask) = lsm_nn_backward(
             fit_key, S_paths, spec, T, lsm,
             stat_pair_block=pb if mc.antithetic else None, v_paths=v_paths,
-            out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True)
+            out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True,
+            heston=heston)
     stats = {k: float(v)
              for k, v in cashflow_statistics(cash, eval_mask).items()}
     return price, stderr, stats

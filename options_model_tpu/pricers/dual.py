@@ -58,6 +58,7 @@ from options_model_tpu.pricers.american import (
     oos_masks,
     simulate_paths,
 )
+from options_model_tpu.models.heston import effective_bs_sigma
 from options_model_tpu.pricers.blackscholes import bs_price
 from options_model_tpu.pricers.regressors import masked_wls_theta_centered
 
@@ -199,15 +200,37 @@ def _vhat(x, K, cp, tau_t, rate, q, sigma, b_t, m_t, rho_t, degree: int,
     return jnp.maximum(jnp.maximum(h, e), c)
 
 
+def _inner_normals(dkey, lead, n, inner_block, first_block, dtype):
+    """Fresh normals of shape lead + (n,) for one date.
+
+    ``inner_block=None``: one draw keyed by the date alone (single-device
+    form). With ``inner_block`` set the draws are generated PER PATH BLOCK,
+    keyed by the GLOBAL block index (first_block + local block) — the repo's
+    sharding-invariance discipline (core/rng.py): a mesh shard that owns
+    blocks [first_block, first_block + n/inner_block) draws exactly the
+    rows the unsharded run draws for those paths, so the sharded dual equals
+    the single-device dual on the same total paths."""
+    if inner_block is None:
+        return jax.random.normal(dkey, lead + (n,), dtype)
+    if n % inner_block:
+        raise ValueError(f"paths ({n}) must be a multiple of inner_block "
+                         f"({inner_block})")
+    nb = n // inner_block
+
+    def blk(b):
+        return jax.random.normal(jax.random.fold_in(dkey, first_block + b),
+                                 lead + (inner_block,), dtype)
+
+    z = jax.vmap(blk)(jnp.arange(nb))         # (nb, *lead, inner_block)
+    perm = tuple(range(1, 1 + len(lead))) + (0, 1 + len(lead))
+    return jnp.transpose(z, perm).reshape(lead + (n,))
+
+
 def _sigma_eff(v, tau, heston: HestonParams, dtype):
-    """Effective Black-Scholes vol matching the expected integrated Heston
-    variance over remaining time tau from variance state v:
-    E[bar v] = theta + (v - theta)(1 - e^{-kappa tau})/(kappa tau)."""
-    kappa = jnp.asarray(heston.kappa, dtype)
-    theta = jnp.asarray(heston.theta, dtype)
-    kt = jnp.maximum(kappa * tau, 1e-6)
-    frac = -jnp.expm1(-kt) / kt
-    return jnp.sqrt(jnp.maximum(theta + (v - theta) * frac, 1e-8))
+    """Alias of models.heston.effective_bs_sigma (moved there so the NN-LSM's
+    residual regression baseline shares the exact formula the dual surrogate
+    uses — training and dual evaluation must agree on the baseline)."""
+    return effective_bs_sigma(v, tau, heston, dtype)
 
 
 def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
@@ -218,6 +241,8 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
                            v_paths: Optional[jnp.ndarray] = None,
                            eval_mask: Optional[jnp.ndarray] = None,
                            stat_pair_block: Optional[int] = None,
+                           inner_block: Optional[int] = None,
+                           first_block: int = 0,
                            axis_name: Optional[str] = None):
     """Rogers dual upper bound on given paths under a fitted LSM policy.
 
@@ -245,6 +270,12 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
     ``n_inner``: antithetic inner draws per (date, path). The inner noise
     only loosens the bound (never invalidates it); 64 draws put the looseness
     well below the policy's own suboptimality gap.
+
+    ``inner_block``/``first_block``: block the inner draws per path block
+    keyed by GLOBAL block index (_inner_normals) — under shard_map over the
+    path axis, pass the shard's first global block and the result equals the
+    unsharded dual on the same total paths (parallel.batch.
+    price_american_bracket_sharded).
     """
     n_steps = S_paths.shape[0] - 1
     n_dates = n_steps - 1
@@ -296,8 +327,8 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
 
         def date_ce(carry, inp):
             i, xp_t, vp_t, tau_t, b_t, m_t, rho_t, vm_t, vr_t = inp
-            z = jax.random.normal(jax.random.fold_in(inner_key, i),
-                                  (2, half, xp_t.shape[0]), dtype)
+            z = _inner_normals(jax.random.fold_in(inner_key, i), (2, half),
+                               xp_t.shape[0], inner_block, first_block, dtype)
             z1, z2 = z[0], z[1]
             w2 = rho_h * z1 + rho_bar * z2
             sv = jnp.sqrt(jnp.maximum(vp_t, 0.0) * dt)[None, :]
@@ -343,8 +374,8 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
         # docstring), scanned over dates so memory stays O(n_inner*n_paths).
         def date_ce(carry, inp):
             i, xp_t, tau_t, b_t, m_t, rho_t = inp
-            z = jax.random.normal(jax.random.fold_in(inner_key, i),
-                                  (half, xp_t.shape[0]), dtype)
+            z = _inner_normals(jax.random.fold_in(inner_key, i), (half,),
+                               xp_t.shape[0], inner_block, first_block, dtype)
             x_up = xp_t[None, :] * jnp.exp(mu + a * z)
             x_dn = xp_t[None, :] * jnp.exp(mu - a * z)
             vals = (_vhat(x_up, K, cp, tau_t, rate, q, sig, b_t, m_t, rho_t,
@@ -360,8 +391,22 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
 
         e_h = K * _one_step_black(x[n_steps - 1], mu, a, spec.cp)
 
-    # Martingale increments in discounted units; the terminal step uses
-    # W_n = h exactly via the one-step Black closed form (no inner noise).
+    return _dual_assemble(S_paths, spec, T, w_vals, ce, e_h, eval_mask,
+                          stat_pair_block, axis_name)
+
+
+def _dual_assemble(S_paths, spec: OptionSpec, T, w_vals, ce, e_h, eval_mask,
+                   stat_pair_block, axis_name):
+    """Martingale increments -> pathwise max -> (upper, stderr).
+
+    Shared tail of every dual estimator: increments in discounted units from
+    the observed surrogate values ``w_vals`` (dates 1..n-1), the inner
+    conditional expectations ``ce`` (dates 0..n-2), and the exact closed-form
+    terminal expectation ``e_h`` (W_n = h, no inner noise)."""
+    n_steps = S_paths.shape[0] - 1
+    dtype = S_paths.dtype
+    dt = jnp.asarray(T, dtype) / n_steps
+    K = jnp.asarray(spec.strike, dtype)
     disc_pows = jnp.exp(-jnp.asarray(spec.rate, dtype) * dt
                         * jnp.arange(1, n_steps + 1, dtype=dtype))
     h_n = vanilla_payoff(S_paths[-1], K, spec.cp)
@@ -379,6 +424,200 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
     return upper, stderr
 
 
+class NNPolicy(NamedTuple):
+    """The shared continuation network as an exercise policy: the trained
+    ContinuationMLP params plus the feature/target standardization fitted on
+    the ITM training rows (american._nn_continuation). Unlike LSMPolicy the
+    state is date-INDEPENDENT — tau enters through the feature basis
+    (ops/lsm_basis.regression_features), so one net serves every date."""
+
+    params: object       # flax params pytree
+    x_mean: jnp.ndarray  # (n_features,)
+    x_std: jnp.ndarray   # (n_features,)
+    y_mean: jnp.ndarray  # ()
+    y_std: jnp.ndarray   # ()
+    # True when the net was trained on RESIDUAL targets over the closed-form
+    # European baseline (american._nn_continuation): consumers must add the
+    # same baseline back at their own states (_vhat_nn does).
+    residual: bool = True
+
+
+def fit_nn_policy(train_key: jax.Array, S_paths: jnp.ndarray,
+                  spec: OptionSpec, T, lsm, *,
+                  train_mask: Optional[jnp.ndarray] = None,
+                  v_paths: Optional[jnp.ndarray] = None,
+                  heston: Optional[HestonParams] = None):
+    """Train the shared continuation net and return (policy, cash).
+
+    Same two-pass algorithm as american.lsm_nn_backward (the reference's
+    flagship scheme, options_model_3/options_model_3.py:439-651) — the
+    stopped ``cash`` is identical to that pricer's on the same inputs; the
+    NNPolicy additionally carries the net so the dual bound can evaluate the
+    continuation at its inner one-step samples. ``v_paths`` appends the
+    Heston variance feature exactly as lsm_nn_backward does."""
+    from options_model_tpu.pricers.american import (
+        _nn_continuation, _nn_stopped_cash)
+    n_steps = S_paths.shape[0] - 1
+    immediate, cont, terminal, ts, net = _nn_continuation(
+        train_key, S_paths, spec, T, lsm, v_paths, train_mask,
+        return_net=True, heston=heston)
+    cash = _nn_stopped_cash(immediate, cont, terminal, ts, spec, T, n_steps)
+    return NNPolicy(*net), cash
+
+
+def _vhat_nn(x, K, cp, tau, rate, q, sigma, policy: NNPolicy, lsm, v=None):
+    """NN value surrogate W_t(x[, v]) = max(h, E_t, clip(net, 0, cap)) —
+    the same three-piece construction as the polynomial _vhat (see its
+    docstring for why each piece exists) with the fitted continuation read
+    from the shared net instead of per-date betas. The net is evaluated on
+    the SAME standardized feature basis it was trained on; like the
+    polynomial it is gated to the ITM side of the moneyness boundary (the
+    masked training set saw only ITM rows) and clipped to [0, cap]."""
+    from options_model_tpu.ops.lsm_basis import regression_features
+    from options_model_tpu.pricers.regressors import mlp_predict
+    feats = regression_features(K * x, K, tau)       # (..., 7)
+    if v is not None:
+        feats = jnp.concatenate([feats, v[..., None]], axis=-1)
+    z = (feats - policy.x_mean) / policy.x_std
+    c = mlp_predict(policy.params, z.reshape(-1, z.shape[-1]), lsm)
+    c = c.reshape(x.shape) * policy.y_std + policy.y_mean
+    cap = jnp.where(cp > 0, K * x, K)
+    itm_side = cp * (x - 1.0) >= 0.0
+    e = bs_price(K * x, K, tau, rate, sigma, cp, q=q)
+    if policy.residual:
+        # The net output is the early-exercise PREMIUM over the European
+        # baseline (american._nn_continuation residual regression); ``sigma``
+        # here is by construction the same baseline vol the training used
+        # (spec.sigma for GBM, effective_bs_sigma(v, tau) for Heston).
+        c = e + jnp.where(itm_side, jnp.maximum(c, 0.0), 0.0)
+    c = jnp.where(itm_side, jnp.clip(c, 0.0, cap), 0.0)
+    h = K * jnp.maximum(cp * (x - 1.0), 0.0)
+    return jnp.maximum(jnp.maximum(h, e), c)
+
+
+def dual_upper_from_nn_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
+                              spec: OptionSpec, T, policy: NNPolicy, lsm, *,
+                              n_inner: int = 64,
+                              model: str = "gbm",
+                              heston: Optional[HestonParams] = None,
+                              v_paths: Optional[jnp.ndarray] = None,
+                              eval_mask: Optional[jnp.ndarray] = None,
+                              stat_pair_block: Optional[int] = None,
+                              inner_block: Optional[int] = None,
+                              first_block: int = 0,
+                              axis_name: Optional[str] = None):
+    """Rogers dual upper bound under the shared-net continuation policy.
+
+    The nn sibling of dual_upper_from_policy — identical martingale
+    construction and validity argument (module docstring; fresh inner
+    normals per date, policy independent of the eval paths), with the
+    surrogate's continuation piece read from the trained ContinuationMLP at
+    each (date, inner sample). ``lsm`` is the LSMConfig the net was trained
+    with (static net architecture)."""
+    n_steps = S_paths.shape[0] - 1
+    n_dates = n_steps - 1
+    if n_inner < 2 or n_inner % 2:
+        raise ValueError("n_inner must be an even count >= 2 (antithetic "
+                         "inner pairs)")
+    if model not in ("gbm", "heston"):
+        raise ValueError(f"model must be 'gbm' or 'heston', got {model!r}")
+    use_v = model == "heston"
+    if use_v:
+        if heston is None or v_paths is None:
+            raise ValueError("model='heston' needs heston params and "
+                             "v_paths")
+        if spec.sigma is not None:
+            raise ValueError("heston dual: spec.sigma must be None (the "
+                             "variance state drives the vol)")
+        if int(policy.x_mean.shape[0]) != 8:
+            raise ValueError("heston dual needs a policy trained WITH the "
+                             "variance feature (8 features, got "
+                             f"{int(policy.x_mean.shape[0])})")
+    dtype = S_paths.dtype
+    dt = jnp.asarray(T, dtype) / n_steps
+    K = jnp.asarray(spec.strike, dtype)
+    cp = jnp.asarray(spec.cp, dtype)
+    rate = jnp.asarray(spec.rate, dtype)
+    q = jnp.asarray(spec.div_yield, dtype)
+    drift = rate - q
+
+    x = S_paths / K                                   # (n_steps+1, P)
+    taus = (jnp.asarray(T, dtype)
+            - jnp.arange(1, n_steps, dtype=dtype) * dt)  # (n_dates,)
+    half = n_inner // 2
+
+    if use_v:
+        kappa = jnp.asarray(heston.kappa, dtype)
+        theta_h = jnp.asarray(heston.theta, dtype)
+        xi = jnp.asarray(heston.xi, dtype)
+        rho_h = jnp.asarray(heston.rho, dtype)
+        rho_bar = jnp.sqrt(1.0 - rho_h**2)
+
+        vs = v_paths[1:n_steps]
+        w_vals = _vhat_nn(x[1:n_steps], K, cp, taus[:, None], rate, q,
+                          _sigma_eff(vs, taus[:, None], heston, dtype),
+                          policy, lsm, v=vs)
+
+        def date_ce(carry, inp):
+            i, xp_t, vp_t, tau_t = inp
+            z = _inner_normals(jax.random.fold_in(inner_key, i), (2, half),
+                               xp_t.shape[0], inner_block, first_block,
+                               dtype)
+            z1, z2 = z[0], z[1]
+            w2 = rho_h * z1 + rho_bar * z2
+            sv = jnp.sqrt(jnp.maximum(vp_t, 0.0) * dt)[None, :]
+            mu_t = ((drift - 0.5 * vp_t) * dt)[None, :]
+            dv = (kappa * (theta_h - vp_t) * dt)[None, :]
+
+            def w_at(s1, s2):
+                x_in = xp_t[None, :] * jnp.exp(mu_t + sv * s1)
+                v_in = jnp.maximum(vp_t[None, :] + dv + xi * sv * s2, 0.0)
+                return _vhat_nn(x_in, K, cp, tau_t, rate, q,
+                                _sigma_eff(v_in, tau_t, heston, dtype),
+                                policy, lsm, v=v_in)
+
+            vals = w_at(z1, w2) + w_at(-z1, -w2)
+            return carry, vals.mean(0) * 0.5
+
+        _, ce = jax.lax.scan(
+            date_ce, None,
+            (jnp.arange(n_dates), x[0:n_steps - 1], v_paths[0:n_steps - 1],
+             taus))                                   # (n_dates, P)
+
+        v_nm1 = jnp.maximum(v_paths[n_steps - 1], 0.0)
+        mu_T = (drift - 0.5 * v_nm1) * dt
+        a_T = jnp.maximum(jnp.sqrt(v_nm1 * dt), 1e-6)
+        e_h = K * _one_step_black(x[n_steps - 1], mu_T, a_T, spec.cp)
+    else:
+        sig = jnp.asarray(spec.sigma, dtype)
+        mu = (drift - 0.5 * sig * sig) * dt
+        a = sig * jnp.sqrt(dt)
+
+        w_vals = _vhat_nn(x[1:n_steps], K, cp, taus[:, None], rate, q, sig,
+                          policy, lsm)
+
+        def date_ce(carry, inp):
+            i, xp_t, tau_t = inp
+            z = _inner_normals(jax.random.fold_in(inner_key, i), (half,),
+                               xp_t.shape[0], inner_block, first_block,
+                               dtype)
+            x_up = xp_t[None, :] * jnp.exp(mu + a * z)
+            x_dn = xp_t[None, :] * jnp.exp(mu - a * z)
+            vals = (_vhat_nn(x_up, K, cp, tau_t, rate, q, sig, policy, lsm)
+                    + _vhat_nn(x_dn, K, cp, tau_t, rate, q, sig, policy,
+                               lsm))
+            return carry, vals.mean(0) * 0.5
+
+        _, ce = jax.lax.scan(
+            date_ce, None,
+            (jnp.arange(n_dates), x[0:n_steps - 1], taus))  # (n_dates, P)
+
+        e_h = K * _one_step_black(x[n_steps - 1], mu, a, spec.cp)
+
+    return _dual_assemble(S_paths, spec, T, w_vals, ce, e_h, eval_mask,
+                          stat_pair_block, axis_name)
+
+
 class BracketResult(NamedTuple):
     low: jnp.ndarray
     low_stderr: jnp.ndarray
@@ -391,6 +630,7 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
                            engine: str = "auto", n_inner: int = 64,
                            model: str = "gbm",
                            heston: Optional[HestonParams] = None,
+                           lsm=None,
                            out_of_sample: bool = True) -> BracketResult:
     """Primal-dual bracket [low, high] for an American option on ONE
     simulation: the policy is fitted on alternating path blocks
@@ -405,11 +645,20 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
     price with no PDE oracle in the loop (the ADI solver cross-checks it in
     the tests).
 
+    ``lsm`` (LSMConfig): choose the policy family. ``regressor='nn'``
+    brackets the reference's FLAGSHIP estimator — the shared continuation
+    network (fit_nn_policy / dual_upper_from_nn_policy); 'poly' (or None)
+    uses the per-date polynomial regressions, with ``lsm.poly_degree``
+    overriding ``poly_degree``.
+
     ``out_of_sample=False`` fits and evaluates on all paths (cheaper, but the
     dual is then only an approximate bound — the policy has seen the eval
     paths).
     """
     use_v = model == "heston"
+    use_nn = lsm is not None and getattr(lsm, "regressor", "poly") == "nn"
+    if lsm is not None and not use_nn:
+        poly_degree = lsm.poly_degree
     if use_v:
         if heston is None:
             raise ValueError("model='heston' needs heston params")
@@ -417,6 +666,8 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
         raise ValueError("the one-step dual increments need spec.sigma "
                          "(GBM dynamics)")
     sim_key, inner_key = jax.random.split(key)
+    if use_nn:
+        train_key, inner_key = jax.random.split(inner_key)
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, engine=engine,
                          div_yield=spec.div_yield, return_variance=use_v)
@@ -431,14 +682,30 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
     else:
         train_mask = eval_mask = jnp.ones((n_paths,), S_paths.dtype)
 
-    policy, cash = fit_lsm_policy(S_paths, spec, T, poly_degree=poly_degree,
-                                  train_mask=train_mask, v_paths=v_paths)
-    low, low_se, _ = masked_mean_stderr(cash, eval_mask, None, stat_pb)
-    high, high_se = dual_upper_from_policy(inner_key, S_paths, spec, T,
-                                           policy, n_inner=n_inner,
-                                           model=model, heston=heston,
-                                           v_paths=v_paths,
-                                           eval_mask=eval_mask,
-                                           stat_pair_block=stat_pb)
+    # Inner draws blocked on the antithetic pair block: the single-device
+    # bracket then equals the mesh-sharded one (_inner_normals discipline).
+    if use_nn:
+        policy, cash = fit_nn_policy(train_key, S_paths, spec, T, lsm,
+                                     train_mask=(train_mask if out_of_sample
+                                                 else None),
+                                     v_paths=v_paths, heston=heston)
+        low, low_se, _ = masked_mean_stderr(cash, eval_mask, None, stat_pb)
+        high, high_se = dual_upper_from_nn_policy(
+            inner_key, S_paths, spec, T, policy, lsm, n_inner=n_inner,
+            model=model, heston=heston, v_paths=v_paths, eval_mask=eval_mask,
+            stat_pair_block=stat_pb, inner_block=pb)
+    else:
+        policy, cash = fit_lsm_policy(S_paths, spec, T,
+                                      poly_degree=poly_degree,
+                                      train_mask=train_mask,
+                                      v_paths=v_paths)
+        low, low_se, _ = masked_mean_stderr(cash, eval_mask, None, stat_pb)
+        high, high_se = dual_upper_from_policy(inner_key, S_paths, spec, T,
+                                               policy, n_inner=n_inner,
+                                               model=model, heston=heston,
+                                               v_paths=v_paths,
+                                               eval_mask=eval_mask,
+                                               stat_pair_block=stat_pb,
+                                               inner_block=pb)
     return BracketResult(low=low, low_stderr=low_se,
                          high=high, high_stderr=high_se)

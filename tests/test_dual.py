@@ -12,7 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from options_model_tpu.core.config import HestonParams, MCConfig, OptionSpec
+from options_model_tpu.core.config import (HestonParams, LSMConfig, MCConfig,
+                                            OptionSpec)
 from options_model_tpu.pricers.american import lsm_poly_backward, simulate_paths
 from options_model_tpu.pricers.binomial import crr_american
 from options_model_tpu.pricers.dual import (
@@ -191,6 +192,132 @@ class TestHestonBracket:
         with pytest.raises(ValueError, match="v_paths"):
             dual_upper_from_policy(key, S, H_SPEC, T, policy,
                                    model="heston", heston=HP, v_paths=v)
+
+
+class TestShardedBracket:
+    """Mesh-sharded bracket (parallel.batch.price_american_bracket_sharded):
+    the sharding-invariance discipline extends to the dual — global-block
+    OOS parity, psum'ed policy Grams, and inner draws keyed by GLOBAL path
+    block, so the mesh result equals the single-device one."""
+
+    def _mesh(self, devices8):
+        from options_model_tpu.parallel import make_mesh
+        return make_mesh(("paths",), devices=devices8)
+
+    def test_equals_single_device_gbm(self, devices8):
+        from options_model_tpu.parallel import price_american_bracket_sharded
+        mc = MCConfig(n_paths=8 * 2048, n_steps=20, path_block=1024)
+        br_s = price_american_bracket_sharded(
+            jax.random.key(7), S0, T, PUT_SPEC, mc, self._mesh(devices8))
+        br_u = price_american_bracket(jax.random.key(7), S0, T, PUT_SPEC, mc,
+                                      engine="xla")
+        np.testing.assert_allclose(float(br_s.low), float(br_u.low),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(float(br_s.high), float(br_u.high),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(float(br_s.low_stderr),
+                                   float(br_u.low_stderr), rtol=1e-3)
+        np.testing.assert_allclose(float(br_s.high_stderr),
+                                   float(br_u.high_stderr), rtol=1e-3)
+
+    def test_equals_single_device_heston(self, devices8):
+        from options_model_tpu.parallel import price_american_bracket_sharded
+        mc = MCConfig(n_paths=8 * 2048, n_steps=20, path_block=1024)
+        br_s = price_american_bracket_sharded(
+            jax.random.key(8), S0, T, H_SPEC, mc, self._mesh(devices8),
+            model="heston", heston=HP)
+        br_u = price_american_bracket(jax.random.key(8), S0, T, H_SPEC, mc,
+                                      engine="xla", model="heston",
+                                      heston=HP)
+        np.testing.assert_allclose(float(br_s.low), float(br_u.low),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(float(br_s.high), float(br_u.high),
+                                   rtol=2e-5)
+
+    def test_odd_blocks_per_device(self, devices8):
+        """3 blocks/device: the global OOS parity alternates across ranks —
+        the local-parity bug this test exists to catch would split 2/1 the
+        same way on every rank and shift the low estimate."""
+        from options_model_tpu.parallel import price_american_bracket_sharded
+        mc = MCConfig(n_paths=8 * 3 * 1024, n_steps=10, path_block=1024)
+        br_s = price_american_bracket_sharded(
+            jax.random.key(9), S0, T, PUT_SPEC, mc, self._mesh(devices8))
+        br_u = price_american_bracket(jax.random.key(9), S0, T, PUT_SPEC, mc,
+                                      engine="xla")
+        np.testing.assert_allclose(float(br_s.low), float(br_u.low),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(float(br_s.high), float(br_u.high),
+                                   rtol=2e-5)
+
+    def test_contains_oracle_on_mesh(self, devices8, oracle):
+        from options_model_tpu.parallel import price_american_bracket_sharded
+        mc = MCConfig(n_paths=8 * 8192, n_steps=50, path_block=1024)
+        br = price_american_bracket_sharded(
+            jax.random.key(10), S0, T, PUT_SPEC, mc, self._mesh(devices8))
+        assert float(br.low) - 4 * float(br.low_stderr) <= oracle
+        assert float(br.high) + 4 * float(br.high_stderr) >= oracle * 0.9985
+        assert float(br.high) <= oracle * 1.01
+
+
+class TestNNBracket:
+    """Bracket around the reference's FLAGSHIP estimator — the shared
+    continuation NETWORK (lsm=LSMConfig(regressor='nn') routes
+    fit_nn_policy / dual_upper_from_nn_policy). With the residual European
+    baseline + policy iteration (pricers/american._nn_continuation,
+    LSMConfig.nn_policy_iters) the NN bracket is nearly as tight as the
+    poly one: measured [-0.61%, +0.09%] around CRR at 2^16 paths (the raw
+    reference scheme sat at [-3.8%, +2.6%])."""
+
+    # CPU-budget config: NN training is ~6x slower on the 8-virtual-device
+    # mesh than single-device, and the nn dual evaluates the net at
+    # n_inner x paths inner samples PER DATE — the full-size config
+    # (2^16 x 50 x 64, default net) takes ~25 min here (fine on TPU).
+    # Small net + 2^14 x 50 x 16 keeps each bracket ~70 s; the thresholds
+    # below are measured at THIS config.
+    NN = LSMConfig(regressor="nn", nn_epochs=8, nn_hidden=32, nn_layers=2)
+    MC_NN = MCConfig(n_paths=1 << 14, n_steps=50, path_block=1024)
+
+    @pytest.fixture(scope="class")
+    def bracket_nn(self):
+        return price_american_bracket(jax.random.key(0), S0, T, PUT_SPEC,
+                                      self.MC_NN, lsm=self.NN, n_inner=16)
+
+    def test_contains_oracle(self, bracket_nn, oracle):
+        lo = float(bracket_nn.low) - 4 * float(bracket_nn.low_stderr)
+        hi = float(bracket_nn.high) + 4 * float(bracket_nn.high_stderr)
+        assert lo <= oracle
+        assert hi >= oracle * (1.0 - 0.0015)
+
+    def test_tightness(self, bracket_nn, oracle):
+        """Measured at this config: [-0.12%, +0.25%] around CRR (at 2^16
+        paths / 64 inner draws / default net: [-0.61%, +0.09%]). No
+        positivity assertion on the width: low carries ~0.9% MC noise at
+        2^14 eval paths and can legitimately land above the dual."""
+        assert float(bracket_nn.high) <= oracle * 1.015
+        width = float(bracket_nn.high) - float(bracket_nn.low)
+        assert width < oracle * 0.03
+
+    def test_heston_contains_adi(self):
+        hp_fd = heston_fd_price(S0, K, T, R, HP, cp=-1.0, american=True)
+        br = price_american_bracket(jax.random.key(0), S0, T, H_SPEC,
+                                    self.MC_NN, model="heston", heston=HP,
+                                    lsm=self.NN, n_inner=16)
+        assert float(br.low) - 4 * float(br.low_stderr) <= hp_fd
+        assert float(br.high) + 4 * float(br.high_stderr) >= hp_fd * 0.9985
+        assert float(br.high) <= hp_fd * 1.025
+
+    def test_heston_rejects_gbm_net(self, key):
+        """A net trained without the variance feature (7 inputs) cannot
+        drive the Heston dual — its continuation ignores the vol state."""
+        from options_model_tpu.pricers.dual import (dual_upper_from_nn_policy,
+                                                    fit_nn_policy)
+        mc = MCConfig(n_paths=4096, n_steps=10, path_block=1024)
+        S, v = simulate_paths(key, S0, T, mc, "heston", heston=HP, rate=R,
+                              engine="xla", return_variance=True)
+        policy, _ = fit_nn_policy(key, S, H_SPEC, T, self.NN)  # no v_paths
+        with pytest.raises(ValueError, match="variance feature"):
+            dual_upper_from_nn_policy(key, S, H_SPEC, T, policy, self.NN,
+                                      model="heston", heston=HP, v_paths=v)
 
 
 class TestDualEstimator:

@@ -61,9 +61,10 @@ class TestNNControlVariate:
         p_cv, _ = price_american_with_control_variate(
             key, S0, T, PUT_SPEC, MC, NN, engine="xla")
         oracle = crr_american(S0, K, T, R, SIG, cp=-1.0, n_steps=2048)
-        # the two-pass shared-net scheme (reference semantics: pass-1 targets
-        # are EUROPEAN continuations) carries a ~2% low bias on ATM puts
-        assert abs(float(p_cv) - oracle) / oracle < 0.03
+        # residual baseline + policy iteration (LSMConfig.nn_policy_iters)
+        # removed the raw reference scheme's ~2-3% low bias; the remaining
+        # band is 12-date Bermudan gap + MC noise at this small config
+        assert abs(float(p_cv) - oracle) / oracle < 0.02
 
     def test_dispatcher_routes_nn_cv(self, key):
         """price_american with regressor='nn' + use_control_variate must
@@ -115,9 +116,8 @@ class TestNNRichardson:
         assert stat.shape == (S_paths.shape[1],)
         p = float(jnp.mean(stat))
         oracle = crr_american(S0, K, T, R, SIG, cp=-1.0, n_steps=2048)
-        # the shared-net scheme's ~2% regression bias (European-continuation
-        # pass-1 targets) dominates the Bermudan gap the extrapolation
-        # removes; the extrapolated price stays in the same accuracy band
+        # small-config band: residual MC noise + the 12-date policy's own
+        # regression error (the extrapolation removes only the Bermudan gap)
         assert abs(p - oracle) / oracle < 0.05
 
     def test_price_american_richardson_nn(self, key):
@@ -126,6 +126,69 @@ class TestNNRichardson:
                                           NN.replace(richardson=True),
                                           engine="xla")
         assert np.isfinite(float(p)) and float(se) > 0
+
+
+class TestPolicyIteration:
+    """Residual baseline + policy iteration (pricers/american._policy_targets,
+    LSMConfig.nn_policy_iters): the reference's pass-1 targets are discounted
+    TERMINAL cashflows, whose true regression function is the EUROPEAN value
+    — the induced policy exercises wherever time value is negative and
+    prices ~2.6-3.4% below CRR regardless of net capacity. Refitting on the
+    cashflows realized under the current policy converges to a
+    self-consistent policy (measured: -0.14% at 2^16 paths, 3 rounds)."""
+
+    def test_policy_targets_match_forward_definition(self, key):
+        """_policy_targets (one backward scan) must equal the forward
+        definition: target[t, p] = the policy's cashflow from dates > t,
+        discounted to date t — first exercise date t' > t pays
+        disc^(t'-t) * immediate[t'], no exercise pays disc^(n_dates-t) *
+        terminal (terminal sits one step after the LAST exercise row
+        n_dates-1, i.e. n_dates - t steps after row t)."""
+        from options_model_tpu.pricers.american import _policy_targets
+
+        n_dates, n_paths = 6, 64
+        k1, k2, k3 = jax.random.split(key, 3)
+        immediate = jax.random.uniform(k1, (n_dates, n_paths)) * 5.0
+        cont = jax.random.uniform(k2, (n_dates, n_paths)) * 5.0
+        terminal = jax.random.uniform(k3, (n_paths,)) * 5.0
+        disc1 = 0.97
+        got = np.asarray(_policy_targets(immediate, cont, terminal, disc1))
+
+        imm, cnt, term = (np.asarray(immediate), np.asarray(cont),
+                          np.asarray(terminal))
+        ex = (imm > cnt) & (imm > 0)
+        want = np.empty_like(imm)
+        for t in range(n_dates):
+            for p in range(n_paths):
+                later = np.nonzero(ex[t + 1:, p])[0]
+                if later.size:
+                    tp = t + 1 + later[0]
+                    want[t, p] = disc1 ** (tp - t) * imm[tp, p]
+                else:
+                    want[t, p] = disc1 ** (n_dates - t) * term[p]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_iterated_policy_beats_reference_scheme(self, key):
+        """nn_policy_iters=1 (reference-exact European targets) must price
+        the ATM put measurably BELOW the iterated policy on the same paths
+        — the premature-exercise bias the iteration exists to remove
+        (measured at this config: -2.2% vs +0.6%, gap ~5 stderr; the bias
+        is TARGET-structural, so the small net shows it just as the
+        default net does)."""
+        mc = MCConfig(n_paths=1 << 14, n_steps=30, path_block=1024)
+        base = NN.replace(nn_epochs=8, use_control_variate=False)
+        p1, se1 = price_american(key, S0, T, PUT_SPEC, mc,
+                                 base.replace(nn_policy_iters=1),
+                                 engine="xla")
+        p3, se3 = price_american(key, S0, T, PUT_SPEC, mc,
+                                 base.replace(nn_policy_iters=3),
+                                 engine="xla")
+        assert float(p1) < float(p3) - 2.0 * float(se3)
+
+    def test_policy_iters_validated(self):
+        import pytest
+        with pytest.raises(ValueError, match="nn_policy_iters"):
+            LSMConfig(regressor="nn", nn_policy_iters=0).validate()
 
 
 class TestEpochBestWeights:
