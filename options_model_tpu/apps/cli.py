@@ -109,6 +109,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--nn-hidden", type=int, default=64)
     p.add_argument("--nn-epochs", type=int, default=100)
     p.add_argument("--nn-lr", type=float, default=1e-3)
+    p.add_argument("--cv-beta", choices=["opt", "one"], default="opt",
+                   help="Control-variate coefficient: 'opt' = variance-"
+                        "minimizing beta over antithetic pair means "
+                        "(never hurts); 'one' = the reference's fixed "
+                        "beta=1 (measured wash-or-worse on ATM puts)")
     p.add_argument("--nn-policy-iters", type=int, default=3,
                    help="NN-LSM policy-iteration rounds: 1 = the reference's "
                         "two-pass scheme (European-target pass 1, prices "
@@ -355,6 +360,7 @@ def run(args) -> Dict[str, "object"]:
                         nn_lr=args.nn_lr,
                         nn_policy_iters=args.nn_policy_iters,
                         use_control_variate=not args.no_control_variate,
+                        cv_beta=args.cv_beta,
                         variance_basis=not args.no_variance_basis,
                         richardson=args.richardson,
                         out_of_sample=args.lsm_out_of_sample).validate()

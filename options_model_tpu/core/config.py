@@ -185,6 +185,15 @@ class LSMConfig:
     # reference-exact.
     nn_policy_iters: int = struct.field(pytree_node=False, default=3)
     use_control_variate: bool = True
+    # Control-variate coefficient: 'opt' estimates the variance-minimizing
+    # beta* = -Cov(cash, adj)/Var(adj) over antithetic pair means
+    # (core/stats.optimal_cv_beta) — guarantees the CV never reports a
+    # LARGER stderr than the plain estimator (up to estimation noise);
+    # 'one' is the reference's fixed beta=1
+    # (options_model_3/options_model_3.py:653-677), which is a measured
+    # wash-or-worse on ATM puts because antithetic pairing already cancels
+    # the monotone component both legs share.
+    cv_beta: str = struct.field(pytree_node=False, default="opt")
     european_approximation: bool = False
     # Heston only: span the VARIANCE state in the regression basis (w, w^2,
     # u*w columns). The continuation value is a function of (S, v); S-only
@@ -213,6 +222,9 @@ class LSMConfig:
         if self.nn_policy_iters < 1:
             raise ValueError(
                 f"nn_policy_iters must be >= 1, got {self.nn_policy_iters}")
+        if self.cv_beta not in ("one", "opt"):
+            raise ValueError(
+                f"cv_beta must be 'one' or 'opt', got {self.cv_beta!r}")
         return self
 
 

@@ -134,7 +134,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
     def price_one(task, key, rate, sigma, heston, table, cp, div_yield):
         from options_model_tpu.core.stats import masked_mean_stderr
         from options_model_tpu.pricers.american import (
-            _cv_adjustment, _pair_block)
+            _apply_cv, _cv_adjustment, _pair_block)
 
         sigma = sigma if has_sigma else None
         heston = heston if has_heston else None
@@ -195,8 +195,10 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                 v_paths=v_paths, out_of_sample=oos,
                 pair_block=pb, return_cash=True, heston=heston)
             if use_control_variate and cv_leg:
-                cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston,
-                                           model=model)
+                cv = _apply_cv(cash, _cv_adjustment(S_paths, spec, T,
+                                                    heston=heston,
+                                                    model=model),
+                               lsm.cv_beta, eval_mask, None, stat_pb)
                 price, stderr, _ = masked_mean_stderr(cv, eval_mask, None,
                                                       stat_pb)
             return price, stderr
@@ -216,16 +218,18 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
             return price, stderr
         if use_control_variate and cv_leg:
             # Same-path European leg + closed form (BS for GBM, COS for
-            # Heston), beta = 1. The stderr is of the per-path CV statistic
-            # cash + (EU - pay_T) — the raw LSM stderr would overstate the
-            # returned estimator's error by the variance the variate removes
-            # (pricers/american.py:price_american_with_control_variate).
+            # Heston). The stderr is of the per-path CV statistic
+            # cash + beta*(EU - pay_T) — the raw LSM stderr would overstate
+            # the returned estimator's error by the variance the variate
+            # removes (pricers/american.price_american_with_control_variate).
             _, _, (cash, eval_mask) = lsm_poly_backward(
                 S_paths, spec, T, poly_degree=degree, out_of_sample=oos,
                 pair_block=pb if oos else None,
                 return_cash=True, v_paths=v_paths)
-            cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston,
-                                       model=model)
+            cv = _apply_cv(cash, _cv_adjustment(S_paths, spec, T,
+                                                heston=heston, model=model),
+                           lsm.cv_beta if lsm is not None else "opt",
+                           eval_mask, None, stat_pb)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, None, stat_pb)
             return price, stderr
         return lsm_poly_backward(
@@ -344,7 +348,8 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
 
     def price_one(task, key, rate, sigma, heston, cp, div_yield):
         from options_model_tpu.core.stats import masked_mean_stderr
-        from options_model_tpu.pricers.american import _cv_adjustment
+        from options_model_tpu.pricers.american import (_apply_cv,
+                                                        _cv_adjustment)
 
         sigma = sigma if has_sigma else None
         heston = heston if has_heston else None
@@ -391,8 +396,11 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
             _, _, (cash, eval_mask) = lsm_poly_backward(
                 S_paths, spec, T, axis_name=path_axis, poly_degree=degree,
                 return_cash=True, v_paths=v_paths)
-            cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston,
-                                       model=model)
+            # psum-exact beta (axis_name): every path shard applies the
+            # GLOBAL variance-minimizing coefficient.
+            cv = _apply_cv(cash, _cv_adjustment(S_paths, spec, T,
+                                                heston=heston, model=model),
+                           "opt", eval_mask, path_axis, stat_pb)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, path_axis,
                                                   stat_pb)
             return price, stderr

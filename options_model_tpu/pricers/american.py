@@ -159,6 +159,20 @@ def _cv_adjustment(S_paths, spec: OptionSpec, T,
     return eu - pay_T
 
 
+def _apply_cv(stat, adj, cv_beta: str, mask=None, axis_name=None,
+              pair_block=None):
+    """stat + beta * adj, beta per LSMConfig.cv_beta: 'opt' estimates the
+    variance-minimizing coefficient over antithetic pair means
+    (core/stats.optimal_cv_beta — psum-exact when ``axis_name`` is given, so
+    every shard applies the GLOBAL beta); 'one' is the reference's fixed
+    beta=1 (options_model_3/options_model_3.py:653-677)."""
+    if cv_beta == "opt":
+        from options_model_tpu.core.stats import optimal_cv_beta
+        beta = optimal_cv_beta(stat, adj, mask, axis_name, pair_block)
+        return stat + beta * adj
+    return stat + adj
+
+
 def _pair_block(mc: MCConfig, model: str, engine: str,
                 has_table: bool = False) -> int:
     """Antithetic-pair granularity of the paths the resolved engine produces:
@@ -589,8 +603,9 @@ def richardson_nn_stat(key: jax.Array, S_paths, v_paths, spec: OptionSpec, T,
     cv_leg = ((spec.sigma is not None and model == "gbm")
               or (model == "heston" and heston is not None))
     if lsm.use_control_variate and cv_leg:
-        stat = stat + _cv_adjustment(S_paths, spec, T, heston=heston,
-                                     model=model)
+        stat = _apply_cv(stat, _cv_adjustment(S_paths, spec, T,
+                                              heston=heston, model=model),
+                         lsm.cv_beta, eval_mask, None, pair_block)
     return stat, eval_mask
 
 
@@ -669,12 +684,14 @@ def price_american_with_control_variate(
             fit_key, S_paths, spec, T, lsm, v_paths=v_paths,
             out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True,
             heston=heston)
-    # Per-path CV statistic cv_i = cash_i + (EU - pay_i): the reported stderr
-    # then describes the RETURNED estimator (the raw LSM stderr overstates it
-    # by the variance the control variate removes).
-    cv = cash + _cv_adjustment(S_paths, spec, T, heston=heston, model=model)
-    return masked_mean_stderr(cv, eval_mask, axis_name,
-                              pb if mc.antithetic else None)[:2]
+    # Per-path CV statistic cv_i = cash_i + beta*(EU - pay_i): the reported
+    # stderr then describes the RETURNED estimator (the raw LSM stderr
+    # overstates it by the variance the control variate removes).
+    stat_pb = pb if mc.antithetic else None
+    cv = _apply_cv(cash, _cv_adjustment(S_paths, spec, T, heston=heston,
+                                        model=model),
+                   lsm.cv_beta, eval_mask, axis_name, stat_pb)
+    return masked_mean_stderr(cv, eval_mask, axis_name, stat_pb)[:2]
 
 
 def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
@@ -805,6 +822,7 @@ def richardson_cv_stat(S_paths, v_paths, spec: OptionSpec, T, lsm: LSMConfig,
     cv_leg = ((spec.sigma is not None and model == "gbm")
               or (model == "heston" and heston is not None))
     if lsm.use_control_variate and cv_leg:
-        stat = stat + _cv_adjustment(S_paths, spec, T, heston=heston,
-                                     model=model)
+        stat = _apply_cv(stat, _cv_adjustment(S_paths, spec, T,
+                                              heston=heston, model=model),
+                         lsm.cv_beta, mask, axis_name, pair_block)
     return stat, mask

@@ -78,16 +78,29 @@ class TestNNControlVariate:
         np.testing.assert_allclose(float(se_dispatch), float(se_cv), rtol=1e-5)
 
     def test_cv_statistic_construction(self, key):
-        """The CV price equals mean(cash + adjustment) over the same paths."""
+        """The CV price equals mean(cash + beta*adjustment) over the same
+        paths, with beta the pair-mean variance-minimizing coefficient
+        (LSMConfig.cv_beta default 'opt'; 'one' pins the reference's fixed
+        coefficient exactly)."""
+        from options_model_tpu.core.stats import optimal_cv_beta
+        from options_model_tpu.pricers.american import _pair_block
         sim_key, fit_key = jax.random.split(key)
         S_paths = simulate_paths(sim_key, S0, T, MC, "gbm", sigma=SIG, rate=R,
                                  engine="xla")
         _, _, (cash, mask) = lsm_nn_backward(fit_key, S_paths, PUT_SPEC, T, NN,
                                              return_cash=True)
-        cv = cash + _cv_adjustment(S_paths, PUT_SPEC, T)
+        adj = _cv_adjustment(S_paths, PUT_SPEC, T)
+        pb = _pair_block(MC, "gbm", "xla")
+        beta = optimal_cv_beta(cash, adj, mask, None, pb)
         p_cv, _ = price_american_with_control_variate(
             key, S0, T, PUT_SPEC, MC, NN, engine="xla")
-        np.testing.assert_allclose(float(p_cv), float(jnp.mean(cv)), rtol=1e-5)
+        np.testing.assert_allclose(float(p_cv),
+                                   float(jnp.mean(cash + beta * adj)),
+                                   rtol=1e-5)
+        p_one, _ = price_american_with_control_variate(
+            key, S0, T, PUT_SPEC, MC, NN.replace(cv_beta="one"), engine="xla")
+        np.testing.assert_allclose(float(p_one), float(jnp.mean(cash + adj)),
+                                   rtol=1e-5)
 
 
 class TestNNStats:

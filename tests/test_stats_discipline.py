@@ -78,13 +78,59 @@ class TestGridControlVariateStderr:
         pb = _pair_block(MC, "gbm", "xla")
         _, se_raw, (cash, mask) = lsm_poly_backward(S_paths, spec, T,
                                                     return_cash=True)
-        cv = cash + _cv_adjustment(S_paths, spec, T)
+        # default cv_beta='opt': the grid applies the pair-mean
+        # variance-minimizing coefficient (core/stats.optimal_cv_beta)
+        from options_model_tpu.core.stats import optimal_cv_beta
+        adj = _cv_adjustment(S_paths, spec, T)
+        cv = cash + optimal_cv_beta(cash, adj, mask, None, pb) * adj
         mean_cv, se_cv, _ = masked_mean_stderr(cv, mask, None, pb)
 
         np.testing.assert_allclose(float(prices[0]), float(mean_cv), rtol=1e-6)
         np.testing.assert_allclose(float(stderrs[0]), float(se_cv), rtol=1e-5)
         # the CV statistic's error sits below the raw LSM stderr
         assert float(stderrs[0]) < 0.95 * float(se_raw)
+
+
+class TestOptimalCVBeta:
+    """core/stats.optimal_cv_beta — the variance-minimizing control-variate
+    coefficient, estimated over antithetic PAIR MEANS (the stderr's own
+    granularity). The reference's fixed beta=1 is a measured wash-or-worse
+    on ATM puts (se 0.0165 vs plain 0.0130 at 2^16 paths) because pairing
+    already cancels the monotone component both legs share; the pair-mean
+    beta* (~0.3-0.5 there) restores a guaranteed reduction."""
+
+    def test_recovers_planted_coefficient(self, key):
+        from options_model_tpu.core.stats import optimal_cv_beta
+        import jax.numpy as jnp
+        k1, k2 = jax.random.split(key)
+        adj = jax.random.normal(k1, (1 << 16,))
+        cash = 5.0 - 0.7 * adj + 0.01 * jax.random.normal(k2, (1 << 16,))
+        beta = optimal_cv_beta(cash, adj)
+        np.testing.assert_allclose(float(beta), 0.7, atol=2e-3)
+        # a mask must restrict the moments to the masked rows
+        mask = (jnp.arange(1 << 16) % 2 == 0).astype(cash.dtype)
+        cash2 = jnp.where(mask > 0, cash, 1e3)  # poison unmasked rows
+        beta_m = optimal_cv_beta(cash2, adj, mask)
+        np.testing.assert_allclose(float(beta_m), 0.7, atol=3e-3)
+
+    def test_put_cv_never_hurts(self, key):
+        """cv_beta='opt' must report a stderr <= both the plain pricer's and
+        the reference's beta=1 on the adversarial case (ATM put)."""
+        from options_model_tpu.pricers.american import (
+            price_american, price_american_with_control_variate)
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=SIG)
+        _, se_plain = price_american(
+            key, S0, T, spec, MC, LSMConfig(use_control_variate=False),
+            engine="xla")
+        p_one, se_one = price_american_with_control_variate(
+            key, S0, T, spec, MC, LSMConfig(cv_beta="one"), engine="xla")
+        p_opt, se_opt = price_american_with_control_variate(
+            key, S0, T, spec, MC, LSMConfig(), engine="xla")
+        assert float(se_opt) <= float(se_one)
+        assert float(se_opt) <= 1.01 * float(se_plain)
+        # both estimators price the same option (within joint MC noise)
+        assert abs(float(p_opt) - float(p_one)) < 4 * (float(se_opt)
+                                                       + float(se_one))
 
 
 class TestReplayLSMStderr:
