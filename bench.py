@@ -195,6 +195,24 @@ def main():
             abs(float(p_nn) - oracle) / oracle, 6)
         details["american_put_nn_cv"] = round(float(p_nn), 6)
 
+        # Randomized-QMC vs plain MC at EQUAL path budget (scrambled Sobol +
+        # Brownian bridge, pricers/qmc.py — beyond reference). The Asian
+        # average is the showcase: a smooth low-effective-dimension payoff
+        # where RQMC's O(N^-1) discrepancy beats MC's O(N^-1/2).
+        from options_model_tpu.pricers.exotics import price_asian_mc
+        from options_model_tpu.pricers.qmc import price_asian_qmc
+        q_paths = 1 << 14 if on_tpu else 1 << 11
+        q_reps = 8
+        p_q, se_q, _ = price_asian_qmc(17, 100.0, 0.5, spec,
+                                       n_paths=q_paths, n_steps=50,
+                                       replicates=q_reps)
+        p_a, se_a = price_asian_mc(
+            jax.random.key(17), 100.0, 0.5, spec,
+            MCConfig(n_paths=q_reps * q_paths, n_steps=50, path_block=4096))
+        details["qmc_asian_stderr_ratio_vs_mc"] = round(
+            float(se_a) / max(float(se_q), 1e-12), 2)
+        details["qmc_asian_price"] = round(float(p_q), 6)
+
         # Synthetic Heston calibration round trip (VERDICT r2 next #4):
         # wall time + recovered-parameter RMSE. The objective runs in f64
         # (on CPU where the accelerator toolchain lacks complex128 — see

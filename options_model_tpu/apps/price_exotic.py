@@ -1,0 +1,245 @@
+"""Exotic & multi-asset pricing CLI — every beyond-vanilla pricer reachable.
+
+    python -m options_model_tpu.apps.price_exotic asian --spot 100 \
+        --strike 100 --t 0.5 --sampler sobol
+    python -m options_model_tpu.apps.price_exotic barrier --barrier 120 \
+        --barrier-type up-out --continuity-correction
+    python -m options_model_tpu.apps.price_exotic basket \
+        --spots 100 95 110 --sigmas 0.2 0.3 0.25 --rho 0.5
+    python -m options_model_tpu.apps.price_exotic american-basket \
+        --spots 100 100 --sigmas 0.2 0.2 --rho 0.0 --q 0.10 \
+        --kind max --t 3.0 --steps 9      # Andersen-Broadie benchmark cell
+
+The reference gestured at an exotic pricer but shipped a stub
+(options_model_2.py:61-79); here Asian/lookback/barrier (single-asset, any
+dynamics family) and European/American baskets, rainbows and spreads
+(correlated multi-asset GBM) all price from one command, with Sobol RQMC
+(``--sampler sobol``) available on the Asian/European legs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from options_model_tpu.core.config import (
+    HestonParams, MCConfig, OptionSpec, cp_from_str)
+from options_model_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+_DEF_HESTON = (2.0, 0.04, 0.3, -0.7, 0.04)
+
+
+def _add_common(p, multi=False):
+    p.add_argument("--strike", type=float, default=100.0)
+    p.add_argument("--t", type=float, default=0.5, help="Maturity in years")
+    p.add_argument("--r", type=float, default=0.05)
+    p.add_argument("--q", type=float, default=0.0,
+                   help="Continuous dividend yield")
+    p.add_argument("--option-type", type=str, default="call",
+                   choices=["call", "put"])
+    p.add_argument("--paths", type=int, default=1 << 16)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=2026)
+    if multi:
+        p.add_argument("--spots", type=float, nargs="+", required=True)
+        p.add_argument("--sigmas", type=float, nargs="+", required=True)
+        p.add_argument("--weights", type=float, nargs="+", default=None,
+                       help="Basket weights (default: equal)")
+        p.add_argument("--rho", type=float, default=0.5,
+                       help="Uniform pairwise correlation (or --corr)")
+        p.add_argument("--corr", type=float, nargs="+", default=None,
+                       help="Full row-major correlation matrix (n*n values)")
+    else:
+        p.add_argument("--spot", type=float, default=100.0)
+        p.add_argument("--sigma", type=float, default=0.2)
+        p.add_argument("--model", type=str, default="gbm",
+                       choices=["gbm", "heston", "merton"])
+        p.add_argument("--heston", type=float, nargs=5, default=None,
+                       metavar=("KAPPA", "THETA", "XI", "RHO", "V0"))
+        p.add_argument("--merton", type=float, nargs=4, default=None,
+                       metavar=("SIGMA", "LAM", "MU_J", "SIGMA_J"),
+                       help="Merton jump-diffusion parameters (default: "
+                            "sigma=0.2 lam=1 mu_j=-0.1 sigma_j=0.15)")
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        description="Price exotic and multi-asset options on TPU")
+    sub = p.add_subparsers(dest="contract", required=True)
+
+    pa = sub.add_parser("asian", help="Asian (average-price) option")
+    _add_common(pa)
+    pa.add_argument("--average", type=str, default="arithmetic",
+                    choices=["arithmetic", "geometric"])
+    pa.add_argument("--strike-type", type=str, default="fixed",
+                    choices=["fixed", "floating"])
+    pa.add_argument("--sampler", type=str, default="mc",
+                    choices=["mc", "sobol"],
+                    help="sobol = randomized QMC (scrambled Sobol + "
+                         "Brownian bridge; ~10x lower stderr at equal paths)")
+
+    pl = sub.add_parser("lookback", help="Lookback option on the extreme")
+    _add_common(pl)
+    pl.add_argument("--strike-type", type=str, default="floating",
+                    choices=["fixed", "floating"])
+
+    pb = sub.add_parser("barrier", help="Barrier option")
+    _add_common(pb)
+    pb.add_argument("--barrier", type=float, required=True)
+    pb.add_argument("--barrier-type", type=str, default="up-out",
+                    choices=["up-in", "up-out", "down-in", "down-out"])
+    pb.add_argument("--continuity-correction", action="store_true",
+                    help="Brownian-bridge survival weights: price the "
+                         "CONTINUOUSLY monitored contract (GBM only)")
+
+    pe = sub.add_parser("european", help="European vanilla (MC or RQMC)")
+    _add_common(pe)
+    pe.add_argument("--sampler", type=str, default="sobol",
+                    choices=["mc", "sobol"])
+
+    pk = sub.add_parser("basket", help="European multi-asset option")
+    _add_common(pk, multi=True)
+    pk.add_argument("--kind", type=str, default="basket",
+                    choices=["basket", "best_of", "worst_of", "spread"])
+    pk.add_argument("--no-control-variate", action="store_true",
+                    help="Disable the geometric-basket control variate")
+
+    pab = sub.add_parser("american-basket",
+                         help="Bermudan multi-asset option (LSM; exercise "
+                              "at every simulation step)")
+    _add_common(pab, multi=True)
+    pab.add_argument("--kind", type=str, default="max",
+                     choices=["max", "min", "basket"])
+    pab.add_argument("--out-of-sample", action="store_true",
+                     help="Low-biased estimator (policy fitted on "
+                          "alternating path blocks)")
+
+    return p.parse_args(argv)
+
+
+def _corr_matrix(args, n):
+    if args.corr is not None:
+        if len(args.corr) != n * n:
+            raise SystemExit(f"--corr needs {n*n} values for {n} assets")
+        return np.asarray(args.corr, np.float64).reshape(n, n)
+    c = np.full((n, n), float(args.rho))
+    np.fill_diagonal(c, 1.0)
+    return c
+
+
+def run(args: argparse.Namespace) -> dict:
+    import jax
+
+    key = jax.random.key(args.seed)
+    cp = cp_from_str(args.option_type)
+    out = {"contract": args.contract, "n_paths": args.paths}
+
+    if args.contract in ("asian", "lookback", "barrier", "european"):
+        spec = OptionSpec(strike=args.strike, rate=args.r, cp=cp,
+                          sigma=args.sigma, div_yield=args.q)
+        heston = merton = None
+        if getattr(args, "model", "gbm") == "heston":
+            hp = args.heston or _DEF_HESTON
+            heston = HestonParams(kappa=hp[0], theta=hp[1], xi=hp[2],
+                                  rho=hp[3], v0=hp[4])
+        elif getattr(args, "model", "gbm") == "merton":
+            from options_model_tpu.core.config import MertonParams
+            mp = args.merton or (0.2, 1.0, -0.1, 0.15)
+            merton = MertonParams(sigma=mp[0], lam=mp[1], mu_j=mp[2],
+                                  sigma_j=mp[3]).validate()
+        mc = MCConfig(n_paths=args.paths, n_steps=args.steps,
+                      path_block=4096)
+        if getattr(args, "sampler", "mc") == "sobol" and args.model == "merton":
+            log.info("sobol sampler supports gbm/heston only; using mc for "
+                     "merton")
+            args.sampler = "mc"
+        if args.contract == "asian":
+            if args.sampler == "sobol":
+                from options_model_tpu.pricers.qmc import price_asian_qmc
+                price, se, n = price_asian_qmc(
+                    args.seed, args.spot, args.t, spec, model=args.model,
+                    heston=heston, average=args.average,
+                    strike_type=args.strike_type,
+                    n_paths=max(args.paths // 16, 1 << 10), n_steps=args.steps,
+                    replicates=16)
+                out["n_paths"] = int(n)
+            else:
+                from options_model_tpu.pricers.exotics import price_asian_mc
+                price, se = price_asian_mc(
+                    key, args.spot, args.t, spec, mc, args.model,
+                    average=args.average, strike_type=args.strike_type,
+                    heston=heston, merton=merton)
+        elif args.contract == "lookback":
+            from options_model_tpu.pricers.exotics import price_lookback_mc
+            price, se = price_lookback_mc(
+                key, args.spot, args.t, spec, mc, args.model,
+                strike_type=args.strike_type, heston=heston, merton=merton)
+        elif args.contract == "barrier":
+            from options_model_tpu.pricers.barrier import price_barrier_mc
+            price, se = price_barrier_mc(
+                key, args.spot, args.t, spec, args.barrier,
+                args.barrier_type.replace("-", "-and-"), mc, args.model,
+                heston=heston, merton=merton,
+                continuity_correction=args.continuity_correction)
+        else:  # european
+            if args.sampler == "sobol":
+                from options_model_tpu.pricers.qmc import price_european_qmc
+                price, se, n = price_european_qmc(
+                    args.seed, args.model, args.spot, spec, args.t,
+                    heston=heston, n_paths=max(args.paths // 16, 1 << 10),
+                    n_steps=args.steps, replicates=16)
+                out["n_paths"] = int(n)
+            else:
+                from options_model_tpu.pricers.european import (
+                    make_terminal_sampler, price_european_mc)
+                sampler = make_terminal_sampler(
+                    args.model, args.spot, args.r, args.t,
+                    sigma=args.sigma, heston=heston, merton=merton,
+                    engine="auto", div_yield=args.q)
+                price, se, _ = price_european_mc(key, sampler, spec,
+                                                 args.t, mc)
+    else:  # multi-asset
+        n = len(args.spots)
+        if len(args.sigmas) != n:
+            raise SystemExit("--spots and --sigmas must have equal length")
+        w = args.weights or [1.0 / n] * n
+        corr = _corr_matrix(args, n)
+        qs = [args.q] * n
+        if args.contract == "basket":
+            from options_model_tpu.pricers.basket import price_basket_mc
+            price, se = price_basket_mc(
+                key, args.spots, w, args.strike, args.t, args.r,
+                args.sigmas, corr, cp, kind=args.kind, n_paths=args.paths,
+                div_yields=qs,
+                control_variate=not args.no_control_variate)
+        else:
+            from options_model_tpu.pricers.american_basket import (
+                price_american_basket)
+            mc = MCConfig(n_paths=args.paths, n_steps=args.steps,
+                          path_block=4096)
+            price, se = price_american_basket(
+                key, args.spots, args.strike, args.t, args.r, args.sigmas,
+                corr, cp, mc, kind=args.kind, weights=w, div_yields=qs,
+                out_of_sample=args.out_of_sample)
+
+    out["price"] = float(price)
+    out["stderr"] = float(se)
+    return out
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    out = run(args)
+    log.info("%s price = %.6f +/- %.6f  (n=%s)", out["contract"],
+             out["price"], out["stderr"], out["n_paths"])
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

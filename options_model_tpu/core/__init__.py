@@ -8,6 +8,7 @@ functions over JAX pytrees.
 
 from options_model_tpu.core.config import (
     HestonParams,
+    MertonParams,
     LSMConfig,
     MCConfig,
     OptionSpec,
@@ -34,6 +35,7 @@ from options_model_tpu.core.timegrid import (
 
 __all__ = [
     "HestonParams",
+    "MertonParams",
     "LSMConfig",
     "MCConfig",
     "OptionSpec",

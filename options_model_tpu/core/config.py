@@ -127,6 +127,35 @@ class HestonParams:
 
 
 @struct.dataclass
+class MertonParams:
+    """Merton (1976) jump-diffusion parameters (beyond-reference dynamics).
+
+    dS/S = (r - q - lam*kbar) dt + sigma dW + (J - 1) dN,
+    N ~ Poisson(lam), log J ~ N(mu_j, sigma_j^2),
+    kbar = E[J - 1] = exp(mu_j + sigma_j^2/2) - 1 (drift compensator, so the
+    discounted price is a martingale).
+    """
+
+    sigma: float    # diffusive volatility
+    lam: float      # jump intensity (expected jumps / year)
+    mu_j: float     # mean log-jump size
+    sigma_j: float  # log-jump-size volatility
+
+    def validate(self) -> "MertonParams":
+        if self.sigma <= 0:
+            raise ValueError(f"sigma={self.sigma} must be positive")
+        if self.lam < 0:
+            raise ValueError(f"lam={self.lam} must be non-negative")
+        if self.sigma_j < 0:
+            raise ValueError(f"sigma_j={self.sigma_j} must be non-negative")
+        return self
+
+    def kbar(self) -> float:
+        import math
+        return math.exp(self.mu_j + 0.5 * self.sigma_j**2) - 1.0
+
+
+@struct.dataclass
 class MCConfig:
     """Monte-Carlo workload shape.
 

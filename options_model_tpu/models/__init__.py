@@ -19,14 +19,25 @@ Pallas kernels in ops/ implement the same contract for the hot path.
 
 from options_model_tpu.models.gbm import simulate_gbm, gbm_terminal_exact
 from options_model_tpu.models.heston import simulate_heston
+from options_model_tpu.models.merton import merton_price, simulate_merton
 from options_model_tpu.models.localvol import simulate_local_vol
+from options_model_tpu.models.multiasset import (
+    correlation_cholesky,
+    gbm_basket_terminal_exact,
+    simulate_gbm_basket,
+)
 from options_model_tpu.models.blocks import num_blocks, paths_rounded
 
 __all__ = [
     "simulate_gbm",
     "gbm_terminal_exact",
     "simulate_heston",
+    "simulate_merton",
+    "merton_price",
     "simulate_local_vol",
+    "simulate_gbm_basket",
+    "gbm_basket_terminal_exact",
+    "correlation_cholesky",
     "num_blocks",
     "paths_rounded",
 ]

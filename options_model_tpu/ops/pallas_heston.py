@@ -36,8 +36,11 @@ from options_model_tpu.core.config import HestonParams
 # underfill the VPU pipeline, larger ones blow up compile time.
 _LANES = 128
 _TERM_ROWS = 128      # 16384 paths/tile for the terminal kernel
-_PATH_ROWS = 32       # 4096 paths/tile for the full-path kernel (18.6 G
-                      # path-steps/s vs 8.3 at 8 rows; flat beyond 32)
+_PATH_ROWS = 32       # 4096 paths/tile for the full-path kernel (22.8 G
+                      # path-steps/s with the hoisted bulk exp vs 22.2 at 64
+                      # rows, 14.7 at 16; the no-store terminal body runs
+                      # 41.9 at the same rows — the per-step VMEM stores are
+                      # the remaining cost, see scripts/exp_paths_kernel.py)
 
 _TWO_PI = 6.283185307179586
 
@@ -111,11 +114,17 @@ def _paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
     pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
     S0 = par_ref[0, 0]
 
+    # Store RELATIVE logS per step; one bulk exp over the whole VMEM block
+    # after the loop. A per-step exp in emit() serializes a transcendental
+    # into every loop iteration — hoisting it is a measured 17.0 -> 22.8
+    # G path-steps/s on v5e (scripts/exp_paths_kernel.py; the no-exp upper
+    # bound is 23.6, so the bulk pass costs ~3%).
     def emit(t, logS, v):
-        out_ref[t + 1] = jnp.exp(jnp.log(S0) + logS)
+        out_ref[t + 1] = logS
 
-    out_ref[0] = jnp.full((_PATH_ROWS, _LANES), S0, jnp.float32)
+    out_ref[0] = jnp.zeros((_PATH_ROWS, _LANES), jnp.float32)
     _heston_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
+    out_ref[:] = jnp.exp(jnp.log(S0) + out_ref[:])
 
 
 def _paths_v_kernel(seed_ref, par_ref, s_ref, v_ref, *, n_steps, antithetic):
@@ -127,13 +136,15 @@ def _paths_v_kernel(seed_ref, par_ref, s_ref, v_ref, *, n_steps, antithetic):
     S0 = par_ref[0, 0]
     v0 = par_ref[0, 8]
 
+    # relative logS in the loop, one bulk exp after (see _paths_kernel)
     def emit(t, logS, v):
-        s_ref[t + 1] = jnp.exp(jnp.log(S0) + logS)
+        s_ref[t + 1] = logS
         v_ref[t + 1] = v
 
-    s_ref[0] = jnp.full((_PATH_ROWS, _LANES), S0, jnp.float32)
+    s_ref[0] = jnp.zeros((_PATH_ROWS, _LANES), jnp.float32)
     v_ref[0] = jnp.full((_PATH_ROWS, _LANES), v0, jnp.float32)
     _heston_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
+    s_ref[:] = jnp.exp(jnp.log(S0) + s_ref[:])
 
 
 def _params_array(S0, r, T, params: HestonParams, n_steps) -> jnp.ndarray:
@@ -314,11 +325,13 @@ def _qe_paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
     pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
     S0 = par_ref[0, 0]
 
+    # relative logS in the loop, one bulk exp after (see _paths_kernel)
     def emit(t, logS, v):
-        out_ref[t + 1] = jnp.exp(jnp.log(S0) + logS)
+        out_ref[t + 1] = logS
 
-    out_ref[0] = jnp.full((_PATH_ROWS, _LANES), S0, jnp.float32)
+    out_ref[0] = jnp.zeros((_PATH_ROWS, _LANES), jnp.float32)
     _qe_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
+    out_ref[:] = jnp.exp(jnp.log(S0) + out_ref[:])
 
 
 def _qe_paths_v_kernel(seed_ref, par_ref, s_ref, v_ref, *, n_steps,
@@ -327,13 +340,15 @@ def _qe_paths_v_kernel(seed_ref, par_ref, s_ref, v_ref, *, n_steps,
     S0 = par_ref[0, 0]
     v0 = par_ref[0, 8]
 
+    # relative logS in the loop, one bulk exp after (see _paths_kernel)
     def emit(t, logS, v):
-        s_ref[t + 1] = jnp.exp(jnp.log(S0) + logS)
+        s_ref[t + 1] = logS
         v_ref[t + 1] = v
 
-    s_ref[0] = jnp.full((_PATH_ROWS, _LANES), S0, jnp.float32)
+    s_ref[0] = jnp.zeros((_PATH_ROWS, _LANES), jnp.float32)
     v_ref[0] = jnp.full((_PATH_ROWS, _LANES), v0, jnp.float32)
     _qe_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
+    s_ref[:] = jnp.exp(jnp.log(S0) + s_ref[:])
 
 
 def _qe_params_array(S0, r, T, params: HestonParams, n_steps) -> jnp.ndarray:

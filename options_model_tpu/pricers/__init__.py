@@ -6,6 +6,9 @@
 - binomial:     CRR binomial oracle (accuracy ground truth, incl. native C++ build)
 - barrier:      barrier-option MC pricer (implements the reference's v2 stub)
 - dual:         Rogers martingale-dual upper bound + primal-dual bracket
+- qmc:          randomized-QMC pricers (scrambled Sobol + Brownian bridge)
+- basket:       multi-asset European baskets/rainbows (geometric-basket CV)
+- american_basket: multi-asset Bermudan LSM (Andersen-Broadie validated)
 """
 
 from options_model_tpu.pricers.blackscholes import (
@@ -24,6 +27,12 @@ from options_model_tpu.pricers.american import (
 )
 from options_model_tpu.pricers.barrier import price_barrier_mc
 from options_model_tpu.pricers.dual import price_american_bracket
+from options_model_tpu.pricers.qmc import price_asian_qmc, price_european_qmc
+from options_model_tpu.pricers.basket import (
+    geometric_basket_bs_price,
+    price_basket_mc,
+)
+from options_model_tpu.pricers.american_basket import price_american_basket
 from options_model_tpu.pricers.fd_heston import heston_fd_price
 from options_model_tpu.pricers.surface_american import (
     price_american_curve_shared,
@@ -45,6 +54,11 @@ __all__ = [
     "price_american",
     "price_barrier_mc",
     "price_american_bracket",
+    "price_asian_qmc",
+    "price_basket_mc",
+    "geometric_basket_bs_price",
+    "price_american_basket",
+    "price_european_qmc",
     "heston_fd_price",
     "price_american_curve_shared",
     "price_american_surface",

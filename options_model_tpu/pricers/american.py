@@ -53,7 +53,8 @@ from options_model_tpu.models.localvol import simulate_local_vol
 
 
 def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
-                   rate=0.0, heston: Optional[HestonParams] = None, sigma_fn=None,
+                   rate=0.0, heston: Optional[HestonParams] = None,
+                   merton=None, sigma_fn=None,
                    first_block=0, engine: str = "auto",
                    heston_scheme: str = "euler",
                    localvol_table=None, div_yield=0.0,
@@ -129,12 +130,18 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
     if model == "localvol":
         return simulate_local_vol(key, S0, rate, T, sigma_fn, cfg, return_paths=True,
                                   first_block=first_block)
+    if model == "merton":
+        if merton is None:
+            raise ValueError("merton params required for model='merton'")
+        from options_model_tpu.models.merton import simulate_merton
+        return simulate_merton(key, S0, rate, T, merton, cfg,
+                               return_paths=True, first_block=first_block)
     raise ValueError(f"unknown model {model!r}")
 
 
 def _cv_adjustment(S_paths, spec: OptionSpec, T,
                    heston: Optional[HestonParams] = None,
-                   model: str = "gbm"):
+                   model: str = "gbm", merton=None):
     """Per-path beta=1 control-variate adjustment (the European closed form
     minus the discounted terminal payoff of the SAME path) — shared by the CV
     pricer and the Richardson extrapolator.
@@ -153,6 +160,13 @@ def _cv_adjustment(S_paths, spec: OptionSpec, T,
         from options_model_tpu.calibration.charfn import heston_cos_price
         eu = heston_cos_price(S_paths[0][0], spec.strike, T, spec.rate,
                               heston, cp=spec.cp, q=spec.div_yield)
+    elif model == "merton":
+        if merton is None:
+            raise ValueError("model='merton' control variate needs merton "
+                             "params for the jump-series leg")
+        from options_model_tpu.models.merton import merton_price
+        eu = merton_price(S_paths[0][0], spec.strike, T, spec.rate, merton,
+                          cp=spec.cp, q=spec.div_yield, dtype=dtype)
     else:
         eu = bs_price(S_paths[0][0], spec.strike, T, spec.rate, spec.sigma,
                       spec.cp, q=spec.div_yield)
@@ -611,14 +625,16 @@ def richardson_nn_stat(key: jax.Array, S_paths, v_paths, spec: OptionSpec, T,
 
 def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                        lsm: LSMConfig, model: str = "gbm", *,
-                       heston: Optional[HestonParams] = None, sigma_fn=None,
+                       heston: Optional[HestonParams] = None, merton=None,
+                       sigma_fn=None,
                        axis_name: Optional[str] = None,
                        return_paths_stats: bool = False, engine: str = "auto"):
     """Simulate + LSM backward induction. Returns (price, stderr[, S_paths])."""
     sim_key, fit_key = jax.random.split(key)
     want_v = model == "heston" and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
-                         rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                         rate=spec.rate, heston=heston, merton=merton,
+                         sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
@@ -644,6 +660,7 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
 def price_american_with_control_variate(
         key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig, lsm: LSMConfig,
         model: str = "gbm", *, heston: Optional[HestonParams] = None,
+        merton=None,
         sigma_fn=None, axis_name: Optional[str] = None, engine: str = "auto"):
     """American price with the European control variate (beta = 1):
 
@@ -659,17 +676,20 @@ def price_american_with_control_variate(
     variate acts on the stopped per-path cashflows, which both backwards
     produce identically shaped.
     """
-    analytic = (model == "gbm" and spec.sigma is not None) or \
-               (model == "heston" and heston is not None)
+    analytic = ((model == "gbm" and spec.sigma is not None)
+                or (model == "heston" and heston is not None)
+                or (model == "merton" and merton is not None))
     if not analytic:
         # No closed-form European leg: fall back to the plain price.
         return price_american_lsm(key, S0, T, spec, mc, lsm, model,
-                                  heston=heston, sigma_fn=sigma_fn,
+                                  heston=heston, merton=merton,
+                                  sigma_fn=sigma_fn,
                                   axis_name=axis_name, engine=engine)
     sim_key, fit_key = jax.random.split(key)
     want_v = model == "heston" and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
-                         rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                         rate=spec.rate, heston=heston, merton=merton,
+                         sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
@@ -689,14 +709,15 @@ def price_american_with_control_variate(
     # overstates it by the variance the control variate removes).
     stat_pb = pb if mc.antithetic else None
     cv = _apply_cv(cash, _cv_adjustment(S_paths, spec, T, heston=heston,
-                                        model=model),
+                                        model=model, merton=merton),
                    lsm.cv_beta, eval_mask, axis_name, stat_pb)
     return masked_mean_stderr(cv, eval_mask, axis_name, stat_pb)[:2]
 
 
 def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                    lsm: LSMConfig, model: str = "gbm", *,
-                   heston: Optional[HestonParams] = None, sigma_fn=None,
+                   heston: Optional[HestonParams] = None, merton=None,
+                   sigma_fn=None,
                    axis_name: Optional[str] = None, engine: str = "auto"):
     """Dispatcher mirroring price_american_option
     (options_model_3/options_model_3.py:679-695): European approximation when
@@ -707,22 +728,27 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         # engine forwarded: an explicit engine='xla' request must not resolve
         # to the Pallas sampler (different RNG stream than requested).
         sampler = make_terminal_sampler(model, S0, spec.rate, T, sigma=spec.sigma,
-                                        heston=heston, sigma_fn=sigma_fn,
+                                        heston=heston, merton=merton,
+                                        sigma_fn=sigma_fn,
                                         engine=engine,
                                         div_yield=spec.div_yield)
         price, stderr, _ = price_european_mc(key, sampler, spec, T, mc)
         return price, stderr
     if lsm.richardson:
         return price_american_richardson(key, S0, T, spec, mc, lsm, model,
-                                         heston=heston, sigma_fn=sigma_fn,
+                                         heston=heston, merton=merton,
+                                         sigma_fn=sigma_fn,
                                          engine=engine)
     cv_leg = ((spec.sigma is not None and model == "gbm")
-              or (model == "heston" and heston is not None))
+              or (model == "heston" and heston is not None)
+              or (model == "merton" and merton is not None))
     if lsm.use_control_variate and cv_leg:
         return price_american_with_control_variate(
-            key, S0, T, spec, mc, lsm, model, heston=heston, sigma_fn=sigma_fn,
+            key, S0, T, spec, mc, lsm, model, heston=heston, merton=merton,
+            sigma_fn=sigma_fn,
             axis_name=axis_name, engine=engine)
     return price_american_lsm(key, S0, T, spec, mc, lsm, model, heston=heston,
+                              merton=merton,
                               sigma_fn=sigma_fn, axis_name=axis_name,
                               engine=engine)
 
@@ -731,6 +757,7 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
                               mc: MCConfig, lsm: LSMConfig,
                               model: str = "gbm", *,
                               heston: Optional[HestonParams] = None,
+                              merton=None,
                               sigma_fn=None, engine: str = "auto"):
     """(price, stderr, cashflow_stats) — the reference's verbose pricing
     report (mean/std/min/max/P(worthless) of the per-path discounted
@@ -740,7 +767,8 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
     sim_key, fit_key = jax.random.split(key)
     want_v = model == "heston" and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
-                         rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                         rate=spec.rate, heston=heston, merton=merton,
+                         sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
@@ -765,6 +793,7 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
 def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
                               mc: MCConfig, lsm: LSMConfig, model: str = "gbm",
                               *, heston: Optional[HestonParams] = None,
+                              merton=None,
                               sigma_fn=None, engine: str = "auto"):
     """Richardson-extrapolated continuous-exercise American price.
 
@@ -786,13 +815,15 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
     pb = _pair_block(mc, model, engine)
     want_v = model == "heston" and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
-                         rate=spec.rate, heston=heston, sigma_fn=sigma_fn,
+                         rate=spec.rate, heston=heston, merton=merton,
+                         sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
     if lsm.regressor == "poly":
         stat, mask = richardson_cv_stat(S_paths, v_paths, spec, T, lsm,
-                                        heston=heston, model=model,
+                                        heston=heston, merton=merton,
+                                        model=model,
                                         pair_block=pb)
     else:
         stat, mask = richardson_nn_stat(fit_key, S_paths, v_paths, spec, T,
@@ -804,7 +835,7 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
 
 
 def richardson_cv_stat(S_paths, v_paths, spec: OptionSpec, T, lsm: LSMConfig,
-                       *, heston: Optional[HestonParams] = None,
+                       *, heston: Optional[HestonParams] = None, merton=None,
                        model: str = "gbm", pair_block: Optional[int] = None,
                        axis_name: Optional[str] = None):
     """(per-path Richardson statistic, eval mask) on given paths — the single
@@ -820,9 +851,11 @@ def richardson_cv_stat(S_paths, v_paths, spec: OptionSpec, T, lsm: LSMConfig,
                                           exercise_stride=2, **kwargs)
     stat = 2.0 * cash_f - cash_c
     cv_leg = ((spec.sigma is not None and model == "gbm")
-              or (model == "heston" and heston is not None))
+              or (model == "heston" and heston is not None)
+              or (model == "merton" and merton is not None))
     if lsm.use_control_variate and cv_leg:
         stat = _apply_cv(stat, _cv_adjustment(S_paths, spec, T,
-                                              heston=heston, model=model),
+                                              heston=heston, model=model,
+                                              merton=merton),
                          lsm.cv_beta, mask, axis_name, pair_block)
     return stat, mask

@@ -36,6 +36,7 @@ TerminalSampler = Callable[[jax.Array, jnp.ndarray, MCConfig], jnp.ndarray]
 
 def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
                           heston: Optional[HestonParams] = None,
+                          merton=None,
                           sigma_fn=None, engine: str = "auto",
                           heston_scheme: str = "euler",
                           localvol_table=None, div_yield=0.0) -> TerminalSampler:
@@ -116,6 +117,13 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
             raise ValueError("sigma_fn required for model='localvol'")
         fn = lambda key, fb, c: simulate_local_vol(key, S0, r, T, sigma_fn, c,
                                                    return_paths=False, first_block=fb)
+    elif model == "merton":
+        if merton is None:
+            raise ValueError("merton params required for model='merton'")
+        from options_model_tpu.models.merton import simulate_merton
+        fn = lambda key, fb, c: simulate_merton(key, S0, r, T, merton, c,
+                                                return_paths=False,
+                                                first_block=fb)
     else:
         raise ValueError(f"unknown model {model!r}")
     fn.pair_block = lambda c: c.path_block

@@ -535,3 +535,61 @@ class TestStreamlitGate:
             pass
         with pytest.raises(SystemExit, match="streamlit"):
             importlib.import_module("options_model_tpu.apps.streamlit_app")
+
+
+class TestExoticCLI:
+    def _run(self, argv):
+        from options_model_tpu.apps.price_exotic import parse_args, run
+        return run(parse_args(argv))
+
+    def test_asian_sobol_matches_mc(self):
+        base = ["asian", "--paths", "16384", "--steps", "16",
+                "--t", "0.5", "--strike", "100"]
+        out_q = self._run(base + ["--sampler", "sobol"])
+        out_m = self._run(base + ["--sampler", "mc"])
+        tol = 4.0 * (out_q["stderr"] ** 2 + out_m["stderr"] ** 2) ** 0.5
+        assert abs(out_q["price"] - out_m["price"]) < max(tol, 5e-3)
+        assert out_q["stderr"] < out_m["stderr"]
+
+    def test_barrier_continuity_hits_reiner_rubinstein(self):
+        from options_model_tpu.pricers.barrier import barrier_price_rr
+        out = self._run(["barrier", "--barrier", "120", "--barrier-type",
+                         "up-out", "--continuity-correction",
+                         "--paths", "32768", "--steps", "50"])
+        rr = barrier_price_rr(100.0, 100.0, 0.5, 0.05, 0.2, 120.0,
+                              "up-and-out", cp=1.0)
+        assert abs(out["price"] - float(rr)) < 4.0 * out["stderr"] + 1e-3
+
+    def test_lookback_runs(self):
+        out = self._run(["lookback", "--paths", "8192", "--steps", "16"])
+        assert out["price"] > 0.0 and np.isfinite(out["stderr"])
+
+    def test_european_sobol_tight(self):
+        from options_model_tpu.pricers import bs_price
+        out = self._run(["european", "--paths", "16384"])
+        ref = float(bs_price(100.0, 100.0, 0.5, 0.05, 0.2, 1.0))
+        assert abs(out["price"] - ref) < max(4.0 * out["stderr"], 3e-3)
+
+    def test_basket_cli_and_corr_flag(self):
+        out = self._run(["basket", "--spots", "100", "95", "--sigmas",
+                         "0.2", "0.3", "--rho", "0.4", "--paths", "16384"])
+        assert out["price"] > 0.0
+        out2 = self._run(["basket", "--spots", "100", "95", "--sigmas",
+                          "0.2", "0.3", "--corr", "1", "0.4", "0.4", "1",
+                          "--paths", "16384", "--seed", "2026"])
+        assert abs(out2["price"] - out["price"]) < 6.0 * (
+            out["stderr"] + out2["stderr"]) + 1e-3
+
+    def test_american_basket_cli(self):
+        out = self._run(["american-basket", "--spots", "100", "100",
+                         "--sigmas", "0.2", "0.2", "--rho", "0.0",
+                         "--q", "0.10", "--kind", "max", "--t", "3.0",
+                         "--steps", "9", "--option-type", "call",
+                         "--paths", "16384"])
+        # Andersen-Broadie 13.902 cell at modest paths: within ~3%
+        assert abs(out["price"] - 13.902) / 13.902 < 0.03
+
+    def test_bad_corr_length_exits(self):
+        with pytest.raises(SystemExit):
+            self._run(["basket", "--spots", "100", "95", "--sigmas",
+                       "0.2", "0.3", "--corr", "1", "0.4", "0.4"])

@@ -1,0 +1,156 @@
+"""Randomized QMC: Sobol net correctness, bridge covariance, variance wins."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from options_model_tpu.core.config import CALL, PUT, HestonParams, MCConfig, OptionSpec
+from options_model_tpu.core.qmc import (
+    bb_increments,
+    brownian_bridge,
+    brownian_bridge_tables,
+    sobol_directions,
+    sobol_normals,
+    sobol_uniforms,
+)
+from options_model_tpu.pricers import bs_price
+from options_model_tpu.pricers.qmc import price_asian_qmc, price_european_qmc
+
+S0, K, T, R, SIG = 100.0, 100.0, 0.5, 0.05, 0.2
+CALL_SPEC = OptionSpec(strike=K, rate=R, cp=CALL, sigma=SIG)
+PUT_SPEC = OptionSpec(strike=K, rate=R, cp=PUT, sigma=SIG)
+HESTON = HestonParams(v0=0.04, kappa=2.0, theta=0.04, xi=0.5, rho=-0.7)
+
+
+class TestSobolNet:
+    def test_matches_scipy_unscrambled(self):
+        from scipy.stats import qmc as sqmc
+
+        d, n = 5, 64
+        sv, shift = sobol_directions(d)
+        ours = np.asarray(sobol_uniforms(sv, shift, 0, n))
+        ref = sqmc.Sobol(d=d, scramble=False).random(n)
+        # ours sits at cell centers: ref + 0.5 * 2^-30
+        assert np.max(np.abs(ours - ref)) <= 2.0 ** -30 + 1e-12
+
+    def test_chunk_invariance(self):
+        sv, shift = sobol_directions(4, scramble_seed=7)
+        whole = np.asarray(sobol_uniforms(sv, shift, 0, 32))
+        parts = np.concatenate([np.asarray(sobol_uniforms(sv, shift, i0, 8))
+                                for i0 in (0, 8, 16, 24)])
+        np.testing.assert_array_equal(whole, parts)
+
+    def test_scramble_randomizes_but_balances(self):
+        # Two scrambles give different points, each set balanced: the mean of
+        # a 2^k-point scrambled net estimates 1/2 per dim to O(2^-k).
+        sv1, sh1 = sobol_directions(3, scramble_seed=1)
+        sv2, sh2 = sobol_directions(3, scramble_seed=2)
+        u1 = np.asarray(sobol_uniforms(sv1, sh1, 0, 256))
+        u2 = np.asarray(sobol_uniforms(sv2, sh2, 0, 256))
+        assert np.max(np.abs(u1 - u2)) > 1e-3
+        assert np.max(np.abs(u1.mean(axis=0) - 0.5)) < 0.005
+        assert np.max(np.abs(u2.mean(axis=0) - 0.5)) < 0.005
+
+    def test_normals_tail_finite(self):
+        sv, sh = sobol_directions(2, scramble_seed=3)
+        z = np.asarray(sobol_normals(sv, sh, 0, 1 << 12))
+        assert np.all(np.isfinite(z))
+        assert abs(z.mean()) < 0.02
+
+
+class TestBrownianBridge:
+    def test_tables_cover_all_steps(self):
+        for n in (1, 2, 7, 16, 50):
+            m, l, r, wl, wr, sd = brownian_bridge_tables(n)
+            assert sorted(m.tolist()) == list(range(1, n + 1))
+            assert np.all(sd > 0)
+
+    def test_exact_covariance(self):
+        # The bridge is linear: feeding basis vectors extracts the matrix A
+        # with W = A Z, so Cov(W) = A A^T must equal min(t_i, t_j) exactly.
+        # brownian_bridge maps (n_paths, n_steps) -> (n_steps, n_paths);
+        # with Z = I each "path" j is the unit vector e_j, so output column j
+        # is A e_j: the returned matrix IS A.
+        n = 8
+        A = np.asarray(brownian_bridge(jnp.eye(n), T=1.0))
+        cov = A @ A.T
+        t = (np.arange(1, n + 1)) / n
+        expected = np.minimum.outer(t, t)
+        np.testing.assert_allclose(cov, expected, atol=2e-6)
+
+    def test_increments_sum_to_terminal(self):
+        n = 16
+        Z = jnp.asarray(np.random.default_rng(0).normal(size=(32, n)),
+                        jnp.float32)
+        W = np.asarray(brownian_bridge(Z, T=2.0))
+        dW = np.asarray(bb_increments(Z, T=2.0))
+        np.testing.assert_allclose(dW.cumsum(axis=0), W, atol=1e-5)
+
+
+class TestQMCPricing:
+    def test_european_gbm_matches_bs_tightly(self):
+        price, se, n = price_european_qmc(11, "gbm", S0, CALL_SPEC, T,
+                                          n_paths=1 << 12, replicates=8)
+        ref = float(bs_price(S0, K, T, R, SIG, 1.0))
+        assert abs(float(price) - ref) < max(4.0 * float(se), 2e-3)
+        assert float(se) < 2e-3  # ~0.03% of the ~4.6 premium
+
+    def test_european_gbm_beats_mc(self):
+        from options_model_tpu.pricers.european import price_european_gbm_exact
+        import jax
+
+        n_total = 8 * (1 << 12)
+        _, se_q, _ = price_european_qmc(5, "gbm", S0, CALL_SPEC, T,
+                                        n_paths=1 << 12, replicates=8)
+        _, se_mc, _ = price_european_gbm_exact(jax.random.key(5), S0,
+                                               CALL_SPEC, T, n_paths=n_total)
+        assert float(se_q) * 5.0 < float(se_mc)
+
+    def test_european_heston_matches_mc_euler(self):
+        # QMC and MC estimate the SAME 64-step Euler law — compare directly.
+        import jax
+        from options_model_tpu.pricers.european import (
+            make_terminal_sampler, price_european_mc)
+
+        n_steps = 64
+        price_q, se_q, _ = price_european_qmc(
+            3, "heston", S0, PUT_SPEC, T, heston=HESTON,
+            n_paths=1 << 12, n_steps=n_steps, replicates=8)
+        cfg = MCConfig(n_paths=1 << 17, n_steps=n_steps, path_block=4096)
+        sampler = make_terminal_sampler("heston", S0, R, T, heston=HESTON,
+                                        engine="xla")
+        price_m, se_m, _ = price_european_mc(jax.random.key(9), sampler,
+                                             PUT_SPEC, T, cfg)
+        tol = 4.0 * float(jnp.sqrt(se_q ** 2 + se_m ** 2))
+        assert abs(float(price_q) - float(price_m)) < max(tol, 5e-3)
+
+    def test_asian_gbm_matches_mc_and_beats_it(self):
+        import jax
+        from options_model_tpu.pricers.exotics import price_asian_mc
+
+        n_steps = 32
+        p_q, se_q, _ = price_asian_qmc(7, S0, T, CALL_SPEC, n_steps=n_steps,
+                                       n_paths=1 << 12, replicates=8)
+        cfg = MCConfig(n_paths=8 * (1 << 12), n_steps=n_steps,
+                       path_block=4096)
+        p_m, se_m = price_asian_mc(jax.random.key(7), S0, T, CALL_SPEC, cfg)
+        tol = 4.0 * float(jnp.sqrt(se_q ** 2 + se_m ** 2))
+        assert abs(float(p_q) - float(p_m)) < max(tol, 5e-3)
+        # equal total path budget: RQMC stderr should win by >3x on the
+        # smooth averaged payoff
+        assert float(se_q) * 3.0 < float(se_m)
+
+    def test_asian_heston_runs(self):
+        p, se, n = price_asian_qmc(1, S0, T, PUT_SPEC, model="heston",
+                                   heston=HESTON, n_paths=1 << 11,
+                                   n_steps=32, replicates=4)
+        assert np.isfinite(float(p)) and float(p) > 0.0
+        assert n == 4 * (1 << 11)
+
+    def test_bad_args(self):
+        with pytest.raises(ValueError):
+            price_european_qmc(0, "localvol", S0, CALL_SPEC, T)
+        with pytest.raises(ValueError):
+            price_asian_qmc(0, S0, T, CALL_SPEC, average="harmonic")
+        with pytest.raises(ValueError):
+            price_european_qmc(0, "heston", S0, CALL_SPEC, T)
