@@ -10,6 +10,7 @@ algorithmic win available (SURVEY.md §3.4).
 """
 
 from options_model_tpu.calibration.charfn import (
+    bates_cos_price,
     heston_charfn,
     heston_cos_price,
 )
@@ -23,6 +24,7 @@ from options_model_tpu.calibration.calibrator import (
 from options_model_tpu.calibration.synthetic import create_synthetic_heston_surface
 
 __all__ = [
+    "bates_cos_price",
     "heston_charfn",
     "heston_cos_price",
     "HestonCalibrator",

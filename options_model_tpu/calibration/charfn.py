@@ -116,6 +116,51 @@ def _cos_coeffs_call(k, a, b):
     return (2.0 / (b - a)) * (chi - psi_k)
 
 
+def _cos_price_core(S0, K, T, r, q, cp, n_terms, L, dtype, charfn_fn,
+                    cumulant_fn):
+    """Shared COS pricing machinery (Fang-Oosterlee): truncation range from
+    the first two cumulants, call coefficients, put-call parity. ``charfn_fn``
+    maps (omega (M,N), Tf (M,1), cdtype) -> phi; ``cumulant_fn`` maps
+    Tf (M,) -> (c1, c2)."""
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    K = jnp.asarray(K, dtype)
+    T = jnp.asarray(T, dtype)
+    K, T = jnp.broadcast_arrays(K, T)
+    shape = K.shape
+    Kf = K.reshape(-1)
+    Tf = T.reshape(-1)
+    S0 = jnp.asarray(S0, dtype)
+    r = jnp.asarray(r, dtype)
+    q = jnp.asarray(q, dtype)
+
+    x0 = jnp.log(S0 / Kf)                              # (M,)
+    c1, c2 = cumulant_fn(Tf)                           # (M,)
+    a = x0 + c1 - L * jnp.sqrt(c2)
+    b = x0 + c1 + L * jnp.sqrt(c2)
+
+    k = jnp.arange(n_terms, dtype=dtype)               # (N,)
+    omega = k[None, :] * jnp.pi / (b - a)[:, None]     # (M, N)
+
+    phi = charfn_fn(omega, Tf[:, None], cdtype)
+    # F_k = Re[phi(omega_k) * exp(i omega_k (x0 - a))]. The phase is built
+    # with lax.complex(cos, sin): both `1j * x` and `x.astype(complex)` on a
+    # float64 x materialize float32 components under explicit-x64 mode
+    # (jax 0.9 canonicalizes the weak 1j/zero-imag constant), which trips
+    # "lax.complex requires arguments to have the same dtypes".
+    ang = omega * (x0 - a)[:, None]
+    Fk = creal(phi * jax.lax.complex(jnp.cos(ang), jnp.sin(ang)))
+    Uk = _cos_coeffs_call(k[None, :], a[:, None], b[:, None])
+    weights = jnp.ones((n_terms,), dtype).at[0].set(0.5)
+
+    call = Kf * jnp.exp(-r * Tf) * jnp.sum(weights[None, :] * Fk * Uk, axis=-1)
+    call = jnp.maximum(call, 0.0)
+    cp_f = jnp.broadcast_to(jnp.asarray(cp, dtype), shape).reshape(-1)
+    # parity: P = C - S0 e^{-qT} + K e^{-rT}
+    put = call - S0 * jnp.exp(-q * Tf) + Kf * jnp.exp(-r * Tf)
+    price = jnp.where(cp_f > 0, call, jnp.maximum(put, 0.0))
+    return price.reshape(shape)
+
+
 @partial(jax.jit, static_argnames=("n_terms", "dtype"))
 def heston_cos_price(S0, K, T, r, params: HestonParams, cp=1.0,
                      n_terms: int = 256, L: float = 12.0, q=0.0,
@@ -134,40 +179,63 @@ def heston_cos_price(S0, K, T, r, params: HestonParams, cp=1.0,
     float64 (requires jax config jax_explicit_x64_dtypes='allow', or global
     x64) drops the floor below 1e-7 — the calibration objective needs that
     (see calibrator.py's root-cause note)."""
-    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-    K = jnp.asarray(K, dtype)
-    T = jnp.asarray(T, dtype)
-    K, T = jnp.broadcast_arrays(K, T)
-    shape = K.shape
-    Kf = K.reshape(-1)
-    Tf = T.reshape(-1)
-    S0 = jnp.asarray(S0, dtype)
-    r = jnp.asarray(r, dtype)
-    q = jnp.asarray(q, dtype)
+    return _cos_price_core(
+        S0, K, T, r, q, cp, n_terms, L, dtype,
+        lambda om, Tf, cd: heston_charfn(om, Tf, r, params, dtype=cd, q=q),
+        lambda Tf: _heston_cumulants(Tf, r, params, q))
 
-    x0 = jnp.log(S0 / Kf)                              # (M,)
-    c1, c2 = _heston_cumulants(Tf, r, params, q)       # (M,)
-    a = x0 + c1 - L * jnp.sqrt(c2)
-    b = x0 + c1 + L * jnp.sqrt(c2)
 
-    k = jnp.arange(n_terms, dtype=dtype)               # (N,)
-    omega = k[None, :] * jnp.pi / (b - a)[:, None]     # (M, N)
+def _jump_cf_factor(u, T, lam, mu_j, sigma_j, dtype):
+    """exp(lam T (phi_J(u) - 1) - i u lam kbar T) for lognormal jumps —
+    the compensated compound-Poisson characteristic factor shared by Bates
+    (and equal to the whole Merton char-fn up to the diffusion part).
 
-    phi = heston_charfn(omega, Tf[:, None], r, params, dtype=cdtype, q=q)
-    # F_k = Re[phi(omega_k) * exp(i omega_k (x0 - a))]. The phase is built
-    # with lax.complex(cos, sin): both `1j * x` and `x.astype(complex)` on a
-    # float64 x materialize float32 components under explicit-x64 mode
-    # (jax 0.9 canonicalizes the weak 1j/zero-imag constant), which trips
-    # "lax.complex requires arguments to have the same dtypes".
-    ang = omega * (x0 - a)[:, None]
-    Fk = creal(phi * jax.lax.complex(jnp.cos(ang), jnp.sin(ang)))
-    Uk = _cos_coeffs_call(k[None, :], a[:, None], b[:, None])
-    weights = jnp.ones((n_terms,), dtype).at[0].set(0.5)
+    u is REAL (COS frequencies); the complex exponential is assembled from
+    real trig via lax.complex — both `1j * x` and a real->complex astype on
+    float64 inputs materialize float32 components under explicit-x64 mode
+    (see heston_cos_price's phase note)."""
+    u = jnp.asarray(u, dtype)
+    lam = jnp.asarray(lam, dtype)
+    mu_j = jnp.asarray(mu_j, dtype)
+    sigma_j = jnp.asarray(sigma_j, dtype)
+    kbar = jnp.exp(mu_j + 0.5 * sigma_j**2) - 1.0
+    lamT = lam * jnp.asarray(T, dtype)
+    env = jnp.exp(-0.5 * u**2 * sigma_j**2)        # |phi_J| envelope
+    re = lamT * (env * jnp.cos(u * mu_j) - 1.0)
+    im = lamT * (env * jnp.sin(u * mu_j) - u * kbar)
+    return jnp.exp(re) * jax.lax.complex(jnp.cos(im), jnp.sin(im))
 
-    call = Kf * jnp.exp(-r * Tf) * jnp.sum(weights[None, :] * Fk * Uk, axis=-1)
-    call = jnp.maximum(call, 0.0)
-    cp_f = jnp.broadcast_to(jnp.asarray(cp, dtype), shape).reshape(-1)
-    # parity: P = C - S0 e^{-qT} + K e^{-rT}
-    put = call - S0 * jnp.exp(-q * Tf) + Kf * jnp.exp(-r * Tf)
-    price = jnp.where(cp_f > 0, call, jnp.maximum(put, 0.0))
-    return price.reshape(shape)
+
+@partial(jax.jit, static_argnames=("n_terms", "dtype"))
+def bates_cos_price(S0, K, T, r, params, cp=1.0, n_terms: int = 256,
+                    L: float = 12.0, q=0.0, dtype=jnp.float32):
+    """European price(s) under Bates (Heston + lognormal jumps) via COS.
+
+    The char-fn factorizes (jumps independent of the diffusion):
+    phi_bates = phi_heston * exp(lam T (phi_J - 1) - i u lam kbar T), and the
+    cumulants add: c1 += lam T (mu_j - kbar), c2 += lam T (mu_j^2 + sigma_j^2).
+    Same dtype/noise-floor semantics as heston_cos_price. Serves as the MC
+    oracle AND the control-variate closed form for model='bates'
+    (pricers/american._cv_adjustment)."""
+    from options_model_tpu.core.config import BatesParams
+
+    assert isinstance(params, BatesParams)
+    hp = params.heston
+    lam, mu_j, sigma_j = params.lam, params.mu_j, params.sigma_j
+
+    def charfn_fn(om, Tf, cd):
+        rdtype = jnp.real(jnp.zeros((), cd)).dtype
+        return (heston_charfn(om, Tf, r, hp, dtype=cd, q=q)
+                * _jump_cf_factor(om, Tf, lam, mu_j, sigma_j, rdtype))
+
+    def cumulant_fn(Tf):
+        c1, c2 = _heston_cumulants(Tf, r, hp, q)
+        d = c1.dtype
+        lamT = jnp.asarray(lam, d) * Tf
+        mj = jnp.asarray(mu_j, d)
+        sj = jnp.asarray(sigma_j, d)
+        kbar = jnp.exp(mj + 0.5 * sj**2) - 1.0
+        return c1 + lamT * (mj - kbar), c2 + lamT * (mj**2 + sj**2)
+
+    return _cos_price_core(S0, K, T, r, q, cp, n_terms, L, dtype,
+                           charfn_fn, cumulant_fn)

@@ -9,6 +9,7 @@ functions over JAX pytrees.
 from options_model_tpu.core.config import (
     HestonParams,
     MertonParams,
+    BatesParams,
     LSMConfig,
     MCConfig,
     OptionSpec,
@@ -36,6 +37,7 @@ from options_model_tpu.core.timegrid import (
 __all__ = [
     "HestonParams",
     "MertonParams",
+    "BatesParams",
     "LSMConfig",
     "MCConfig",
     "OptionSpec",

@@ -156,6 +156,41 @@ class MertonParams:
 
 
 @struct.dataclass
+class BatesParams:
+    """Bates (1996) stochastic-volatility jump-diffusion (beyond-reference).
+
+    Heston variance dynamics plus a compound-Poisson lognormal jump in the
+    spot, independent of both Brownian drivers:
+
+        dS/S = (r - q - lam*kbar) dt + sqrt(v) dW1 + (J - 1) dN
+        dv   = kappa (theta - v) dt + xi sqrt(v) dW2
+
+    The jump component is INDEPENDENT of (W1, W2, v), so the simulated Bates
+    path is exactly (Heston path with the extra -lam*kbar drift) x exp(the
+    compensated compound-jump process) — the jump overlay composes with any
+    Heston discretization (Euler, QE-M, the fused Pallas kernels) without
+    touching it (models/bates.py).
+    """
+
+    heston: HestonParams
+    lam: float      # jump intensity (expected jumps / year)
+    mu_j: float     # mean log-jump size
+    sigma_j: float  # log-jump-size volatility
+
+    def validate(self) -> "BatesParams":
+        self.heston.validate()
+        if self.lam < 0:
+            raise ValueError(f"lam={self.lam} must be non-negative")
+        if self.sigma_j < 0:
+            raise ValueError(f"sigma_j={self.sigma_j} must be non-negative")
+        return self
+
+    def kbar(self) -> float:
+        import math
+        return math.exp(self.mu_j + 0.5 * self.sigma_j**2) - 1.0
+
+
+@struct.dataclass
 class MCConfig:
     """Monte-Carlo workload shape.
 

@@ -96,7 +96,10 @@ def merton_price(S0, K, T, r, params: MertonParams, cp=1.0, q=0.0,
     form inside jitted pricers (pricers/american._cv_adjustment).
     """
     from jax.scipy.special import gammaln
-    from jax.scipy.stats import norm as jnorm
+
+    # blackscholes.ndtr, not jax.scipy's: the latter breaks float64 under
+    # explicit-x64 mode (f32 internal constant) and cancels in the left tail.
+    from options_model_tpu.pricers.blackscholes import ndtr
 
     S0 = jnp.asarray(S0, dtype)
     T = jnp.asarray(T, dtype)
@@ -117,5 +120,5 @@ def merton_price(S0, K, T, r, params: MertonParams, cp=1.0, q=0.0,
     sq = sig_n * jnp.sqrt(T)
     d1 = (jnp.log(F / K) + 0.5 * sig_n**2 * T) / sq
     d2 = d1 - sq
-    black = cp * (F * jnorm.cdf(cp * d1) - K * jnorm.cdf(cp * d2))
+    black = cp * (F * ndtr(cp * d1) - K * ndtr(cp * d2))
     return jnp.exp(-r * T) * jnp.sum(w * black)

@@ -54,7 +54,7 @@ from options_model_tpu.models.localvol import simulate_local_vol
 
 def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
                    rate=0.0, heston: Optional[HestonParams] = None,
-                   merton=None, sigma_fn=None,
+                   merton=None, bates=None, sigma_fn=None,
                    first_block=0, engine: str = "auto",
                    heston_scheme: str = "euler",
                    localvol_table=None, div_yield=0.0,
@@ -77,12 +77,12 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
     """
     from options_model_tpu.ops.engine import resolve_engine, seed_from_key
 
-    if model == "heston" and heston_scheme not in ("euler", "qe"):
+    if model in ("heston", "bates") and heston_scheme not in ("euler", "qe"):
         raise ValueError(f"heston_scheme must be 'euler' or 'qe', got "
                          f"{heston_scheme!r}")
-    if return_variance and model != "heston":
-        raise ValueError("return_variance is a Heston feature (the other "
-                         "dynamics carry no variance state)")
+    if return_variance and model not in ("heston", "bates"):
+        raise ValueError("return_variance is a Heston/Bates feature (the "
+                         "other dynamics carry no variance state)")
     rate = rate - div_yield  # risk-neutral growth under a dividend yield
     if model == "localvol" and localvol_table is not None:
         eng = resolve_engine(engine)
@@ -97,19 +97,40 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
         if sigma_fn is None:
             from options_model_tpu.surface.cheb import table_sigma_fn
             sigma_fn = table_sigma_fn(localvol_table, T)
-    eng = resolve_engine(engine) if model in ("gbm", "heston") else "xla"
+    eng = resolve_engine(engine) if model in ("gbm", "heston", "bates") else "xla"
     if eng == "pallas":
         from options_model_tpu.models.blocks import paths_rounded
         from options_model_tpu.ops.pallas_gbm import gbm_paths_pallas
         from options_model_tpu.ops.pallas_heston import (
             heston_paths_pallas, heston_paths_qe_pallas)
 
+        n_paths = paths_rounded(cfg)
+        if model == "bates":
+            # Fused Heston kernel x independent jump overlay (models/bates.py:
+            # the compound-Poisson component is independent of both Brownian
+            # drivers, so it composes with the kernel without touching it).
+            if bates is None:
+                raise ValueError("bates params required for model='bates'")
+            from options_model_tpu.models.bates import (
+                jump_overlay, split_bates_keys)
+            kh, kj = split_bates_keys(key)
+            seed = seed_from_key(jax.random.fold_in(kh, first_block))
+            kern = (heston_paths_qe_pallas if heston_scheme == "qe"
+                    else heston_paths_pallas)
+            out = kern(seed, S0, rate, T, bates.heston, n_paths, cfg.n_steps,
+                       cfg.antithetic, return_variance=return_variance)
+            fac = jump_overlay(kj, T, bates.lam, bates.mu_j, bates.sigma_j,
+                               cfg.replace(n_paths=n_paths),
+                               return_paths=True, first_block=first_block)
+            if return_variance:
+                S, v = out
+                return S * fac, v
+            return out * fac
         # Pallas tiles are numbered from 0 per call; folding first_block into
         # the seed keeps chunked calls on disjoint streams (they are NOT the
         # same stream a global-index XLA run would produce — see european.py
         # chunking notes).
         seed = seed_from_key(jax.random.fold_in(key, first_block))
-        n_paths = paths_rounded(cfg)
         if model == "gbm":
             return gbm_paths_pallas(seed, S0, rate, sigma, T, n_paths,
                                     cfg.n_steps, cfg.antithetic)
@@ -136,12 +157,19 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
         from options_model_tpu.models.merton import simulate_merton
         return simulate_merton(key, S0, rate, T, merton, cfg,
                                return_paths=True, first_block=first_block)
+    if model == "bates":
+        if bates is None:
+            raise ValueError("bates params required for model='bates'")
+        from options_model_tpu.models.bates import simulate_bates
+        return simulate_bates(key, S0, rate, T, bates, cfg, return_paths=True,
+                              return_variance=return_variance,
+                              first_block=first_block, scheme=heston_scheme)
     raise ValueError(f"unknown model {model!r}")
 
 
 def _cv_adjustment(S_paths, spec: OptionSpec, T,
                    heston: Optional[HestonParams] = None,
-                   model: str = "gbm", merton=None):
+                   model: str = "gbm", merton=None, bates=None):
     """Per-path beta=1 control-variate adjustment (the European closed form
     minus the discounted terminal payoff of the SAME path) — shared by the CV
     pricer and the Richardson extrapolator.
@@ -167,6 +195,13 @@ def _cv_adjustment(S_paths, spec: OptionSpec, T,
         from options_model_tpu.models.merton import merton_price
         eu = merton_price(S_paths[0][0], spec.strike, T, spec.rate, merton,
                           cp=spec.cp, q=spec.div_yield, dtype=dtype)
+    elif model == "bates":
+        if bates is None:
+            raise ValueError("model='bates' control variate needs bates "
+                             "params for the COS leg")
+        from options_model_tpu.calibration.charfn import bates_cos_price
+        eu = bates_cos_price(S_paths[0][0], spec.strike, T, spec.rate, bates,
+                             cp=spec.cp, q=spec.div_yield)
     else:
         eu = bs_price(S_paths[0][0], spec.strike, T, spec.rate, spec.sigma,
                       spec.cp, q=spec.div_yield)
@@ -197,8 +232,8 @@ def _pair_block(mc: MCConfig, model: str, engine: str,
     the Pallas kernel (simulate_paths' dispatch rule)."""
     from options_model_tpu.ops.engine import resolve_engine
 
-    kernel_model = model in ("gbm", "heston") or (model == "localvol"
-                                                  and has_table)
+    kernel_model = (model in ("gbm", "heston", "bates")
+                    or (model == "localvol" and has_table))
     if kernel_model and resolve_engine(engine) == "pallas":
         import math
 
@@ -581,7 +616,7 @@ def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
 
 def richardson_nn_stat(key: jax.Array, S_paths, v_paths, spec: OptionSpec, T,
                        lsm: LSMConfig, *,
-                       heston: Optional[HestonParams] = None,
+                       heston: Optional[HestonParams] = None, bates=None,
                        model: str = "gbm",
                        pair_block: Optional[int] = None):
     """(per-path Richardson statistic, eval mask) for the NN-LSM — the nn
@@ -609,32 +644,45 @@ def richardson_nn_stat(key: jax.Array, S_paths, v_paths, spec: OptionSpec, T,
     else:
         train_mask, eval_mask = None, jnp.ones((n_paths,), dtype)
     immediate, cont, terminal, ts = _nn_continuation(
-        key, S_paths, spec, T, lsm, v_paths, train_mask, heston=heston)
+        key, S_paths, spec, T, lsm, v_paths, train_mask,
+        heston=_vol_params(heston, bates))
     cash_f = _nn_stopped_cash(immediate, cont, terminal, ts, spec, T, n_steps)
     cash_c = _nn_stopped_cash(immediate, cont, terminal, ts, spec, T, n_steps,
                               exercise_stride=2)
     stat = 2.0 * cash_f - cash_c
     cv_leg = ((spec.sigma is not None and model == "gbm")
-              or (model == "heston" and heston is not None))
+              or (model == "heston" and heston is not None)
+              or (model == "bates" and bates is not None))
     if lsm.use_control_variate and cv_leg:
         stat = _apply_cv(stat, _cv_adjustment(S_paths, spec, T,
-                                              heston=heston, model=model),
+                                              heston=heston, model=model,
+                                              bates=bates),
                          lsm.cv_beta, eval_mask, None, pair_block)
     return stat, eval_mask
+
+
+def _vol_params(heston, bates):
+    """The HestonParams governing the variance state: bates carries them
+    nested (the NN-LSM's residual baseline uses the diffusion-only effective
+    vol — the jump part of the European proxy is absorbed by the floored
+    residual fit, like every other baseline approximation there)."""
+    if heston is not None:
+        return heston
+    return bates.heston if bates is not None else None
 
 
 def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                        lsm: LSMConfig, model: str = "gbm", *,
                        heston: Optional[HestonParams] = None, merton=None,
-                       sigma_fn=None,
+                       bates=None, sigma_fn=None,
                        axis_name: Optional[str] = None,
                        return_paths_stats: bool = False, engine: str = "auto"):
     """Simulate + LSM backward induction. Returns (price, stderr[, S_paths])."""
     sim_key, fit_key = jax.random.split(key)
-    want_v = model == "heston" and lsm.variance_basis
+    want_v = model in ("heston", "bates") and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         sigma_fn=sigma_fn,
+                         bates=bates, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
@@ -651,7 +699,8 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                                         stat_pair_block=pb if mc.antithetic else None,
                                         v_paths=v_paths,
                                         out_of_sample=lsm.out_of_sample,
-                                        pair_block=pb, heston=heston)
+                                        pair_block=pb,
+                                        heston=_vol_params(heston, bates))
     if return_paths_stats:
         return price, stderr, S_paths
     return price, stderr
@@ -660,7 +709,7 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
 def price_american_with_control_variate(
         key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig, lsm: LSMConfig,
         model: str = "gbm", *, heston: Optional[HestonParams] = None,
-        merton=None,
+        merton=None, bates=None,
         sigma_fn=None, axis_name: Optional[str] = None, engine: str = "auto"):
     """American price with the European control variate (beta = 1):
 
@@ -678,18 +727,19 @@ def price_american_with_control_variate(
     """
     analytic = ((model == "gbm" and spec.sigma is not None)
                 or (model == "heston" and heston is not None)
-                or (model == "merton" and merton is not None))
+                or (model == "merton" and merton is not None)
+                or (model == "bates" and bates is not None))
     if not analytic:
         # No closed-form European leg: fall back to the plain price.
         return price_american_lsm(key, S0, T, spec, mc, lsm, model,
-                                  heston=heston, merton=merton,
+                                  heston=heston, merton=merton, bates=bates,
                                   sigma_fn=sigma_fn,
                                   axis_name=axis_name, engine=engine)
     sim_key, fit_key = jax.random.split(key)
-    want_v = model == "heston" and lsm.variance_basis
+    want_v = model in ("heston", "bates") and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         sigma_fn=sigma_fn,
+                         bates=bates, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
@@ -703,13 +753,14 @@ def price_american_with_control_variate(
         price, _, (cash, eval_mask) = lsm_nn_backward(
             fit_key, S_paths, spec, T, lsm, v_paths=v_paths,
             out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True,
-            heston=heston)
+            heston=_vol_params(heston, bates))
     # Per-path CV statistic cv_i = cash_i + beta*(EU - pay_i): the reported
     # stderr then describes the RETURNED estimator (the raw LSM stderr
     # overstates it by the variance the control variate removes).
     stat_pb = pb if mc.antithetic else None
     cv = _apply_cv(cash, _cv_adjustment(S_paths, spec, T, heston=heston,
-                                        model=model, merton=merton),
+                                        model=model, merton=merton,
+                                        bates=bates),
                    lsm.cv_beta, eval_mask, axis_name, stat_pb)
     return masked_mean_stderr(cv, eval_mask, axis_name, stat_pb)[:2]
 
@@ -717,7 +768,7 @@ def price_american_with_control_variate(
 def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                    lsm: LSMConfig, model: str = "gbm", *,
                    heston: Optional[HestonParams] = None, merton=None,
-                   sigma_fn=None,
+                   bates=None, sigma_fn=None,
                    axis_name: Optional[str] = None, engine: str = "auto"):
     """Dispatcher mirroring price_american_option
     (options_model_3/options_model_3.py:679-695): European approximation when
@@ -729,7 +780,7 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         # to the Pallas sampler (different RNG stream than requested).
         sampler = make_terminal_sampler(model, S0, spec.rate, T, sigma=spec.sigma,
                                         heston=heston, merton=merton,
-                                        sigma_fn=sigma_fn,
+                                        bates=bates, sigma_fn=sigma_fn,
                                         engine=engine,
                                         div_yield=spec.div_yield)
         price, stderr, _ = price_european_mc(key, sampler, spec, T, mc)
@@ -737,18 +788,19 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     if lsm.richardson:
         return price_american_richardson(key, S0, T, spec, mc, lsm, model,
                                          heston=heston, merton=merton,
-                                         sigma_fn=sigma_fn,
+                                         bates=bates, sigma_fn=sigma_fn,
                                          engine=engine)
     cv_leg = ((spec.sigma is not None and model == "gbm")
               or (model == "heston" and heston is not None)
-              or (model == "merton" and merton is not None))
+              or (model == "merton" and merton is not None)
+              or (model == "bates" and bates is not None))
     if lsm.use_control_variate and cv_leg:
         return price_american_with_control_variate(
             key, S0, T, spec, mc, lsm, model, heston=heston, merton=merton,
-            sigma_fn=sigma_fn,
+            bates=bates, sigma_fn=sigma_fn,
             axis_name=axis_name, engine=engine)
     return price_american_lsm(key, S0, T, spec, mc, lsm, model, heston=heston,
-                              merton=merton,
+                              merton=merton, bates=bates,
                               sigma_fn=sigma_fn, axis_name=axis_name,
                               engine=engine)
 
@@ -757,7 +809,7 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
                               mc: MCConfig, lsm: LSMConfig,
                               model: str = "gbm", *,
                               heston: Optional[HestonParams] = None,
-                              merton=None,
+                              merton=None, bates=None,
                               sigma_fn=None, engine: str = "auto"):
     """(price, stderr, cashflow_stats) — the reference's verbose pricing
     report (mean/std/min/max/P(worthless) of the per-path discounted
@@ -765,10 +817,10 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
     from options_model_tpu.core.stats import cashflow_statistics
 
     sim_key, fit_key = jax.random.split(key)
-    want_v = model == "heston" and lsm.variance_basis
+    want_v = model in ("heston", "bates") and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         sigma_fn=sigma_fn,
+                         bates=bates, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
@@ -784,7 +836,7 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
             fit_key, S_paths, spec, T, lsm,
             stat_pair_block=pb if mc.antithetic else None, v_paths=v_paths,
             out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True,
-            heston=heston)
+            heston=_vol_params(heston, bates))
     stats = {k: float(v)
              for k, v in cashflow_statistics(cash, eval_mask).items()}
     return price, stderr, stats
@@ -793,7 +845,7 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
 def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
                               mc: MCConfig, lsm: LSMConfig, model: str = "gbm",
                               *, heston: Optional[HestonParams] = None,
-                              merton=None,
+                              merton=None, bates=None,
                               sigma_fn=None, engine: str = "auto"):
     """Richardson-extrapolated continuous-exercise American price.
 
@@ -813,21 +865,22 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
     """
     sim_key, fit_key = jax.random.split(key)
     pb = _pair_block(mc, model, engine)
-    want_v = model == "heston" and lsm.variance_basis
+    want_v = model in ("heston", "bates") and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         sigma_fn=sigma_fn,
+                         bates=bates, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
     if lsm.regressor == "poly":
         stat, mask = richardson_cv_stat(S_paths, v_paths, spec, T, lsm,
                                         heston=heston, merton=merton,
-                                        model=model,
+                                        bates=bates, model=model,
                                         pair_block=pb)
     else:
         stat, mask = richardson_nn_stat(fit_key, S_paths, v_paths, spec, T,
-                                        lsm, heston=heston, model=model,
+                                        lsm, heston=heston, bates=bates,
+                                        model=model,
                                         pair_block=pb)
     price, stderr, _ = masked_mean_stderr(stat, mask, None,
                                           pb if mc.antithetic else None)
@@ -836,6 +889,7 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
 
 def richardson_cv_stat(S_paths, v_paths, spec: OptionSpec, T, lsm: LSMConfig,
                        *, heston: Optional[HestonParams] = None, merton=None,
+                       bates=None,
                        model: str = "gbm", pair_block: Optional[int] = None,
                        axis_name: Optional[str] = None):
     """(per-path Richardson statistic, eval mask) on given paths — the single
@@ -852,10 +906,11 @@ def richardson_cv_stat(S_paths, v_paths, spec: OptionSpec, T, lsm: LSMConfig,
     stat = 2.0 * cash_f - cash_c
     cv_leg = ((spec.sigma is not None and model == "gbm")
               or (model == "heston" and heston is not None)
-              or (model == "merton" and merton is not None))
+              or (model == "merton" and merton is not None)
+              or (model == "bates" and bates is not None))
     if lsm.use_control_variate and cv_leg:
         stat = _apply_cv(stat, _cv_adjustment(S_paths, spec, T,
                                               heston=heston, model=model,
-                                              merton=merton),
+                                              merton=merton, bates=bates),
                          lsm.cv_beta, mask, axis_name, pair_block)
     return stat, mask

@@ -36,7 +36,7 @@ TerminalSampler = Callable[[jax.Array, jnp.ndarray, MCConfig], jnp.ndarray]
 
 def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
                           heston: Optional[HestonParams] = None,
-                          merton=None,
+                          merton=None, bates=None,
                           sigma_fn=None, engine: str = "auto",
                           heston_scheme: str = "euler",
                           localvol_table=None, div_yield=0.0) -> TerminalSampler:
@@ -53,7 +53,29 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
     """
     from options_model_tpu.ops.engine import resolve_engine, seed_from_key
     r = r - div_yield  # simulators are q-agnostic: their r IS the drift
-    eng = resolve_engine(engine) if model in ("gbm", "heston") else "xla"
+    eng = resolve_engine(engine) if model in ("gbm", "heston", "bates") else "xla"
+    if model == "bates":
+        # Fused Heston terminal kernel (or the XLA scan) x the independent
+        # terminal jump factor (models/bates.py) — the overlay's full-width
+        # i.i.d. draws keep pair means valid at EITHER engine's pair_block.
+        if bates is None:
+            raise ValueError("bates params required for model='bates'")
+        from options_model_tpu.models.bates import jump_overlay, split_bates_keys
+        base = make_terminal_sampler("heston", S0, r + div_yield, T,
+                                     heston=bates.heston, engine=engine,
+                                     heston_scheme=heston_scheme,
+                                     div_yield=div_yield)
+
+        def fn(key, fb, c):
+            kh, kj = split_bates_keys(key)
+            from options_model_tpu.models.blocks import paths_rounded
+            fac = jump_overlay(kj, T, bates.lam, bates.mu_j, bates.sigma_j,
+                               c.replace(n_paths=paths_rounded(c)),
+                               return_paths=False, first_block=fb)
+            return base(kh, fb, c) * fac
+
+        fn.pair_block = base.pair_block
+        return fn
     if model == "localvol" and localvol_table is not None:
         eng = resolve_engine(engine)
         if eng == "pallas":
