@@ -17,11 +17,15 @@ from options_model_tpu.calibration.charfn import (
 from options_model_tpu.calibration.calibrator import (
     HestonCalibrator,
     MarketSurface,
+    calibrate_bates_to_data,
     calibrate_heston_to_data,
     calibrate_heston_to_ticker,
     detect_regime,
 )
-from options_model_tpu.calibration.synthetic import create_synthetic_heston_surface
+from options_model_tpu.calibration.synthetic import (
+    create_synthetic_bates_surface,
+    create_synthetic_heston_surface,
+)
 
 __all__ = [
     "bates_cos_price",
@@ -29,8 +33,10 @@ __all__ = [
     "heston_cos_price",
     "HestonCalibrator",
     "MarketSurface",
+    "calibrate_bates_to_data",
     "calibrate_heston_to_data",
     "calibrate_heston_to_ticker",
     "detect_regime",
+    "create_synthetic_bates_surface",
     "create_synthetic_heston_surface",
 ]

@@ -31,8 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.optimize import differential_evolution, dual_annealing, minimize
 
-from options_model_tpu.core.config import CalibrationConfig, HestonParams
-from options_model_tpu.calibration.charfn import heston_cos_price
+from options_model_tpu.core.config import (BatesParams, CalibrationConfig,
+                                           HestonParams)
+from options_model_tpu.calibration.charfn import bates_cos_price, heston_cos_price
 from options_model_tpu.pricers.blackscholes import bs_vega, implied_vol
 from options_model_tpu.utils.logging import get_logger
 
@@ -101,15 +102,26 @@ def _initial_guess(regime: str, avg_iv: float) -> np.ndarray:
     return np.array([4.0, theta0, 0.5, -0.4, theta0])
 
 
-@partial(jax.jit, static_argnames=("n_terms", "use_vega_weighting", "dtype"))
+# (lam, mu_j, sigma_j) bounds and guess for the Bates extension (beyond
+# reference — it has no jump calibration). The jump triple is identified by
+# the SHORT-maturity smile (diffusion smiles flatten like sqrt(T) as T -> 0;
+# jump smiles don't), so Bates surfaces should include sub-3-month expiries.
+_JUMP_BOUNDS = [(0.0, 3.0), (-0.5, 0.3), (0.01, 0.6)]
+_JUMP_GUESS = np.array([0.3, -0.05, 0.15])
+
+
+@partial(jax.jit, static_argnames=("n_terms", "use_vega_weighting", "dtype",
+                                   "model"))
 def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
                     n_terms: int = 128, use_vega_weighting: bool = True,
                     min_weight: float = 0.01, cos_L: float = 12.0,
-                    div_yield: float = 0.0, dtype=jnp.float32):
+                    div_yield: float = 0.0, dtype=jnp.float32,
+                    model: str = "heston"):
     """Vega-weighted RMSE of model-vs-market implied vols + Feller penalty.
 
-    x = (kappa, theta, xi, rho, v0) as a traced array — params are rebuilt
-    inside so jax.grad differentiates straight through.
+    x = (kappa, theta, xi, rho, v0[, lam, mu_j, sigma_j] for model='bates')
+    as a traced array — params are rebuilt inside so jax.grad differentiates
+    straight through.
 
     ``dtype``: working precision of the COS -> IV chain. float64 puts the
     objective's noise floor below 1e-7 on EVERY backend (see the root-cause
@@ -123,10 +135,16 @@ def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
     S0 = jnp.asarray(S0, dtype)
     rate = jnp.asarray(rate, dtype)
     div_yield = jnp.asarray(div_yield, dtype)
-    params = HestonParams(kappa=x[0], theta=x[1], xi=x[2], rho=x[3], v0=x[4])
-    prices = heston_cos_price(S0, strikes, expiries, rate, params, cp=1.0,
-                              n_terms=n_terms, L=cos_L, q=div_yield,
-                              dtype=dtype)
+    hp = HestonParams(kappa=x[0], theta=x[1], xi=x[2], rho=x[3], v0=x[4])
+    if model == "bates":
+        params = BatesParams(heston=hp, lam=x[5], mu_j=x[6], sigma_j=x[7])
+        prices = bates_cos_price(S0, strikes, expiries, rate, params, cp=1.0,
+                                 n_terms=n_terms, L=cos_L, q=div_yield,
+                                 dtype=dtype)
+    else:
+        prices = heston_cos_price(S0, strikes, expiries, rate, hp, cp=1.0,
+                                  n_terms=n_terms, L=cos_L, q=div_yield,
+                                  dtype=dtype)
     # Floor keeps the IV solve well-posed for deep-OTM points.
     intrinsic = jnp.maximum(S0 * jnp.exp(-div_yield * expiries)
                             - strikes * jnp.exp(-rate * expiries), 0.0)
@@ -207,17 +225,30 @@ def _try_enable_explicit_x64() -> bool:
 
 
 class HestonCalibrator:
-    """Optimizer cascade around the differentiable COS objective."""
+    """Optimizer cascade around the differentiable COS objective.
 
-    def __init__(self, config: Optional[CalibrationConfig] = None):
+    ``model='bates'`` extends the parameter vector with the lognormal jump
+    triple (lam, mu_j, sigma_j) and swaps the COS pricer — everything else
+    (f64-on-CPU objective, exact gradients, kappa multi-start, cascade,
+    history, diagnostics) is shared. Beyond-reference: the reference
+    calibrates Heston only."""
+
+    def __init__(self, config: Optional[CalibrationConfig] = None,
+                 model: str = "heston"):
+        if model not in ("heston", "bates"):
+            raise ValueError(f"model must be 'heston' or 'bates', got {model!r}")
         self.config = (config or CalibrationConfig()).validate()
+        self.model = model
         self.best_params: Optional[HestonParams] = None
         self.best_error: float = np.inf
         self.calibration_history: List[Dict[str, Any]] = []
 
     def _make_objective(self, surface: MarketSurface):
         cfg = self.config
-        bounds = _REGIME_BOUNDS[surface.regime if cfg.regime_detection else "normal_vol"]
+        bounds = list(_REGIME_BOUNDS[surface.regime if cfg.regime_detection
+                                     else "normal_vol"])
+        if self.model == "bates":
+            bounds = bounds + _JUMP_BOUNDS
         lo = np.array([b[0] for b in bounds])
         hi = np.array([b[1] for b in bounds])
 
@@ -265,8 +296,10 @@ class HestonCalibrator:
             candidates.append((jnp.float32, cpu_dev))
         candidates.append((jnp.float32, None))
 
-        x0 = np.clip(_initial_guess(surface.regime, float(surface.ivs.mean())),
-                     lo, hi)
+        x0 = _initial_guess(surface.regime, float(surface.ivs.mean()))
+        if self.model == "bates":
+            x0 = np.concatenate([x0, _JUMP_GUESS])
+        x0 = np.clip(x0, lo, hi)
         val_and_grad = None
         for dtype, dev in candidates:
             # The f64 surface arrays must be created INSIDE the scope too —
@@ -284,7 +317,8 @@ class HestonCalibrator:
                     use_vega_weighting=cfg.use_vega_weighting,
                     min_weight=cfg.min_vega_weight,
                     cos_L=cfg.cos_L,
-                    div_yield=surface.div_yield, dtype=dtype)))
+                    div_yield=surface.div_yield, dtype=dtype,
+                    model=self.model)))
 
             def _eval(x, vg=vg, dtype=dtype, dev=dev):
                 # f64 candidates need explicit-x64 mode live for every
@@ -352,9 +386,11 @@ class HestonCalibrator:
         cfg = self.config
         K = jnp.asarray(surface.strikes, jnp.float32)
         T = jnp.asarray(surface.expiries, jnp.float32)
-        prices = heston_cos_price(surface.S0, K, T, surface.rate, p, cp=1.0,
-                                  n_terms=cfg.cos_n, L=cfg.cos_L,
-                                  q=surface.div_yield)
+        pricer = (bates_cos_price if isinstance(p, BatesParams)
+                  else heston_cos_price)
+        prices = pricer(surface.S0, K, T, surface.rate, p, cp=1.0,
+                        n_terms=cfg.cos_n, L=cfg.cos_L,
+                        q=surface.div_yield)
         intrinsic = jnp.maximum(
             surface.S0 * jnp.exp(-surface.div_yield * T)
             - K * jnp.exp(-surface.rate * T), 0.0)
@@ -384,6 +420,8 @@ class HestonCalibrator:
         cfg = self.config
         f, f_and_g, bounds = self._make_objective(surface)
         x0 = _initial_guess(surface.regime, float(surface.ivs.mean()))
+        if self.model == "bates":
+            x0 = np.concatenate([x0, _JUMP_GUESS])
         if cfg.verbose:
             print(f"Calibrating to {len(surface)} points, regime={surface.regime}, "
                   f"avg IV={surface.ivs.mean():.4f}")
@@ -404,14 +442,35 @@ class HestonCalibrator:
                     lo_k, hi_k = bounds[0]
                     kappas = {float(np.clip(k, lo_k, hi_k))
                               for k in (x0[0], 1.0, 2.0, 6.0)}
-                    for k0 in sorted(kappas):
+                    if self.model == "bates":
+                        # lam is the second weakly-started direction: from a
+                        # bad intensity guess the solver parks in a
+                        # jump/diffusion trade-off valley (observed: RMSE
+                        # 4e-3 from lam0=1.0 where lam0=0.1 reaches 2e-9).
+                        lo_l, hi_l = bounds[5]
+                        lams = sorted({float(np.clip(l, lo_l, hi_l))
+                                       for l in (0.1, x0[5], 1.0)})
+                    else:
+                        lams = [None]
+                    starts = [(k0, l0) for k0 in sorted(kappas)
+                              for l0 in lams]
+                    for k0, l0 in starts:
                         xs = np.array(x0)
                         xs[0] = k0
+                        if l0 is not None:
+                            xs[5] = l0
+                        # ftol/gtol pinned to the f64 objective's floor, NOT
+                        # cfg.tolerance: with exact f64 gradients the solver
+                        # keeps making real progress far below 1e-8 (the
+                        # 8-param Bates fit stalls at RMSE ~1e-3 under
+                        # ftol=gtol=1e-8 but reaches ~2e-9 under these).
+                        # cfg.tolerance still governs the global fallbacks
+                        # and the cascade acceptance thresholds.
                         res = minimize(f_and_g, xs, jac=True,
                                        method="L-BFGS-B", bounds=bounds,
                                        options={"maxiter": cfg.max_iterations,
-                                                "ftol": cfg.tolerance,
-                                                "gtol": cfg.tolerance})
+                                                "ftol": 1e-14,
+                                                "gtol": 1e-12})
                         if res.fun < fun:
                             ok, x, fun = res.success, res.x, res.fun
                         if fun < 1e-7:  # already at the f64 floor
@@ -453,15 +512,20 @@ class HestonCalibrator:
             elif cfg.verbose:
                 print(f"  {method}: failed or worse ({fun:.6f})")
 
+        param_cls = BatesParams if self.model == "bates" else HestonParams
         try:
-            self.best_params = HestonParams.from_array(best_x).validate()
+            self.best_params = param_cls.from_array(best_x).validate()
             self.best_error = float(best_fun)
         except ValueError as e:
             if cfg.verbose:
                 print(f"Final parameter validation failed: {e}; using defaults")
             avg_iv = float(surface.ivs.mean())
-            self.best_params = HestonParams(kappa=2.0, theta=avg_iv**2, xi=0.3,
-                                            rho=-0.5, v0=avg_iv**2)
+            fallback = HestonParams(kappa=2.0, theta=avg_iv**2, xi=0.3,
+                                    rho=-0.5, v0=avg_iv**2)
+            if self.model == "bates":
+                fallback = BatesParams(heston=fallback, lam=0.0, mu_j=0.0,
+                                       sigma_j=0.1)
+            self.best_params = fallback
             self.best_error = np.inf
 
         self.calibration_history.append({
@@ -484,9 +548,14 @@ class HestonCalibrator:
         if self.best_params is None:
             return {}
         p = self.best_params
+        hp = p.heston if isinstance(p, BatesParams) else p
+        params = {"kappa": hp.kappa, "theta": hp.theta, "xi": hp.xi,
+                  "rho": hp.rho, "v0": hp.v0}
+        if isinstance(p, BatesParams):
+            params.update({"lam": p.lam, "mu_j": p.mu_j,
+                           "sigma_j": p.sigma_j})
         return {
-            "parameters": {"kappa": p.kappa, "theta": p.theta, "xi": p.xi,
-                           "rho": p.rho, "v0": p.v0},
+            "parameters": params,
             "error": self.best_error,
             "feller_condition": p.feller_condition(),
             "n_calibrations": len(self.calibration_history),
@@ -502,6 +571,21 @@ def calibrate_heston_to_data(strikes, expiries, ivs, S0, rate=0.05,
     surface = MarketSurface(strikes=strikes, expiries=expiries, ivs=ivs,
                             S0=S0, rate=rate, div_yield=div_yield)
     calibrator = HestonCalibrator(config)
+    params = calibrator.calibrate(surface, diagnostics_dir=diagnostics_dir)
+    return params, calibrator.get_calibration_summary()
+
+
+def calibrate_bates_to_data(strikes, expiries, ivs, S0, rate=0.05,
+                            config: Optional[CalibrationConfig] = None,
+                            diagnostics_dir: Optional[str] = None,
+                            div_yield: float = 0.0
+                            ) -> Tuple[BatesParams, Dict[str, Any]]:
+    """Joint Heston + lognormal-jump calibration (beyond-reference). The jump
+    triple is identified by short-dated smiles — include sub-3-month expiries
+    (see _JUMP_BOUNDS note)."""
+    surface = MarketSurface(strikes=strikes, expiries=expiries, ivs=ivs,
+                            S0=S0, rate=rate, div_yield=div_yield)
+    calibrator = HestonCalibrator(config, model="bates")
     params = calibrator.calibrate(surface, diagnostics_dir=diagnostics_dir)
     return params, calibrator.get_calibration_summary()
 

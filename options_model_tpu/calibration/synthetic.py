@@ -14,8 +14,8 @@ import numpy as np
 
 from contextlib import nullcontext as _nullcontext
 
-from options_model_tpu.core.config import HestonParams
-from options_model_tpu.calibration.charfn import heston_cos_price
+from options_model_tpu.core.config import BatesParams, HestonParams
+from options_model_tpu.calibration.charfn import bates_cos_price, heston_cos_price
 from options_model_tpu.pricers.blackscholes import implied_vol
 from options_model_tpu.utils.logging import get_logger
 
@@ -72,12 +72,14 @@ def create_synthetic_heston_surface(
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         cpu = None
+    pricer = (bates_cos_price if isinstance(params, BatesParams)
+              else heston_cos_price)
     ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
     x64ctx = _explicit_x64_scope() if want_f64 else _nullcontext()
     with x64ctx, ctx:
-        prices = heston_cos_price(S0, jnp.asarray(K, jdt),
-                                  jnp.asarray(T, jdt), rate, params,
-                                  cp=1.0, dtype=jdt)
+        prices = pricer(S0, jnp.asarray(K, jdt),
+                        jnp.asarray(T, jdt), rate, params,
+                        cp=1.0, dtype=jdt)
         ivs = np.asarray(implied_vol(prices, S0, jnp.asarray(K, jdt),
                                      jnp.asarray(T, jdt), rate, cp=1.0),
                          np.float64)
@@ -88,3 +90,23 @@ def create_synthetic_heston_surface(
 
     ivs = np.clip(ivs, 0.011, 1.99)
     return K, T, ivs
+
+
+def create_synthetic_bates_surface(
+    params: BatesParams,
+    S0: float = 100.0,
+    rate: float = 0.05,
+    strikes: Optional[np.ndarray] = None,
+    expiries_days=(7, 30, 90, 180, 365),
+    noise_std: float = 0.0,
+    seed: int = 0,
+    dtype=np.float32,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bates oracle surface (same COS->IV chain; bates_cos_price). The default
+    expiry ladder reaches down to one WEEK: the jump triple is identified by
+    short-dated smiles (diffusion smiles flatten like sqrt(T) there; jump
+    smiles don't — see calibrator._JUMP_BOUNDS)."""
+    return create_synthetic_heston_surface(
+        params, S0=S0, rate=rate, strikes=strikes,
+        expiries_days=expiries_days, noise_std=noise_std, seed=seed,
+        dtype=dtype)

@@ -189,6 +189,25 @@ class BatesParams:
         import math
         return math.exp(self.mu_j + 0.5 * self.sigma_j**2) - 1.0
 
+    def feller_condition(self) -> bool:
+        return self.heston.feller_condition()
+
+    def to_array(self) -> jnp.ndarray:
+        """(kappa, theta, xi, rho, v0, lam, mu_j, sigma_j) — the calibration
+        parameter vector (calibration/calibrator.py's x layout)."""
+        return jnp.concatenate([self.heston.to_array(),
+                                jnp.array([self.lam, self.mu_j,
+                                           self.sigma_j])])
+
+    @classmethod
+    def from_array(cls, x) -> "BatesParams":
+        return cls(heston=HestonParams.from_array(x[:5]), lam=float(x[5]),
+                   mu_j=float(x[6]), sigma_j=float(x[7]))
+
+    def __str__(self) -> str:
+        return (f"BatesParams({self.heston}, lam={self.lam:.4f}, "
+                f"mu_j={self.mu_j:.4f}, sigma_j={self.sigma_j:.4f})")
+
 
 @struct.dataclass
 class MCConfig:

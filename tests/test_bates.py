@@ -206,3 +206,38 @@ class TestBatesAmerican:
         eu = float(bates_cos_price(S0, 100.0, T, 0.03, BP, cp=-1.0))
         assert float(p) > eu - 4 * float(se) - 0.05
         assert float(p) < eu * 1.3
+
+
+class TestBatesCalibration:
+    """Joint Heston+jump calibration round trip (beyond-reference; the
+    reference calibrates Heston only)."""
+
+    def test_invalid_model_rejected(self):
+        from options_model_tpu.calibration.calibrator import HestonCalibrator
+        with pytest.raises(ValueError, match="model"):
+            HestonCalibrator(model="svj2")
+
+    def test_round_trip_f64_recovers_all_eight_params(self):
+        from options_model_tpu.calibration import (
+            calibrate_bates_to_data, create_synthetic_bates_surface)
+        from options_model_tpu.calibration.calibrator import (
+            _try_enable_explicit_x64)
+        from options_model_tpu.core import CalibrationConfig
+        if not _try_enable_explicit_x64():
+            pytest.skip("explicit x64 unavailable")
+        true = BatesParams(
+            heston=HestonParams(kappa=2.5, theta=0.05, xi=0.45, rho=-0.6,
+                                v0=0.045),
+            lam=0.4, mu_j=-0.12, sigma_j=0.18)
+        K, T, iv = create_synthetic_bates_surface(
+            true, S0=100.0, rate=0.04, strikes=np.linspace(70, 130, 17),
+            dtype=np.float64)
+        cfg = CalibrationConfig(optimization_methods=("L-BFGS-B",))
+        params, summary = calibrate_bates_to_data(K, T, iv, 100.0, rate=0.04,
+                                                  config=cfg)
+        assert summary["error"] < 1e-6
+        got = np.asarray(params.to_array())
+        want = np.asarray(true.to_array())
+        np.testing.assert_allclose(got, want, rtol=0.01, atol=1e-3)
+        assert {"lam", "mu_j", "sigma_j"} <= set(summary["parameters"])
+        assert isinstance(params, BatesParams)
