@@ -26,6 +26,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                                             "gradient cascade)")
     p.add_argument("--ticker", type=str, default="AAPL",
                    help="Stock ticker to fetch the option chain for")
+    p.add_argument("--model", type=str, default="heston",
+                   choices=["heston", "bates"],
+                   help="bates adds the lognormal jump triple (lam, mu_j, "
+                        "sigma_j) to the fit — beyond-reference; include "
+                        "short-dated expiries, jumps are identified there")
     p.add_argument("--test", action="store_true",
                    help="Calibrate against the synthetic Heston oracle "
                         "(no network)")
@@ -54,46 +59,62 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 def run(args) -> dict:
     from options_model_tpu.calibration.calibrator import (
-        calibrate_heston_to_data)
+        calibrate_bates_to_data, calibrate_heston_to_data)
 
     cfg = CalibrationConfig(
         use_vega_weighting=not args.no_vega_weighting,
         max_iterations=args.max_iterations,
         optimization_methods=tuple(args.methods),
         seed=args.seed, verbose=args.verbose).validate()
+    calibrate_fn = (calibrate_bates_to_data if args.model == "bates"
+                    else calibrate_heston_to_data)
 
     if args.test:
         from options_model_tpu.calibration.synthetic import (
-            create_synthetic_heston_surface)
-        true = HestonParams(kappa=2.5, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
+            create_synthetic_bates_surface, create_synthetic_heston_surface)
+        hp = HestonParams(kappa=2.5, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
         S0 = 100.0
-        K, T, iv = create_synthetic_heston_surface(
-            true, S0=S0, rate=args.rate, noise_std=args.noise, seed=args.seed)
+        if args.model == "bates":
+            from options_model_tpu.core.config import BatesParams
+            true = BatesParams(heston=hp, lam=0.4, mu_j=-0.12, sigma_j=0.18)
+            K, T, iv = create_synthetic_bates_surface(
+                true, S0=S0, rate=args.rate, noise_std=args.noise,
+                seed=args.seed)
+        else:
+            true = hp
+            K, T, iv = create_synthetic_heston_surface(
+                true, S0=S0, rate=args.rate, noise_std=args.noise,
+                seed=args.seed)
         log.info(f"Synthetic calibration test: true {true}")
-        params, summary = calibrate_heston_to_data(
+        params, summary = calibrate_fn(
             K, T, iv, S0=S0, rate=args.rate, config=cfg,
             diagnostics_dir=args.diagnostics_dir,
             div_yield=args.div_yield)
         summary["true_params"] = true
-        summary["param_errors"] = {
-            "kappa": abs(params.kappa - true.kappa),
-            "theta": abs(params.theta - true.theta),
-            "xi": abs(params.xi - true.xi),
-            "rho": abs(params.rho - true.rho),
-            "v0": abs(params.v0 - true.v0),
-        }
+        import numpy as np
+        got, want = (np.asarray(params.to_array(), np.float64),
+                     np.asarray(true.to_array(), np.float64))
+        names = ["kappa", "theta", "xi", "rho", "v0", "lam", "mu_j",
+                 "sigma_j"][:len(got)]
+        summary["param_errors"] = {n: float(abs(g - w))
+                                   for n, g, w in zip(names, got, want)}
     else:
         from options_model_tpu.data.market import fetch_option_chain
         K, T, iv, S0 = fetch_option_chain(args.ticker)
         log.info(f"Calibrating to {len(K)} {args.ticker} options, "
                  f"S0={S0:.2f}")
-        params, summary = calibrate_heston_to_data(
+        params, summary = calibrate_fn(
             K, T, iv, S0=S0, rate=args.rate, config=cfg,
             diagnostics_dir=args.diagnostics_dir,
             div_yield=args.div_yield)
 
     summary["params"] = params
 
+    if args.price_surface and args.model == "bates":
+        raise SystemExit("--price-surface drives the shared-path Heston "
+                         "surface pricer; use --model heston (Bates American "
+                         "grids price per-option via pricers.american "
+                         "model='bates')")
     if args.price_surface:
         # Calibrate -> price: the fitted dynamics immediately drive the
         # headline American surface workload.

@@ -58,13 +58,19 @@ def _add_common(p, multi=False):
         p.add_argument("--spot", type=float, default=100.0)
         p.add_argument("--sigma", type=float, default=0.2)
         p.add_argument("--model", type=str, default="gbm",
-                       choices=["gbm", "heston", "merton"])
+                       choices=["gbm", "heston", "merton", "bates"])
         p.add_argument("--heston", type=float, nargs=5, default=None,
                        metavar=("KAPPA", "THETA", "XI", "RHO", "V0"))
         p.add_argument("--merton", type=float, nargs=4, default=None,
                        metavar=("SIGMA", "LAM", "MU_J", "SIGMA_J"),
                        help="Merton jump-diffusion parameters (default: "
                             "sigma=0.2 lam=1 mu_j=-0.1 sigma_j=0.15)")
+        p.add_argument("--bates", type=float, nargs=8, default=None,
+                       metavar=("KAPPA", "THETA", "XI", "RHO", "V0", "LAM",
+                                "MU_J", "SIGMA_J"),
+                       help="Bates SVJ parameters: Heston five + lognormal "
+                            "jump triple (default: default Heston + lam=0.3 "
+                            "mu_j=-0.1 sigma_j=0.15)")
 
 
 def parse_args(argv=None) -> argparse.Namespace:
@@ -142,7 +148,7 @@ def run(args: argparse.Namespace) -> dict:
     if args.contract in ("asian", "lookback", "barrier", "european"):
         spec = OptionSpec(strike=args.strike, rate=args.r, cp=cp,
                           sigma=args.sigma, div_yield=args.q)
-        heston = merton = None
+        heston = merton = bates = None
         if getattr(args, "model", "gbm") == "heston":
             hp = args.heston or _DEF_HESTON
             heston = HestonParams(kappa=hp[0], theta=hp[1], xi=hp[2],
@@ -152,11 +158,19 @@ def run(args: argparse.Namespace) -> dict:
             mp = args.merton or (0.2, 1.0, -0.1, 0.15)
             merton = MertonParams(sigma=mp[0], lam=mp[1], mu_j=mp[2],
                                   sigma_j=mp[3]).validate()
+        elif getattr(args, "model", "gbm") == "bates":
+            from options_model_tpu.core.config import BatesParams
+            bp = args.bates or (*_DEF_HESTON, 0.3, -0.1, 0.15)
+            bates = BatesParams(
+                heston=HestonParams(kappa=bp[0], theta=bp[1], xi=bp[2],
+                                    rho=bp[3], v0=bp[4]),
+                lam=bp[5], mu_j=bp[6], sigma_j=bp[7]).validate()
         mc = MCConfig(n_paths=args.paths, n_steps=args.steps,
                       path_block=4096)
-        if getattr(args, "sampler", "mc") == "sobol" and args.model == "merton":
+        if getattr(args, "sampler", "mc") == "sobol" \
+                and args.model in ("merton", "bates"):
             log.info("sobol sampler supports gbm/heston only; using mc for "
-                     "merton")
+                     "%s", args.model)
             args.sampler = "mc"
         if args.contract == "asian":
             if args.sampler == "sobol":
@@ -173,18 +187,19 @@ def run(args: argparse.Namespace) -> dict:
                 price, se = price_asian_mc(
                     key, args.spot, args.t, spec, mc, args.model,
                     average=args.average, strike_type=args.strike_type,
-                    heston=heston, merton=merton)
+                    heston=heston, merton=merton, bates=bates)
         elif args.contract == "lookback":
             from options_model_tpu.pricers.exotics import price_lookback_mc
             price, se = price_lookback_mc(
                 key, args.spot, args.t, spec, mc, args.model,
-                strike_type=args.strike_type, heston=heston, merton=merton)
+                strike_type=args.strike_type, heston=heston, merton=merton,
+                bates=bates)
         elif args.contract == "barrier":
             from options_model_tpu.pricers.barrier import price_barrier_mc
             price, se = price_barrier_mc(
                 key, args.spot, args.t, spec, args.barrier,
                 args.barrier_type.replace("-", "-and-"), mc, args.model,
-                heston=heston, merton=merton,
+                heston=heston, merton=merton, bates=bates,
                 continuity_correction=args.continuity_correction)
         else:  # european
             if args.sampler == "sobol":
@@ -200,7 +215,7 @@ def run(args: argparse.Namespace) -> dict:
                 sampler = make_terminal_sampler(
                     args.model, args.spot, args.r, args.t,
                     sigma=args.sigma, heston=heston, merton=merton,
-                    engine="auto", div_yield=args.q)
+                    bates=bates, engine="auto", div_yield=args.q)
                 price, se, _ = price_european_mc(key, sampler, spec,
                                                  args.t, mc)
     else:  # multi-asset

@@ -31,7 +31,7 @@ def price_asian_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                    model: str = "gbm", *, average: str = "arithmetic",
                    strike_type: str = "fixed",
                    heston: Optional[HestonParams] = None, merton=None,
-                   sigma_fn=None
+                   bates=None, sigma_fn=None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Asian option on the average of the monitored prices.
 
@@ -44,8 +44,8 @@ def price_asian_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         raise ValueError("strike_type must be 'fixed' or 'floating'")
 
     S = simulate_paths(key, S0, T, mc, model, sigma=spec.sigma, rate=spec.rate,
-                       heston=heston, merton=merton, sigma_fn=sigma_fn,
-                       div_yield=spec.div_yield)
+                       heston=heston, merton=merton, bates=bates,
+                       sigma_fn=sigma_fn, div_yield=spec.div_yield)
     monitored = S[1:]  # average over the monitoring dates, not the spot
     if average == "arithmetic":
         avg = jnp.mean(monitored, axis=0)
@@ -63,7 +63,7 @@ def price_asian_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
 def price_lookback_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                       model: str = "gbm", *, strike_type: str = "floating",
                       heston: Optional[HestonParams] = None, merton=None,
-                      sigma_fn=None
+                      bates=None, sigma_fn=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lookback option on the running extreme.
 
@@ -74,8 +74,8 @@ def price_lookback_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         raise ValueError("strike_type must be 'fixed' or 'floating'")
 
     S = simulate_paths(key, S0, T, mc, model, sigma=spec.sigma, rate=spec.rate,
-                       heston=heston, merton=merton, sigma_fn=sigma_fn,
-                       div_yield=spec.div_yield)
+                       heston=heston, merton=merton, bates=bates,
+                       sigma_fn=sigma_fn, div_yield=spec.div_yield)
     S_min = jnp.min(S, axis=0)
     S_max = jnp.max(S, axis=0)
 

@@ -593,3 +593,47 @@ class TestExoticCLI:
         with pytest.raises(SystemExit):
             self._run(["basket", "--spots", "100", "95", "--sigmas",
                        "0.2", "0.3", "--corr", "1", "0.4", "0.4"])
+
+
+class TestBatesCLI:
+    """model='bates' reachable from the exotic pricer and the calibrate app."""
+
+    def _run(self, argv):
+        from options_model_tpu.apps.price_exotic import parse_args, run
+        return run(parse_args(argv))
+
+    def test_exotic_bates_asian_and_european(self):
+        out = self._run(["asian", "--model", "bates", "--paths", "8192",
+                         "--steps", "16"])
+        assert out["price"] > 0.0 and np.isfinite(out["stderr"])
+        # sobol falls back to mc for bates (logged), still prices
+        out2 = self._run(["european", "--model", "bates", "--sampler",
+                          "sobol", "--paths", "8192", "--steps", "16"])
+        from options_model_tpu.calibration import bates_cos_price
+        from options_model_tpu.core import BatesParams, HestonParams
+        bp = BatesParams(heston=HestonParams(kappa=2.0, theta=0.04, xi=0.3,
+                                             rho=-0.7, v0=0.04),
+                         lam=0.3, mu_j=-0.1, sigma_j=0.15)
+        cos = float(bates_cos_price(100.0, 100.0, 0.5, 0.05, bp, cp=1.0))
+        assert abs(out2["price"] - cos) < 4.0 * out2["stderr"] + 0.05
+
+    def test_exotic_bates_explicit_params(self):
+        out = self._run(["barrier", "--model", "bates", "--bates", "2.0",
+                         "0.04", "0.3", "-0.7", "0.04", "0.5", "-0.1",
+                         "0.15", "--barrier", "80", "--barrier-type",
+                         "down-out", "--paths", "8192", "--steps", "16"])
+        assert out["price"] > 0.0
+
+    def test_calibrate_cli_bates_test_mode(self):
+        from options_model_tpu.apps.calibrate import parse_args, run
+        summary = run(parse_args(["--test", "--model", "bates",
+                                  "--methods", "L-BFGS-B"]))
+        assert summary["error"] < 1e-3
+        assert "lam" in summary["param_errors"]
+        assert summary["param_errors"]["lam"] < 0.05
+
+    def test_calibrate_cli_bates_price_surface_rejected(self):
+        from options_model_tpu.apps.calibrate import parse_args, run
+        with pytest.raises(SystemExit, match="heston"):
+            run(parse_args(["--test", "--model", "bates", "--methods",
+                            "L-BFGS-B", "--price-surface", "/tmp/x.csv"]))
