@@ -141,6 +141,70 @@ def cos_greeks_heston(S0, K, T, r, heston, cp=1.0, q=0.0) -> Dict[str, jnp.ndarr
     }
 
 
+def cos_greeks_bates(S0, K, T, r, bates, cp=1.0, q=0.0
+                     ) -> Dict[str, jnp.ndarray]:
+    """EXACT European Bates Greeks: jax.grad through the COS pricer — price,
+    spot Greeks, diffusion-parameter gradients AND jump-parameter gradients
+    (dLam/dMuJ/dSigmaJ). The closed form is smooth in every parameter, so AD
+    here is exact where pathwise MC AD is not even defined for the jump
+    triple (the Poisson count has zero pathwise derivative in lam)."""
+    from options_model_tpu.core.config import BatesParams, HestonParams
+    from options_model_tpu.calibration.charfn import bates_cos_price
+
+    def f(x):
+        bp = BatesParams(
+            heston=HestonParams(kappa=x[4], theta=x[5], xi=x[6], rho=x[7],
+                                v0=x[8]),
+            lam=x[9], mu_j=x[10], sigma_j=x[11])
+        return bates_cos_price(x[0], x[1], x[2], x[3], bp, cp, q=q).sum()
+
+    hp = bates.heston
+    x = jnp.array([S0, K, T, r, hp.kappa, hp.theta, hp.xi, hp.rho, hp.v0,
+                   bates.lam, bates.mu_j, bates.sigma_j], jnp.float32)
+    price, g = jax.value_and_grad(f)(x)
+    gamma = jax.grad(lambda s: jax.grad(
+        lambda s2: f(x.at[0].set(s2)))(s))(x[0])
+    return {
+        "Price": price,
+        "Delta": g[0],
+        "Gamma": gamma,
+        "Theta": -g[2] / 365.0,
+        "Rho": g[3] / 100.0,
+        "dKappa": g[4], "dTheta": g[5], "dXi": g[6], "dRhoCorr": g[7],
+        "dV0": g[8],
+        "dLam": g[9], "dMuJ": g[10], "dSigmaJ": g[11],
+        "Vega": g[8] * 2.0 * jnp.sqrt(x[8]) / 100.0,
+    }
+
+
+def merton_greeks(S0, K, T, r, merton, cp=1.0, q=0.0
+                  ) -> Dict[str, jnp.ndarray]:
+    """EXACT European Merton Greeks: jax.grad through the closed-form series
+    (models/merton.py::merton_price). Vega here is dPrice/dSigma (the
+    diffusion vol) per 1%; the jump triple gets its own gradients."""
+    from options_model_tpu.core.config import MertonParams
+    from options_model_tpu.models.merton import merton_price
+
+    def f(x):
+        mp = MertonParams(sigma=x[4], lam=x[5], mu_j=x[6], sigma_j=x[7])
+        return merton_price(x[0], x[1], x[2], x[3], mp, cp=cp, q=q)
+
+    x = jnp.array([S0, K, T, r, merton.sigma, merton.lam, merton.mu_j,
+                   merton.sigma_j], jnp.float32)
+    price, g = jax.value_and_grad(f)(x)
+    gamma = jax.grad(lambda s: jax.grad(
+        lambda s2: f(x.at[0].set(s2)))(s))(x[0])
+    return {
+        "Price": price,
+        "Delta": g[0],
+        "Gamma": gamma,
+        "Theta": -g[2] / 365.0,
+        "Rho": g[3] / 100.0,
+        "Vega": g[4] / 100.0,
+        "dLam": g[5], "dMuJ": g[6], "dSigmaJ": g[7],
+    }
+
+
 def mc_greeks(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
               style: str = "american",
               lsm: Optional[LSMConfig] = None) -> Dict[str, jnp.ndarray]:

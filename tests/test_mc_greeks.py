@@ -109,3 +109,63 @@ class TestHestonGreeks:
         assert float(g["dTheta"]) > 0.0
         assert float(g["Theta"]) < 0.0
         assert np.isfinite(float(g["dXi"])) and np.isfinite(float(g["dRhoCorr"]))
+
+
+class TestJumpFamilyGreeks:
+    """Exact AD Greeks through the jump-model closed forms — parameter
+    sensitivities (incl. the jump triple) that pathwise MC AD cannot even
+    define (the Poisson count has zero pathwise derivative in lam)."""
+
+    def test_merton_greeks_lam_zero_is_black_scholes(self):
+        from options_model_tpu.core.config import MertonParams
+        from options_model_tpu.pricers.greeks import merton_greeks
+        mp = MertonParams(sigma=0.2, lam=0.0, mu_j=-0.1, sigma_j=0.15)
+        g = merton_greeks(100.0, 100.0, 1.0, 0.05, mp, cp=1.0)
+        bs = bs_greeks(100.0, 100.0, 1.0, 0.05, 0.2, 1.0)
+        np.testing.assert_allclose(float(g["Delta"]), float(bs["Delta"]),
+                                   atol=2e-3)
+        np.testing.assert_allclose(float(g["Gamma"]), float(bs["Gamma"]),
+                                   atol=2e-3)
+        np.testing.assert_allclose(float(g["Vega"]), float(bs["Vega"]),
+                                   rtol=0.02)
+
+    def test_merton_dlam_matches_finite_difference(self):
+        from options_model_tpu.core.config import MertonParams
+        from options_model_tpu.models.merton import merton_price
+        from options_model_tpu.pricers.greeks import merton_greeks
+        mp = MertonParams(sigma=0.2, lam=0.5, mu_j=-0.1, sigma_j=0.15)
+        g = merton_greeks(100.0, 100.0, 1.0, 0.05, mp, cp=1.0)
+        h = 1e-2
+        up = MertonParams(sigma=0.2, lam=0.5 + h, mu_j=-0.1, sigma_j=0.15)
+        dn = MertonParams(sigma=0.2, lam=0.5 - h, mu_j=-0.1, sigma_j=0.15)
+        fd = (float(merton_price(100.0, 100.0, 1.0, 0.05, up, cp=1.0))
+              - float(merton_price(100.0, 100.0, 1.0, 0.05, dn, cp=1.0))) / (2 * h)
+        np.testing.assert_allclose(float(g["dLam"]), fd, rtol=0.02, atol=5e-3)
+
+    def test_bates_greeks_lam_zero_matches_heston(self):
+        from options_model_tpu.core.config import BatesParams, HestonParams
+        from options_model_tpu.pricers.greeks import (cos_greeks_bates,
+                                                      cos_greeks_heston)
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.5, rho=-0.7, v0=0.04)
+        bp = BatesParams(heston=hp, lam=0.0, mu_j=-0.1, sigma_j=0.15)
+        gb = cos_greeks_bates(100.0, 100.0, 1.0, 0.05, bp, cp=1.0)
+        gh = cos_greeks_heston(100.0, 100.0, 1.0, 0.05, hp, cp=1.0)
+        for k in ("Price", "Delta", "Gamma", "dKappa", "dXi", "dV0"):
+            np.testing.assert_allclose(float(gb[k]), float(gh[k]),
+                                       rtol=0.02, atol=5e-3, err_msg=k)
+
+    def test_bates_dlam_matches_finite_difference(self):
+        from options_model_tpu.core.config import BatesParams, HestonParams
+        from options_model_tpu.calibration.charfn import bates_cos_price
+        from options_model_tpu.pricers.greeks import cos_greeks_bates
+        hp = HestonParams(kappa=2.0, theta=0.04, xi=0.5, rho=-0.7, v0=0.04)
+        bp = BatesParams(heston=hp, lam=0.4, mu_j=-0.12, sigma_j=0.18)
+        g = cos_greeks_bates(100.0, 100.0, 1.0, 0.05, bp, cp=1.0)
+        h = 2e-2
+        def price(lam):
+            b = BatesParams(heston=hp, lam=lam, mu_j=-0.12, sigma_j=0.18)
+            return float(bates_cos_price(100.0, 100.0, 1.0, 0.05, b, cp=1.0))
+        fd = (price(0.4 + h) - price(0.4 - h)) / (2 * h)
+        np.testing.assert_allclose(float(g["dLam"]), fd, rtol=0.05, atol=1e-2)
+        # more jumps = more variance = more ATM optionality
+        assert float(g["dLam"]) > 0
