@@ -66,7 +66,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "2, 500) (v1.5 rule, options_model_v1.5.py:326-331)")
     # Models / engines
     p.add_argument("--model", type=str, default="both",
-                   choices=["bs", "heston", "both"])
+                   choices=["bs", "heston", "both", "merton", "bates"],
+                   help="'both' = BS + Heston (reference semantics); "
+                        "'merton'/'bates' sweep the jump-diffusion families "
+                        "(beyond-reference)")
     p.add_argument("--engine", type=str, default="auto",
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--iv", type=str, default=None,
@@ -85,6 +88,16 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Explicit Heston parameters (e.g. from "
                         "apps/calibrate.py); default seeds theta=v0=sigma^2 "
                         "as the reference does (options_model_3.py:948-996)")
+    p.add_argument("--merton-params", type=float, nargs=3, default=None,
+                   metavar=("LAM", "MU_J", "SIGMA_J"),
+                   help="Jump triple for --model merton (diffusion sigma "
+                        "comes from --iv; default 0.3 -0.1 0.15)")
+    p.add_argument("--bates-params", type=float, nargs=3, default=None,
+                   metavar=("LAM", "MU_J", "SIGMA_J"),
+                   help="Jump triple for --model bates on top of the Heston "
+                        "parameters (--heston-params or the sigma^2 seed; "
+                        "default 0.3 -0.1 0.15). Full 8-param fits come from "
+                        "apps/calibrate.py --model bates")
     p.add_argument("--richardson", action="store_true",
                    help="Common-path Richardson extrapolation to the "
                         "continuous-exercise limit (removes the n-date "
@@ -199,8 +212,8 @@ def interactive_wizard(args, input_fn=input) -> argparse.Namespace:
     args.s0_step = ask("S0 grid step", args.s0_step, int)
     args.intervals_per_day = ask("Intervals per day", args.intervals_per_day,
                                  int)
-    args.model = ask_choice("Model (bs/heston/both)", args.model,
-                            ("bs", "heston", "both"))
+    args.model = ask_choice("Model (bs/heston/both/merton/bates)", args.model,
+                            ("bs", "heston", "both", "merton", "bates"))
     iv = ask("Implied vol (float, 'nn', or blank to auto-fetch)",
              args.iv or "", str)
     args.iv = iv or None
@@ -378,6 +391,14 @@ def run(args) -> Dict[str, "object"]:
 
     run_bs = args.model in ("bs", "both")
     run_heston = args.model in ("heston", "both")
+    run_merton = args.model == "merton"
+    run_bates = args.model == "bates"
+    if run_merton:
+        jump = tuple(args.merton_params or (0.3, -0.1, 0.15))
+    elif run_bates:
+        jump = tuple(args.bates_params or (0.3, -0.1, 0.15))
+    else:
+        jump = None
 
     if args.plot_paths and args.diagnostics_dir and iv_model is None:
         import os
@@ -481,8 +502,25 @@ def run(args) -> Dict[str, "object"]:
         out["heston"] = compute_curves(
             CurveRequest(model="heston", heston=heston, sigma=None, **common),
             progress=_progress_bar("Heston sweep"))
+    if run_merton:
+        from options_model_tpu.core.config import MertonParams
+        mp = MertonParams(sigma=sigma, lam=jump[0], mu_j=jump[1],
+                          sigma_j=jump[2]).validate()
+        log.info(f"Merton sweep: sigma={sigma:.4f} lam={mp.lam} "
+                 f"mu_j={mp.mu_j} sigma_j={mp.sigma_j}")
+        out["merton"] = compute_curves(
+            CurveRequest(model="merton", merton=mp, sigma=sigma, **common),
+            progress=_progress_bar("Merton sweep"))
+    if run_bates:
+        from options_model_tpu.core.config import BatesParams
+        bp = BatesParams(heston=heston, lam=jump[0], mu_j=jump[1],
+                         sigma_j=jump[2]).validate()
+        log.info(f"Bates sweep: {bp}")
+        out["bates"] = compute_curves(
+            CurveRequest(model="bates", bates=bp, sigma=None, **common),
+            progress=_progress_bar("Bates sweep"))
 
-    for name in ("bs", "heston"):
+    for name in ("bs", "heston", "merton", "bates"):
         df = out.get(name)
         if df is None or len(df) == 0:
             continue
@@ -494,7 +532,9 @@ def run(args) -> Dict[str, "object"]:
             from options_model_tpu.utils.plotting import plot_option_curves
             plot_option_curves(
                 df, s0_list, S0_live, args.K, sigma, args.r, args.option_type,
-                args.ticker, "Black-Scholes" if name == "bs" else "Heston",
+                args.ticker,
+                {"bs": "Black-Scholes", "heston": "Heston",
+                 "merton": "Merton", "bates": "Bates"}[name],
                 show=args.show_plot,
                 html_path=(args.html.replace(".html", f"_{name}.html")
                            if args.html else None))
@@ -510,7 +550,7 @@ def main(argv=None) -> int:
     except Exception as e:
         log.error(f"Fatal error: {e}")
         return 1
-    for name in ("bs", "heston"):
+    for name in ("bs", "heston", "merton", "bates"):
         if name in out:
             print(f"\n=== {name} sample ===")
             print(out[name].head(10).to_string(index=False))

@@ -45,9 +45,11 @@ class CurveRequest:
     intervals_per_day: int = 4
     total_points: int = 8
     num_simulations: int = 100_000
-    model: str = "gbm"                # gbm | heston | localvol
+    model: str = "gbm"                # gbm | heston | localvol | merton | bates
     sigma: Optional[float] = None
     heston: Optional[HestonParams] = None
+    merton: Optional[object] = None   # MertonParams (model='merton')
+    bates: Optional[object] = None    # BatesParams (model='bates')
     # model='localvol': sigma(S, tau) surface adapter (IVSurfaceModel.sigma_fn).
     # The sweep compiles it into per-(steps, day) Chebyshev tables and routes
     # through the batched grid pricer — on TPU that is the fused Pallas
@@ -117,7 +119,10 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
     # ~|S0 grid|x shared-path win the moment a multi-chip mesh appeared).
     shared_reasons = []
     if req.model not in ("gbm", "heston"):
-        shared_reasons.append(f"model={req.model!r} is not spot-homogeneous")
+        # (merton/bates ARE spot-homogeneous — S_T/S0 is S0-free — but the
+        # shared engine's backward only implements the gbm/heston samplers)
+        shared_reasons.append(f"model={req.model!r} has no shared-path "
+                              "engine")
     if req.european_approximation:
         shared_reasons.append("european_approximation")
     if req.lsm_out_of_sample or (req.lsm is not None
@@ -223,7 +228,8 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
             # base key by id inside the grid pricer via the padded task index.
             prices, stderrs = price_american_grid(
                 key, S0s, Ks, Ts, req.rate, mc, mesh, cp=req.cp,
-                sigma=req.sigma, heston=req.heston, model=req.model,
+                sigma=req.sigma, heston=req.heston, merton=req.merton,
+                bates=req.bates, model=req.model,
                 engine=req.engine,
                 use_control_variate=req.use_control_variate,
                 european_approximation=req.european_approximation,

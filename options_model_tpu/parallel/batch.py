@@ -48,6 +48,7 @@ def pad_to_multiple(x: jnp.ndarray, m: int) -> jnp.ndarray:
 def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
                         mesh: Mesh, *, cp: float = -1.0, sigma=None,
                         heston: Optional[HestonParams] = None,
+                        merton=None, bates=None,
                         model: str = "gbm", engine: str = "auto",
                         use_control_variate: bool = False,
                         european_approximation: bool = False,
@@ -106,7 +107,8 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
                     european_approximation, heston_scheme,
                     lsm_out_of_sample, lsm, axis,
                     sigma is not None, heston is not None,
-                    localvol_table is not None)
+                    localvol_table is not None,
+                    merton is not None, bates is not None)
     sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(
         sigma, jnp.float32)
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
@@ -114,12 +116,28 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
     table_a = (LocalVolTable(coeffs=jnp.zeros((1, 1), jnp.float32),
                              m_center=0.0, m_half=1.0, K=1.0)
                if localvol_table is None else localvol_table)
+    jump_a = _jump_args(merton, bates)
     prices, stderrs = fn(S0p, Kp, Tp, task_ids, key, jnp.float32(rate),
-                         sigma_a, heston_a, table_a, jnp.float32(cp),
+                         sigma_a, heston_a, table_a, jump_a, jnp.float32(cp),
                          jnp.float32(div_yield))
     if return_stderr:
         return prices[:n_tasks], stderrs[:n_tasks]
     return prices[:n_tasks]
+
+
+def _jump_args(merton, bates):
+    """Fixed-structure (MertonParams, BatesParams) pytree for the jitted grid
+    bodies — dummies stand in when a family is unused so the lru-cached
+    executable's argument structure never changes (has_merton/has_bates
+    statics decide whether price_one reads them)."""
+    from options_model_tpu.core.config import BatesParams, MertonParams
+    m = (MertonParams(sigma=0.2, lam=0.0, mu_j=0.0, sigma_j=0.1)
+         if merton is None else merton)
+    b = (BatesParams(heston=HestonParams(kappa=1.0, theta=0.04, xi=0.1,
+                                         rho=0.0, v0=0.04),
+                     lam=0.0, mu_j=0.0, sigma_j=0.1)
+         if bates is None else bates)
+    return (m, b)
 
 
 @functools.lru_cache(maxsize=256)
@@ -127,27 +145,32 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                use_control_variate: bool, european_approximation: bool,
                heston_scheme: str, lsm_out_of_sample: bool,
                lsm: Optional[LSMConfig], axis: str,
-               has_sigma: bool, has_heston: bool, has_table: bool):
+               has_sigma: bool, has_heston: bool, has_table: bool,
+               has_merton: bool = False, has_bates: bool = False):
     """Compile-cached body of price_american_grid (statics in the cache key;
     array shapes re-specialize through jit's own cache)."""
 
-    def price_one(task, key, rate, sigma, heston, table, cp, div_yield):
+    def price_one(task, key, rate, sigma, heston, table, jump, cp, div_yield):
         from options_model_tpu.core.stats import masked_mean_stderr
         from options_model_tpu.pricers.american import (
-            _apply_cv, _cv_adjustment, _pair_block)
+            _apply_cv, _cv_adjustment, _pair_block, _vol_params)
 
         sigma = sigma if has_sigma else None
         heston = heston if has_heston else None
         table = table if has_table else None
+        merton = jump[0] if has_merton else None
+        bates = jump[1] if has_bates else None
         S0, K, T, tid = task
         task_key = jax.random.fold_in(key, tid.astype(jnp.int32))
         spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma,
                           div_yield=div_yield)
-        want_v = (model == "heston" and has_heston
+        want_v = (((model == "heston" and has_heston)
+                   or (model == "bates" and has_bates))
                   and not european_approximation
                   and (lsm is None or lsm.variance_basis))
         out = simulate_paths(task_key, S0, T, mc, model, sigma=sigma,
-                             rate=rate, heston=heston, engine=engine,
+                             rate=rate, heston=heston, merton=merton,
+                             bates=bates, engine=engine,
                              heston_scheme=heston_scheme,
                              localvol_table=table,
                              div_yield=div_yield, return_variance=want_v)
@@ -166,7 +189,9 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
             price, stderr, _ = masked_mean_stderr(pay, None, None, stat_pb)
             return price, stderr
         cv_leg = ((has_sigma and model == "gbm")
-                  or (model == "heston" and has_heston))
+                  or (model == "heston" and has_heston)
+                  or (model == "merton" and has_merton)
+                  or (model == "bates" and has_bates))
         # The grid-level flag and the LSMConfig knob both request the
         # low-biased estimator; every branch below (poly/nn, plain/richardson)
         # must honor their OR — pricing in-sample while the caller asked for
@@ -186,18 +211,21 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                     out_of_sample=oos)
                 stat, mask_r = richardson_nn_stat(
                     fit_key, S_paths, v_paths, spec, T, eff_lsm,
-                    heston=heston, model=model, pair_block=pb)
+                    heston=heston, bates=bates, model=model, pair_block=pb)
                 price, stderr, _ = masked_mean_stderr(stat, mask_r, None,
                                                       stat_pb)
                 return price, stderr
             price, stderr, (cash, eval_mask) = lsm_nn_backward(
                 fit_key, S_paths, spec, T, lsm, stat_pair_block=stat_pb,
                 v_paths=v_paths, out_of_sample=oos,
-                pair_block=pb, return_cash=True, heston=heston)
+                pair_block=pb, return_cash=True,
+                heston=_vol_params(heston, bates))
             if use_control_variate and cv_leg:
                 cv = _apply_cv(cash, _cv_adjustment(S_paths, spec, T,
                                                     heston=heston,
-                                                    model=model),
+                                                    model=model,
+                                                    merton=merton,
+                                                    bates=bates),
                                lsm.cv_beta, eval_mask, None, stat_pb)
                 price, stderr, _ = masked_mean_stderr(cv, eval_mask, None,
                                                       stat_pb)
@@ -213,21 +241,24 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                 out_of_sample=oos)
             stat, mask_r = richardson_cv_stat(S_paths, v_paths, spec, T,
                                               eff_lsm, heston=heston,
+                                              merton=merton, bates=bates,
                                               model=model, pair_block=pb)
             price, stderr, _ = masked_mean_stderr(stat, mask_r, None, stat_pb)
             return price, stderr
         if use_control_variate and cv_leg:
             # Same-path European leg + closed form (BS for GBM, COS for
-            # Heston). The stderr is of the per-path CV statistic
-            # cash + beta*(EU - pay_T) — the raw LSM stderr would overstate
-            # the returned estimator's error by the variance the variate
-            # removes (pricers/american.price_american_with_control_variate).
+            # Heston/Bates, the Merton series). The stderr is of the per-path
+            # CV statistic cash + beta*(EU - pay_T) — the raw LSM stderr
+            # would overstate the returned estimator's error by the variance
+            # the variate removes
+            # (pricers/american.price_american_with_control_variate).
             _, _, (cash, eval_mask) = lsm_poly_backward(
                 S_paths, spec, T, poly_degree=degree, out_of_sample=oos,
                 pair_block=pb if oos else None,
                 return_cash=True, v_paths=v_paths)
             cv = _apply_cv(cash, _cv_adjustment(S_paths, spec, T,
-                                                heston=heston, model=model),
+                                                heston=heston, model=model,
+                                                merton=merton, bates=bates),
                            lsm.cv_beta if lsm is not None else "opt",
                            eval_mask, None, stat_pb)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, None, stat_pb)
@@ -238,10 +269,10 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
             stat_pair_block=stat_pb, v_paths=v_paths)
 
     def shard_body(S0_l, K_l, T_l, tid_l, key, rate, sigma, heston, table,
-                   cp, div_yield):
+                   jump, cp, div_yield):
         return jax.lax.map(
             lambda task: price_one(task, key, rate, sigma, heston, table,
-                                   cp, div_yield),
+                                   jump, cp, div_yield),
             (S0_l, K_l, T_l, tid_l))
 
     # check_vma=False: tasks are fully independent (no collectives), and the
@@ -251,7 +282,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
     return jax.jit(shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis),
-                  rep, rep, rep, rep, rep, rep, rep),
+                  rep, rep, rep, rep, rep, rep, rep, rep),
         out_specs=(P(axis), P(axis)), check_vma=False,
     ))
 
@@ -259,6 +290,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
 def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
                            mc: MCConfig, mesh: Mesh, *, cp: float = -1.0,
                            sigma=None, heston: Optional[HestonParams] = None,
+                           merton=None, bates=None,
                            model: str = "gbm", heston_scheme: str = "euler",
                            use_control_variate: bool = False,
                            european_approximation: bool = False,
@@ -285,10 +317,11 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
     the American backward (the reference's streaming-mode shortcut) — the
     per-shard partial means psum over ``path_axis``.
     """
-    if model not in ("gbm", "heston"):
+    if model not in ("gbm", "heston", "merton", "bates"):
         raise ValueError(
-            "price_american_grid_2d supports gbm/heston (localvol tables "
-            f"have no global-block-index XLA stream), got {model!r}")
+            "price_american_grid_2d supports gbm/heston/merton/bates "
+            "(localvol tables have no global-block-index XLA stream), "
+            f"got {model!r}")
     S0s = jnp.asarray(S0s, jnp.float32)
     strikes = jnp.asarray(strikes, jnp.float32)
     taus = jnp.asarray(taus, jnp.float32)
@@ -321,13 +354,15 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
                        sigma is not None, heston is not None,
                        lsm.variance_basis if lsm is not None else True,
                        lsm.richardson if lsm is not None else False,
-                       european_approximation)
+                       european_approximation,
+                       merton is not None, bates is not None)
     sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(
         sigma, jnp.float32)
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
                 if heston is None else heston)
+    jump_a = _jump_args(merton, bates)
     prices, stderrs = fn(S0p, Kp, Tp, task_ids, key, jnp.float32(rate),
-                         sigma_a, heston_a, jnp.float32(cp),
+                         sigma_a, heston_a, jump_a, jnp.float32(cp),
                          jnp.float32(div_yield))
     if return_stderr:
         return prices[:n_tasks], stderrs[:n_tasks]
@@ -339,31 +374,39 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
                   use_control_variate: bool, degree: int, task_axis: str,
                   path_axis: str, has_sigma: bool, has_heston: bool,
                   variance_basis: bool = True, richardson: bool = False,
-                  european_approximation: bool = False):
+                  european_approximation: bool = False,
+                  has_merton: bool = False, has_bates: bool = False):
     """Compile-cached body of price_american_grid_2d."""
     n_path_dev = mesh.shape[path_axis]
     nb_total = _pad_to(num_blocks(mc), n_path_dev)
     per_dev = nb_total // n_path_dev
     local_cfg = mc.replace(n_paths=per_dev * mc.path_block)
 
-    def price_one(task, key, rate, sigma, heston, cp, div_yield):
+    def price_one(task, key, rate, sigma, heston, jump, cp, div_yield):
         from options_model_tpu.core.stats import masked_mean_stderr
         from options_model_tpu.pricers.american import (_apply_cv,
                                                         _cv_adjustment)
 
         sigma = sigma if has_sigma else None
         heston = heston if has_heston else None
+        merton = jump[0] if has_merton else None
+        bates = jump[1] if has_bates else None
         S0, K, T, tid = task
         task_key = jax.random.fold_in(key, tid.astype(jnp.int32))
         rank = jax.lax.axis_index(path_axis)
         spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma,
                           div_yield=div_yield)
-        want_v = (model == "heston" and has_heston and variance_basis
-                  and not european_approximation)
+        want_v = (((model == "heston" and has_heston)
+                   or (model == "bates" and has_bates))
+                  and variance_basis and not european_approximation)
         # engine='xla': global-block-index RNG is what makes the result
         # mesh-shape invariant (the Pallas kernels number tiles per call).
+        # The jump families keep the invariance: the compound-jump draws are
+        # keyed per global block too (models/{merton,bates}.py, chunk
+        # invariance tested).
         out = simulate_paths(task_key, S0, T, local_cfg, model,
                              sigma=sigma, rate=rate, heston=heston,
+                             merton=merton, bates=bates,
                              first_block=rank * per_dev, engine="xla",
                              heston_scheme=heston_scheme,
                              div_yield=div_yield, return_variance=want_v)
@@ -379,7 +422,9 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
                                                   stat_pb)
             return price, stderr
         cv_leg = ((has_sigma and model == "gbm")
-                  or (model == "heston" and has_heston))
+                  or (model == "heston" and has_heston)
+                  or (model == "merton" and has_merton)
+                  or (model == "bates" and has_bates))
         if richardson:
             from options_model_tpu.pricers.american import richardson_cv_stat
             from options_model_tpu.core.config import LSMConfig as _L
@@ -387,6 +432,7 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
                          use_control_variate=use_control_variate and cv_leg)
             stat, mask_r = richardson_cv_stat(S_paths, v_paths, spec, T,
                                               eff_lsm, heston=heston,
+                                              merton=merton, bates=bates,
                                               model=model,
                                               axis_name=path_axis)
             price, stderr, _ = masked_mean_stderr(stat, mask_r, path_axis,
@@ -399,7 +445,8 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
             # psum-exact beta (axis_name): every path shard applies the
             # GLOBAL variance-minimizing coefficient.
             cv = _apply_cv(cash, _cv_adjustment(S_paths, spec, T,
-                                                heston=heston, model=model),
+                                                heston=heston, model=model,
+                                                merton=merton, bates=bates),
                            "opt", eval_mask, path_axis, stat_pb)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, path_axis,
                                                   stat_pb)
@@ -408,10 +455,10 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
                                  poly_degree=degree, stat_pair_block=stat_pb,
                                  v_paths=v_paths)
 
-    def shard_body(S0_l, K_l, T_l, tid_l, key, rate, sigma, heston, cp,
+    def shard_body(S0_l, K_l, T_l, tid_l, key, rate, sigma, heston, jump, cp,
                    div_yield):
         return jax.lax.map(
-            lambda task: price_one(task, key, rate, sigma, heston, cp,
+            lambda task: price_one(task, key, rate, sigma, heston, jump, cp,
                                    div_yield),
             (S0_l, K_l, T_l, tid_l))
 
@@ -419,7 +466,7 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
     return jax.jit(shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(task_axis), P(task_axis), P(task_axis), P(task_axis),
-                  rep, rep, rep, rep, rep, rep),
+                  rep, rep, rep, rep, rep, rep, rep),
         out_specs=(P(task_axis), P(task_axis)), check_vma=False,
     ))
 

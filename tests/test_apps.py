@@ -637,3 +637,34 @@ class TestBatesCLI:
         with pytest.raises(SystemExit, match="heston"):
             run(parse_args(["--test", "--model", "bates", "--methods",
                             "L-BFGS-B", "--price-surface", "/tmp/x.csv"]))
+
+
+class TestJumpFamilySweeps:
+    """--model merton / --model bates in the main reference-parity CLI."""
+
+    def _run(self, model, extra=()):
+        from options_model_tpu.apps.cli import parse_args, run
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.2", "--K", "100",
+            "--model", model, "--num-simulations", "4096",
+            "--s0-start", "95", "--s0-end", "105", "--s0-step", "5",
+            "--total-points", "2", "--intervals-per-day", "1",
+            "--engine", "xla", "--option-type", "put", *extra])
+        return run(args)
+
+    def test_merton_sweep(self):
+        out = self._run("merton")
+        df = out["merton"]
+        assert len(df) == 6 and np.isfinite(df["Option Value"]).all()
+        # put value decreasing in S0 at the far point
+        far = df[df["Days to Expiry"] == df["Days to Expiry"].max()]
+        v = far.sort_values("S0")["Option Value"].to_numpy()
+        assert v[0] > v[-1]
+
+    def test_bates_sweep_with_explicit_jump(self):
+        out = self._run("bates", ("--bates-params", "0.5", "-0.12", "0.2",
+                                  "--heston-params", "2.0", "0.04", "0.3",
+                                  "-0.7", "0.04"))
+        df = out["bates"]
+        assert len(df) == 6 and np.isfinite(df["Option Value"]).all()
+        assert "bs" not in out and "heston" not in out

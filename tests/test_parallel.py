@@ -411,3 +411,101 @@ class TestGridRichardson:
         p1d = price_american_grid(key, *arrs, R, cfg, mesh1d, engine="xla",
                                   **kw)
         np.testing.assert_allclose(float(p2d[0]), float(p1d[0]), rtol=3e-3)
+
+
+class TestGridJumpFamilies:
+    """Jump families on the sharded grids (1-D task axis and the 2-D
+    task x path mesh). The compound-jump draws key per GLOBAL path block
+    (models/{merton,bates}.py), so 2-D results must be invariant to the mesh
+    factorization and match the unsharded backward on the same streams."""
+
+    from options_model_tpu.core.config import BatesParams, MertonParams
+    MP = MertonParams(sigma=0.2, lam=0.5, mu_j=-0.1, sigma_j=0.15)
+    BP = BatesParams(heston=HestonParams(kappa=2.0, theta=0.04, xi=0.3,
+                                         rho=-0.7, v0=0.04),
+                     lam=0.3, mu_j=-0.1, sigma_j=0.15)
+    MC2 = MCConfig(n_paths=16384, n_steps=10, path_block=2048)
+
+    def test_merton_grid_1d_cv(self, key, devices8):
+        mesh = make_mesh(("tasks",), devices=devices8)
+        n = 8
+        S0s = jnp.linspace(95.0, 105.0, n)
+        cfg = MCConfig(n_paths=4096, n_steps=20, path_block=1024)
+        prices, stderrs = price_american_grid(
+            key, S0s, jnp.full((n,), K), jnp.full((n,), T), R, cfg, mesh,
+            cp=-1.0, sigma=SIG, merton=self.MP, model="merton", engine="xla",
+            use_control_variate=True, return_stderr=True)
+        p = np.asarray(prices)
+        assert np.all(np.isfinite(p)) and np.all(np.asarray(stderrs) > 0)
+        assert np.all(np.diff(p) < 0.5)  # put roughly decreasing in S0
+        # American >= European closed form (within noise)
+        from options_model_tpu.models.merton import merton_price
+        eu = float(merton_price(100.0, K, T, R, self.MP, cp=-1.0))
+        i = 4  # S0 close to 100
+        assert float(prices[i]) > eu - 4 * float(stderrs[i]) - 0.05
+
+    def test_bates_grid_1d_cv(self, key, devices8):
+        mesh = make_mesh(("tasks",), devices=devices8)
+        n = 4
+        S0s = jnp.full((n,), 100.0)
+        cfg = MCConfig(n_paths=8192, n_steps=20, path_block=1024)
+        prices, stderrs = price_american_grid(
+            key, S0s, jnp.full((n,), K), jnp.full((n,), T), R, cfg, mesh,
+            cp=-1.0, bates=self.BP, model="bates", engine="xla",
+            use_control_variate=True, return_stderr=True)
+        from options_model_tpu.calibration import bates_cos_price
+        eu = float(bates_cos_price(100.0, K, T, R, self.BP, cp=-1.0))
+        for i in range(n):
+            assert float(prices[i]) > eu - 4 * float(stderrs[i]) - 0.05
+            assert float(prices[i]) < eu * 1.3
+
+    def _price_2d(self, key, mesh_shape, devices, model, **kw):
+        from options_model_tpu.parallel import price_american_grid_2d
+        mesh = make_mesh(("tasks", "paths"), shape=mesh_shape,
+                         devices=devices)
+        S0s = np.array([95.0, 100.0, 105.0, 110.0], np.float32)
+        Ks = np.full(4, K, np.float32)
+        Ts = np.full(4, T, np.float32)
+        extra = (dict(bates=self.BP) if model == "bates"
+                 else dict(merton=self.MP, sigma=SIG))
+        return price_american_grid_2d(key, S0s, Ks, Ts, R, self.MC2, mesh,
+                                      cp=PUT, model=model,
+                                      return_stderr=True, **extra, **kw)
+
+    def test_bates_2d_mesh_shape_invariance(self, key, devices8):
+        p18, _ = self._price_2d(key, (1, 8), devices8, "bates")
+        p42, s42 = self._price_2d(key, (4, 2), devices8, "bates")
+        np.testing.assert_allclose(np.asarray(p18), np.asarray(p42),
+                                   rtol=3e-3)
+        assert np.all(np.asarray(s42) > 0)
+
+    def test_merton_2d_mesh_shape_invariance(self, key, devices8):
+        p24, _ = self._price_2d(key, (2, 4), devices8, "merton")
+        p42, _ = self._price_2d(key, (4, 2), devices8, "merton")
+        np.testing.assert_allclose(np.asarray(p24), np.asarray(p42),
+                                   rtol=3e-3)
+
+    def test_bates_2d_matches_unsharded_variance_basis(self, key, devices8):
+        """The (S, v) basis must survive the path sharding for bates exactly
+        as for heston — the jump overlay does not touch the variance
+        matrix."""
+        prices, _ = self._price_2d(key, (2, 4), devices8, "bates")
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=None)
+        for i, s0 in enumerate([95.0, 100.0, 105.0, 110.0]):
+            task_key = jax.random.fold_in(key, i)
+            S_paths, v_paths = simulate_paths(
+                task_key, s0, T, self.MC2, "bates", rate=R, bates=self.BP,
+                engine="xla", return_variance=True)
+            ref, _ = lsm_poly_backward(S_paths, spec, T, v_paths=v_paths,
+                                       stat_pair_block=self.MC2.path_block)
+            assert abs(float(prices[i]) / float(ref) - 1.0) < 3e-3, (
+                f"task {i}: 2-D {float(prices[i])} vs unsharded {float(ref)}")
+
+    def test_bates_2d_cv_and_richardson(self, key, devices8):
+        p_cv, s_cv = self._price_2d(key, (2, 4), devices8, "bates",
+                                    use_control_variate=True)
+        assert np.all(np.isfinite(np.asarray(p_cv)))
+        p_r, _ = self._price_2d(key, (2, 4), devices8, "bates",
+                                use_control_variate=True,
+                                lsm=LSMConfig(richardson=True))
+        assert np.all(np.isfinite(np.asarray(p_r)))
