@@ -118,11 +118,10 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
     # 'auto' routes shared regardless of the mesh size (r2 forfeited the
     # ~|S0 grid|x shared-path win the moment a multi-chip mesh appeared).
     shared_reasons = []
-    if req.model not in ("gbm", "heston"):
-        # (merton/bates ARE spot-homogeneous — S_T/S0 is S0-free — but the
-        # shared engine's backward only implements the gbm/heston samplers)
-        shared_reasons.append(f"model={req.model!r} has no shared-path "
-                              "engine")
+    if req.model not in ("gbm", "heston", "merton", "bates"):
+        # localvol: sigma depends on the absolute spot level, so the
+        # homogeneity scaling V(S0,K) = (S0/B) V(B, K B/S0) does not hold.
+        shared_reasons.append(f"model={req.model!r} is not spot-homogeneous")
     if req.european_approximation:
         shared_reasons.append("european_approximation")
     if req.lsm_out_of_sample or (req.lsm is not None
@@ -138,7 +137,7 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
     shared_eligible = not shared_reasons
     use_shared = shared_eligible and req.shared_paths in ("on", "auto")
     if (not shared_eligible and req.shared_paths != "off"
-            and req.model in ("gbm", "heston")):
+            and req.model in ("gbm", "heston", "merton", "bates")):
         # An eligible-looking sweep losing the ~|S0 grid|x fast path should
         # never be silent (VERDICT r2 weak #6).
         log.info("shared-path engine unavailable for this sweep "
@@ -202,7 +201,8 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
                     skey, np.array(s0_b, np.float32), req.strike,
                     np.array(days_b, np.float32) / 365.0, req.rate, mc,
                     point_ids=pids, cp=req.cp, model=req.model,
-                    sigma=req.sigma, heston=req.heston, engine=req.engine,
+                    sigma=req.sigma, heston=req.heston, merton=req.merton,
+                    bates=req.bates, engine=req.engine,
                     heston_scheme=req.heston_scheme,
                     div_yield=req.div_yield,
                     use_control_variate=req.use_control_variate,

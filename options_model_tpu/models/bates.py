@@ -68,13 +68,30 @@ def jump_overlay(key: jax.Array, T, lam, mu_j, sigma_j, cfg: MCConfig,
         return n_jumps * mu_j + sigma_j * jnp.sqrt(n_jumps) * zj - comp
 
     def sim_block(block_key):
+        if not return_paths:
+            # Terminal-only: the per-step compound sums ADD to one compound
+            # Poisson over [0, T] (given the counts each step's sum is
+            # N(N_t mu_j, sigma_j^2 N_t); counts add to Poisson(lam T)), so
+            # ONE (count, normal) draw pair per path replaces n_steps pairs —
+            # identical law, O(paths) instead of O(paths x steps) memory
+            # (the per-step version OOM'ed the 2^22-path bench leg).
+            # Different stream than the path version (fold_in indices just
+            # past the step range, which uses [0, n_steps)): deliberate, so
+            # the two shapes never silently correlate.
+            kn = jax.random.fold_in(block_key, n_steps)
+            kj = jax.random.fold_in(block_key, n_steps + 1)
+            n_jumps = jax.random.poisson(
+                kn, lam * jnp.asarray(T, dtype),
+                (cfg.path_block,)).astype(dtype)
+            zj = jax.random.normal(kj, (cfg.path_block,), dtype)
+            logf = (n_jumps * mu_j + sigma_j * jnp.sqrt(n_jumps) * zj
+                    - comp * n_steps)
+            return jnp.exp(logf)
         inc = jax.vmap(lambda t: step_increment(block_key, t))(
             jnp.arange(n_steps))                       # (n_steps, block)
-        if return_paths:
-            logs = jnp.cumsum(inc, axis=0)
-            first = jnp.zeros((1, cfg.path_block), dtype)
-            return jnp.exp(jnp.concatenate([first, logs], axis=0))
-        return jnp.exp(jnp.sum(inc, axis=0))
+        logs = jnp.cumsum(inc, axis=0)
+        first = jnp.zeros((1, cfg.path_block), dtype)
+        return jnp.exp(jnp.concatenate([first, logs], axis=0))
 
     block_keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(
         first_block + jnp.arange(nb))

@@ -130,6 +130,7 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
                                  cp: float = -1.0,
                                  model: str = "gbm", sigma=None,
                                  heston: Optional[HestonParams] = None,
+                                 merton=None, bates=None,
                                  engine: str = "auto",
                                  heston_scheme: str = "euler",
                                  div_yield: float = 0.0,
@@ -166,9 +167,10 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
     keyed by the global point_id, which travels with the shard: results
     equal the single-device engine exactly.
     """
-    if model not in ("gbm", "heston"):
+    if model not in ("gbm", "heston", "merton", "bates"):
         raise ValueError("shared-path curve pricing requires spot-homogeneous "
-                         f"dynamics (gbm/heston), got {model!r}")
+                         "dynamics (gbm/heston/merton/bates), got "
+                         f"{model!r}")
     S0s = jnp.asarray(S0s, jnp.float32)
     Ts = jnp.asarray(Ts, jnp.float32).reshape(-1)
     if point_ids is None:
@@ -181,11 +183,14 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
     # vs 0.7s per bucket on the remote-compile backend).
     fn = _shared_impl(mc, model, engine, heston_scheme, use_control_variate,
                       sigma is not None, heston is not None, variance_basis,
-                      mesh if multi else None)
+                      mesh if multi else None,
+                      merton is not None, bates is not None)
     sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(sigma,
                                                                  jnp.float32)
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
                 if heston is None else heston)
+    from options_model_tpu.parallel.batch import _jump_args
+    jump_a = _jump_args(merton, bates)
     if multi:
         from options_model_tpu.parallel.batch import pad_to_multiple
         n_d = Ts.shape[0]
@@ -194,18 +199,19 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
                              pad_to_multiple(Ts, n_dev),
                              pad_to_multiple(point_ids, n_dev),
                              jnp.float32(rate),
-                             sigma_a, heston_a, jnp.float32(cp),
+                             sigma_a, heston_a, jump_a, jnp.float32(cp),
                              jnp.float32(div_yield))
         return prices[:n_d], stderrs[:n_d]
     return fn(key, S0s, jnp.asarray(strike, jnp.float32), Ts, point_ids,
-              jnp.float32(rate), sigma_a, heston_a, jnp.float32(cp),
+              jnp.float32(rate), sigma_a, heston_a, jump_a, jnp.float32(cp),
               jnp.float32(div_yield))
 
 
 @functools.lru_cache(maxsize=256)
 def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
                  use_cv: bool, has_sigma: bool, has_heston: bool,
-                 variance_basis: bool = True, mesh=None):
+                 variance_basis: bool = True, mesh=None,
+                 has_merton: bool = False, has_bates: bool = False):
     """Compile-cached body of price_american_curves_shared (statics in the
     cache key; shapes re-specialize through jit's own cache). ``mesh`` None =
     single device; else the curve-point axis shards over the mesh's first
@@ -218,13 +224,16 @@ def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
     pb = _pair_block(mc, model, engine)
     stat_pb = pb if mc.antithetic else None
 
-    def run(key, S0s, strike, Ts, point_ids, rate, sigma, heston, cp,
+    def run(key, S0s, strike, Ts, point_ids, rate, sigma, heston, jump, cp,
             div_yield):
         base = strike  # simulate ATM: S0 = K
         scale = S0s / base                 # (n,)
         eff_strikes = strike / scale       # K * B / S0_i
+        merton = jump[0] if has_merton else None
+        bates = jump[1] if has_bates else None
 
-        want_v = model == "heston" and has_heston and variance_basis
+        want_v = (((model == "heston" and has_heston)
+                   or (model == "bates" and has_bates)) and variance_basis)
 
         def one_point(args):
             pid, T = args
@@ -232,7 +241,8 @@ def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
             out = simulate_paths(
                 pkey, base, T, mc, model,
                 sigma=sigma if has_sigma else None, rate=rate,
-                heston=heston if has_heston else None, engine=engine,
+                heston=heston if has_heston else None,
+                merton=merton, bates=bates, engine=engine,
                 heston_scheme=heston_scheme, div_yield=div_yield,
                 return_variance=want_v)
             S_paths, v_paths = out if want_v else (out, None)
@@ -240,9 +250,10 @@ def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
                                         return_cash=True,
                                         v_paths=v_paths)     # (n, P)
             # beta=1 European control variate with a CLOSED-FORM leg: BS for
-            # GBM, the COS characteristic-function price for Heston (the
-            # reference could only CV under constant vol; the COS pricer
-            # extends it to stochastic vol with zero extra MC work).
+            # GBM, the COS characteristic-function price for Heston/Bates,
+            # the Merton series (the reference could only CV under constant
+            # vol; the closed forms extend it to every family with zero
+            # extra MC work).
             eu = None
             if use_cv and model == "gbm" and has_sigma:
                 eu = bs_price(base, eff_strikes, T, rate, sigma, cp,
@@ -252,6 +263,16 @@ def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
                     heston_cos_price)
                 eu = heston_cos_price(base, eff_strikes, T, rate, heston,
                                       cp=cp, q=div_yield)
+            elif use_cv and model == "bates" and has_bates:
+                from options_model_tpu.calibration.charfn import (
+                    bates_cos_price)
+                eu = bates_cos_price(base, eff_strikes, T, rate, bates,
+                                     cp=cp, q=div_yield)
+            elif use_cv and model == "merton" and has_merton:
+                from options_model_tpu.models.merton import merton_price
+                eu = jax.vmap(lambda k: merton_price(
+                    base, k, T, rate, merton, cp=cp, q=div_yield))(
+                        eff_strikes)
             if eu is not None:
                 disc = jnp.exp(-jnp.asarray(rate, cash.dtype)
                                * jnp.asarray(T, cash.dtype))
@@ -279,7 +300,8 @@ def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
     # rule as parallel/batch._grid_impl.
     return jax.jit(shard_map(
         run, mesh=mesh,
-        in_specs=(rep, rep, rep, P(axis), P(axis), rep, rep, rep, rep, rep),
+        in_specs=(rep, rep, rep, P(axis), P(axis), rep, rep, rep, rep, rep,
+                  rep),
         out_specs=(P(axis), P(axis)), check_vma=False))
 
 

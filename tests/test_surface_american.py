@@ -265,3 +265,93 @@ class TestSharedCurveFastPath:
             heston=hp, engine="xla", use_control_variate=False)
         assert float(s_cv[1]) < float(s[1])  # OTM put: variate bites
         np.testing.assert_allclose(np.asarray(p_cv), np.asarray(p), atol=0.1)
+
+
+class TestSharedCurveJumpFamilies:
+    """merton/bates on the shared-path engine: both are spot-homogeneous
+    (S_T/S0 is S0-free), so the homogeneity scaling holds exactly; the CV
+    legs are the Merton series and the Bates COS closed form."""
+
+    def test_merton_matches_per_task_pricer(self, key):
+        from options_model_tpu.core.config import (LSMConfig, MCConfig,
+                                                   MertonParams, OptionSpec,
+                                                   PUT)
+        from options_model_tpu.pricers.american import price_american_lsm
+        from options_model_tpu.pricers.surface_american import (
+            price_american_curve_shared)
+
+        mp = MertonParams(sigma=0.2, lam=0.5, mu_j=-0.1, sigma_j=0.15)
+        S0s = np.array([95.0, 105.0], np.float32)
+        mc = MCConfig(n_paths=65536, n_steps=20, path_block=4096)
+        prices, _ = price_american_curve_shared(
+            key, S0s, 100.0, 0.5, 0.05, mc, cp=PUT, model="merton",
+            merton=mp, sigma=0.2, engine="xla")
+        for s0, p in zip(S0s, np.asarray(prices)):
+            spec = OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=0.2)
+            ref, se = price_american_lsm(
+                jax.random.fold_in(key, int(s0)), float(s0), 0.5, spec, mc,
+                LSMConfig(regressor="poly", use_control_variate=False),
+                model="merton", merton=mp, engine="xla")
+            assert abs(float(p) - float(ref)) < 6.0 * float(se) + 0.03
+
+    def test_bates_cv_shared_vs_cos_floor(self, key):
+        from options_model_tpu.calibration import bates_cos_price
+        from options_model_tpu.core.config import (BatesParams, HestonParams,
+                                                   MCConfig, PUT)
+        from options_model_tpu.pricers.surface_american import (
+            price_american_curve_shared)
+
+        bp = BatesParams(heston=HestonParams(kappa=2.0, theta=0.04, xi=0.3,
+                                             rho=-0.7, v0=0.04),
+                         lam=0.3, mu_j=-0.1, sigma_j=0.15)
+        S0s = np.array([95.0, 100.0, 105.0], np.float32)
+        mc = MCConfig(n_paths=32768, n_steps=20, path_block=4096)
+        prices, stderrs = price_american_curve_shared(
+            key, S0s, 100.0, 0.5, 0.05, mc, cp=PUT, model="bates",
+            bates=bp, engine="xla", use_control_variate=True)
+        for s0, p, se in zip(S0s, np.asarray(prices), np.asarray(stderrs)):
+            eu = float(bates_cos_price(float(s0), 100.0, 0.5, 0.05, bp,
+                                       cp=-1.0))
+            assert float(p) > eu - 4 * float(se) - 0.05, (s0, float(p), eu)
+            assert float(p) < eu * 1.4 + 0.1
+
+    def test_bates_mesh_equals_single_device(self, key, devices8):
+        from options_model_tpu.core.config import (BatesParams, HestonParams,
+                                                   MCConfig, PUT)
+        from options_model_tpu.parallel import make_mesh
+        from options_model_tpu.pricers.surface_american import (
+            price_american_curves_shared)
+
+        bp = BatesParams(heston=HestonParams(kappa=2.0, theta=0.04, xi=0.3,
+                                             rho=-0.7, v0=0.04),
+                         lam=0.3, mu_j=-0.1, sigma_j=0.15)
+        S0s = np.array([95.0, 105.0], np.float32)
+        Ts = np.linspace(0.1, 0.5, 5).astype(np.float32)
+        mc = MCConfig(n_paths=4096, n_steps=10, path_block=1024)
+        p1, _ = price_american_curves_shared(
+            key, S0s, 100.0, Ts, 0.05, mc, model="bates", bates=bp,
+            cp=PUT, engine="xla", use_control_variate=True)
+        mesh = make_mesh(("tasks",), devices=devices8)
+        p8, _ = price_american_curves_shared(
+            key, S0s, 100.0, Ts, 0.05, mc, model="bates", bates=bp,
+            cp=PUT, engine="xla", use_control_variate=True, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                                   rtol=2e-5)
+
+    def test_curves_route_shared_for_jump_models(self, caplog):
+        """compute_curves must route merton/bates sweeps through the
+        shared-path engine (they are homogeneous), not the per-cell grid."""
+        import logging
+        from options_model_tpu.apps.curves import CurveRequest, compute_curves
+        from options_model_tpu.core.config import MertonParams
+
+        mp = MertonParams(sigma=0.2, lam=0.3, mu_j=-0.1, sigma_j=0.15)
+        req = CurveRequest(s0_list=[95.0, 105.0], strike=100.0, rate=0.05,
+                           model="merton", merton=mp, sigma=0.2,
+                           total_points=2, intervals_per_day=1,
+                           num_simulations=4096, engine="xla")
+        with caplog.at_level(logging.INFO,
+                             logger="options_model_tpu.apps.curves"):
+            df = compute_curves(req)
+        assert len(df) == 4 and np.isfinite(df["Option Value"]).all()
+        assert any("shared paths" in r.message for r in caplog.records)
