@@ -110,6 +110,20 @@ def main():
         dt_lv = _time_per_call(lambda s: localvol_terminal_pallas(
             s, 100.0, 0.05, 1.0, table, n_paths, n_steps))
         details["localvol_path_steps_per_sec"] = round(n_paths * n_steps / dt_lv)
+
+        # Bates = fused Heston terminal kernel x XLA jump overlay (the
+        # model='bates' hot path) — measures the overlay's composition cost
+        # against the pure-Heston kernel rate above.
+        from options_model_tpu.core.config import BatesParams as _BP
+        from options_model_tpu.core.config import MCConfig as _MC
+        from options_model_tpu.pricers.european import make_terminal_sampler
+        bp_k = _BP(heston=hp, lam=0.3, mu_j=-0.1, sigma_j=0.15)
+        cfg_b = _MC(n_paths=n_paths, n_steps=n_steps, path_block=4096)
+        sampler_bk = make_terminal_sampler("bates", 100.0, 0.05, 1.0,
+                                           bates=bp_k, engine="pallas")
+        dt_b = _time_per_call(
+            lambda s: sampler_bk(jax.random.key(s), 0, cfg_b))
+        details["bates_path_steps_per_sec"] = round(n_paths * n_steps / dt_b)
     else:
         from options_model_tpu.models.heston import simulate_heston
         cfg = MCConfig(n_paths=n_paths, n_steps=n_steps, path_block=4096)
@@ -118,6 +132,14 @@ def main():
             lambda s: simulate_heston(
                 jax.random.fold_in(key, s), 100.0, 0.05, 1.0, hp, cfg,
                 return_paths=False), k1=1, k2=4, reps=2)
+
+    if on_tpu:
+        # Drop the kernel-timing executables (2^22-path programs) before the
+        # accuracy section: their device allocations otherwise stack with the
+        # NN-LSM leg's eager full-grid predict and OOM the chip (observed:
+        # RESOURCE_EXHAUSTED in mlp_predict after the Bates kernel leg was
+        # added). The persistent compilation cache makes re-jits cheap.
+        jax.clear_caches()
 
     if not args.quick:
         from options_model_tpu.pricers import crr_american
@@ -244,6 +266,38 @@ def main():
         details["calibration_param_rel_rmse"] = round(
             float(np.sqrt(np.mean(rel ** 2))), 6)
         details["calibration_iv_rmse"] = round(float(summary["error"]), 8)
+
+        # Bates SVJ (beyond reference): the independent jump overlay composes
+        # with the fused QE-M Heston kernel; accuracy pinned to the
+        # factorized COS closed form (models/bates.py, charfn.bates_cos_price).
+        from options_model_tpu.calibration import bates_cos_price
+        from options_model_tpu.core.config import BatesParams
+        from options_model_tpu.pricers.american import (
+            price_american_with_control_variate)
+        from options_model_tpu.pricers.european import (
+            make_terminal_sampler, price_european_mc)
+        bp = BatesParams(heston=hp, lam=0.3, mu_j=-0.1, sigma_j=0.15)
+        spec_j = OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=None)
+        cos_b = float(bates_cos_price(100.0, 100.0, 0.5, 0.05, bp, cp=-1.0))
+        mc_b = MCConfig(n_paths=1 << 20 if on_tpu else 1 << 15, n_steps=50,
+                        path_block=4096)
+        sampler_b = make_terminal_sampler("bates", 100.0, 0.05, 0.5,
+                                          bates=bp, heston_scheme="qe")
+        p_be, se_be, _ = price_european_mc(jax.random.key(31), sampler_b,
+                                           spec_j, 0.5, mc_b)
+        details["bates_european_z_vs_cos"] = round(
+            (float(p_be) - cos_b) / max(float(se_be), 1e-12), 2)
+        details["bates_european_cos"] = round(cos_b, 6)
+        p_ba, se_ba = price_american_with_control_variate(
+            jax.random.key(32), 100.0, 0.5, spec_j,
+            MCConfig(n_paths=1 << 17 if on_tpu else 1 << 14, n_steps=50,
+                     path_block=4096),
+            LSMConfig(regressor="poly"), model="bates", bates=bp,
+            engine="xla")
+        details["bates_american_lsm_cv"] = round(float(p_ba), 6)
+        # early-exercise premium must be non-negative (within noise)
+        details["bates_american_premium_z"] = round(
+            (float(p_ba) - cos_b) / max(float(se_ba), 1e-12), 2)
 
     if on_tpu and not args.quick:
         # The reference's flagship workload: an S0-grid x days-to-expiry

@@ -110,14 +110,10 @@ def run(args) -> dict:
 
     summary["params"] = params
 
-    if args.price_surface and args.model == "bates":
-        raise SystemExit("--price-surface drives the shared-path Heston "
-                         "surface pricer; use --model heston (Bates American "
-                         "grids price per-option via pricers.american "
-                         "model='bates')")
     if args.price_surface:
         # Calibrate -> price: the fitted dynamics immediately drive the
-        # headline American surface workload.
+        # headline American surface workload (Heston or Bates — the surface
+        # pricer composes the jump overlay with the shared (S, v) backward).
         import jax
         import jax.numpy as jnp
         import pandas as pd
@@ -130,10 +126,13 @@ def run(args) -> dict:
         S0_ = S0
         Ks = jnp.linspace(0.7 * S0_, 1.3 * S0_, nk)
         Ts = jnp.linspace(0.1, 1.0, nt)
+        model_kw = (dict(model="bates", bates=params)
+                    if args.model == "bates"
+                    else dict(model="heston", heston=params))
         P = price_american_surface(
             jax.random.key(args.seed), S0_, Ks, Ts, args.rate,
-            MCConfig(n_paths=16384, n_steps=50), cp=-1.0, heston=params,
-            div_yield=args.div_yield)
+            MCConfig(n_paths=16384, n_steps=50), cp=-1.0,
+            div_yield=args.div_yield, **model_kw)
         import numpy as np
         Km, Tm = np.meshgrid(np.asarray(Ks), np.asarray(Ts))
         pd.DataFrame({"K": Km.ravel(), "T": Tm.ravel(),

@@ -455,29 +455,46 @@ def run(args) -> Dict[str, "object"]:
         from options_model_tpu.pricers import price_american_bracket
         # >= 2 antithetic path blocks for the out-of-sample split
         n_b = max(min(args.num_simulations, 262_144), 8192)
-        for mdl, enabled in (("gbm", run_bs), ("heston", run_heston)):
+        from options_model_tpu.core.config import BatesParams, MertonParams
+        jump_params = {}
+        if run_merton:
+            jump_params["merton"] = MertonParams(
+                sigma=sigma, lam=jump[0], mu_j=jump[1], sigma_j=jump[2])
+        if run_bates:
+            jump_params["bates"] = BatesParams(
+                heston=heston, lam=jump[0], mu_j=jump[1], sigma_j=jump[2])
+        for mdl, enabled in (("gbm", run_bs), ("heston", run_heston),
+                             ("merton", run_merton), ("bates", run_bates)):
             if not enabled:
                 continue
+            # the nn-policy dual covers gbm/heston only; jump models always
+            # bracket the poly policy (pricers/dual.price_american_bracket)
+            lsm_b = (lsm_cfg.replace(regressor="poly")
+                     if mdl in ("merton", "bates") else lsm_cfg)
             probe_spec = OptionSpec(
                 strike=args.K, rate=args.r, cp=cp,
-                sigma=sigma if mdl == "gbm" else None, div_yield=args.q)
+                sigma=sigma if mdl in ("gbm", "merton") else None,
+                div_yield=args.q)
             br = price_american_bracket(
                 jax.random.key(args.seed), S0_live, max(T_live, 1e-3),
                 probe_spec, MCConfig(n_paths=n_b, n_steps=50,
                                      path_block=4096),
                 engine=args.engine, poly_degree=args.lsm_poly_degree,
                 model=mdl, heston=heston if mdl == "heston" else None,
-                lsm=lsm_cfg)  # --lsm-regressor nn brackets the NN policy
+                merton=jump_params.get("merton"),
+                bates=jump_params.get("bates"),
+                lsm=lsm_b)  # --lsm-regressor nn brackets the NN policy
             lo = float(br.low) - 2 * float(br.low_stderr)
             hi = float(br.high) + 2 * float(br.high_stderr)
-            name = "BS" if mdl == "gbm" else "Heston"
+            name = {"gbm": "BS", "heston": "Heston", "merton": "Merton",
+                    "bates": "Bates"}[mdl]
             log.info(f"Live-spot American {args.option_type} {name} bracket "
                      f"(~95%): [${lo:.4f}, ${hi:.4f}]  "
                      f"(LSM low ${float(br.low):.4f} +- "
                      f"{float(br.low_stderr):.4f}, "
                      f"dual high ${float(br.high):.4f} +- "
                      f"{float(br.high_stderr):.4f})")
-            key_name = "bracket" if mdl == "gbm" else "bracket_heston"
+            key_name = "bracket" if mdl == "gbm" else f"bracket_{mdl}"
             out[key_name] = {"low": float(br.low),
                              "low_stderr": float(br.low_stderr),
                              "high": float(br.high),

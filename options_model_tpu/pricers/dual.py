@@ -233,11 +233,51 @@ def _sigma_eff(v, tau, heston: HestonParams, dtype):
     return effective_bs_sigma(v, tau, heston, dtype)
 
 
+def _inner_poisson(dkey, lead, n, inner_block, first_block, lam_dt, dtype):
+    """Fresh Poisson(lam_dt) counts of shape lead + (n,) for one date — the
+    jump-count analogue of _inner_normals, same global-block keying rule."""
+    if inner_block is None:
+        return jax.random.poisson(dkey, lam_dt, lead + (n,)).astype(dtype)
+    nb = n // inner_block
+
+    def blk(b):
+        return jax.random.poisson(
+            jax.random.fold_in(dkey, first_block + b), lam_dt,
+            lead + (inner_block,)).astype(dtype)
+
+    z = jax.vmap(blk)(jnp.arange(nb))
+    perm = tuple(range(1, 1 + len(lead))) + (0, 1 + len(lead))
+    return jnp.transpose(z, perm).reshape(lead + (n,))
+
+
+def _one_step_jump_black(x, mu0, a2, cp, lam_dt, mu_j, sig_j,
+                         n_terms: int = 10):
+    """E[h(x')|state] for one jump-diffusion step, by conditioning on the
+    jump count: given N = n, log x' ~ N(log x + mu0 + n mu_j, a2 + n sig_j^2),
+    so the expectation is the Poisson mixture of one-step Black terms. The
+    n_terms=10 truncation discards P(N >= 10) ~ (lam dt)^10/10! (< 1e-40 at
+    any sane lam dt < 0.1) — immeasurably below the MC noise the dual's
+    pathwise max carries, so the bound's exactness is preserved in practice."""
+    from jax.scipy.special import gammaln
+
+    dtype = x.dtype
+    k = jnp.arange(n_terms, dtype=dtype)
+    logw = (-lam_dt + k * jnp.log(jnp.maximum(lam_dt, 1e-30))
+            - gammaln(k + 1.0))
+    w = jnp.where(lam_dt > 0, jnp.exp(logw), (k == 0).astype(dtype))
+    out = 0.0
+    for n in range(n_terms):
+        out = out + w[n] * _one_step_black(
+            x, mu0 + n * mu_j, jnp.sqrt(a2 + n * sig_j**2), cp)
+    return out
+
+
 def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
                            spec: OptionSpec, T, policy: LSMPolicy, *,
                            n_inner: int = 64,
                            model: str = "gbm",
                            heston: Optional[HestonParams] = None,
+                           merton=None, bates=None,
                            v_paths: Optional[jnp.ndarray] = None,
                            eval_mask: Optional[jnp.ndarray] = None,
                            stat_pair_block: Optional[int] = None,
@@ -285,16 +325,23 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
     if n_inner < 2 or n_inner % 2:
         raise ValueError("n_inner must be an even count >= 2 (antithetic "
                          "inner pairs)")
-    if model not in ("gbm", "heston"):
-        raise ValueError(f"model must be 'gbm' or 'heston', got {model!r}")
-    use_v = model == "heston"
+    if model not in ("gbm", "heston", "merton", "bates"):
+        raise ValueError(f"model must be 'gbm', 'heston', 'merton' or "
+                         f"'bates', got {model!r}")
+    use_v = model in ("heston", "bates")
+    if model == "bates":
+        if bates is None:
+            raise ValueError("model='bates' needs bates params")
+        heston = bates.heston
+    if model == "merton" and merton is None:
+        raise ValueError("model='merton' needs merton params")
     if use_v:
         if heston is None or v_paths is None or policy.v_mean is None:
-            raise ValueError("model='heston' needs heston params, v_paths, "
-                             "and a policy fitted with v_paths")
+            raise ValueError(f"model={model!r} needs the variance params, "
+                             "v_paths, and a policy fitted with v_paths")
         if spec.sigma is not None:
-            raise ValueError("heston dual: spec.sigma must be None (the "
-                             "variance state drives the vol)")
+            raise ValueError("stochastic-vol dual: spec.sigma must be None "
+                             "(the variance state drives the vol)")
     dtype = S_paths.dtype
     dt = jnp.asarray(T, dtype) / n_steps
     K = jnp.asarray(spec.strike, dtype)
@@ -303,6 +350,28 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
     q = jnp.asarray(spec.div_yield, dtype)
     drift = rate - q
     degree = policy.betas.shape[1] - (5 if use_v else 2)
+
+    # Jump layer (merton/bates): the inner one-step law gains the simulator's
+    # exact compound-jump increment (count + aggregated size, models/
+    # {merton,bates}.py), the drift its -lam*kbar*dt compensator, the
+    # terminal closed form becomes the Poisson-mixture Black
+    # (_one_step_jump_black), and the surrogate's European floor uses the
+    # jump-augmented effective variance rate (tightness only, not validity).
+    jp = merton if model == "merton" else (bates if model == "bates" else None)
+    if jp is not None:
+        lam_j = jnp.asarray(jp.lam, dtype)
+        mu_jj = jnp.asarray(jp.mu_j, dtype)
+        sig_jj = jnp.asarray(jp.sigma_j, dtype)
+        kbar_j = jnp.exp(mu_jj + 0.5 * sig_jj**2) - 1.0
+        lam_dt = lam_j * dt
+        comp_dt = lam_j * kbar_j * dt            # drift compensator per step
+        jvar = lam_j * (mu_jj**2 + sig_jj**2)    # jump variance rate / year
+    else:
+        lam_dt = comp_dt = jvar = jnp.asarray(0.0, dtype)
+
+    def _aug(sig2):
+        """Jump-augmented effective variance -> vol for the European floor."""
+        return jnp.sqrt(sig2 + jvar)
 
     x = S_paths / K                                   # (n_steps+1, P)
     taus = (jnp.asarray(T, dtype)
@@ -319,7 +388,8 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
         # W_t(x_t, v_t) at the observed states, dates t = 1..n_steps-1.
         vs = v_paths[1:n_steps]
         w_vals = _vhat(x[1:n_steps], K, cp, taus[:, None], rate, q,
-                       _sigma_eff(vs, taus[:, None], heston, dtype),
+                       _aug(_sigma_eff(vs, taus[:, None], heston,
+                                       dtype) ** 2),
                        policy.betas, policy.x_mean[:, None],
                        policy.x_rstd[:, None], degree,
                        v=vs, vm_t=policy.v_mean[:, None],
@@ -327,23 +397,39 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
 
         def date_ce(carry, inp):
             i, xp_t, vp_t, tau_t, b_t, m_t, rho_t, vm_t, vr_t = inp
-            z = _inner_normals(jax.random.fold_in(inner_key, i), (2, half),
-                               xp_t.shape[0], inner_block, first_block, dtype)
+            dkey = jax.random.fold_in(inner_key, i)
+            z = _inner_normals(dkey, (2, half), xp_t.shape[0], inner_block,
+                               first_block, dtype)
             z1, z2 = z[0], z[1]
             w2 = rho_h * z1 + rho_bar * z2
             sv = jnp.sqrt(jnp.maximum(vp_t, 0.0) * dt)[None, :]
-            mu_t = ((drift - 0.5 * vp_t) * dt)[None, :]
+            mu_t = ((drift - 0.5 * vp_t) * dt - comp_dt)[None, :]
             dv = (kappa * (theta_h - vp_t) * dt)[None, :]
+            if jp is not None:
+                # Bates inner law = Heston Euler step x the simulator's exact
+                # compound-jump increment; the count is shared by the
+                # antithetic pair (each member still has the exact marginal).
+                nj = _inner_poisson(jax.random.fold_in(dkey, 1), (half,),
+                                    xp_t.shape[0], inner_block, first_block,
+                                    lam_dt, dtype)
+                zj = _inner_normals(jax.random.fold_in(dkey, 2), (half,),
+                                    xp_t.shape[0], inner_block, first_block,
+                                    dtype)
+                jbase, jnoise = nj * mu_jj, sig_jj * jnp.sqrt(nj) * zj
+            else:
+                jbase = jnoise = jnp.asarray(0.0, dtype)
 
-            def w_at(s1, s2):
-                x_in = xp_t[None, :] * jnp.exp(mu_t + sv * s1)
+            def w_at(s1, s2, j):
+                x_in = xp_t[None, :] * jnp.exp(mu_t + sv * s1 + j)
                 v_in = jnp.maximum(vp_t[None, :] + dv + xi * sv * s2, 0.0)
                 return _vhat(x_in, K, cp, tau_t, rate, q,
-                             _sigma_eff(v_in, tau_t, heston, dtype),
+                             _aug(_sigma_eff(v_in, tau_t, heston,
+                                             dtype) ** 2),
                              b_t, m_t, rho_t, degree,
                              v=v_in, vm_t=vm_t, vr_t=vr_t)
 
-            vals = w_at(z1, w2) + w_at(-z1, -w2)
+            vals = (w_at(z1, w2, jbase + jnoise)
+                    + w_at(-z1, -w2, jbase - jnoise))
             return carry, vals.mean(0) * 0.5
 
         _, ce = jax.lax.scan(
@@ -353,19 +439,30 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
              policy.v_mean, policy.v_rstd))           # (n_dates, P)
 
         # Terminal step: S' | (S, v) is lognormal with one-step vol
-        # sqrt(v dt) — the Black closed form stays exact under Heston.
+        # sqrt(v dt) — the Black closed form stays exact under Heston; with
+        # jumps it becomes the exact Poisson mixture of Black terms.
         v_nm1 = jnp.maximum(v_paths[n_steps - 1], 0.0)
-        mu_T = (drift - 0.5 * v_nm1) * dt
-        a_T = jnp.maximum(jnp.sqrt(v_nm1 * dt), 1e-6)
-        e_h = K * _one_step_black(x[n_steps - 1], mu_T, a_T, spec.cp)
+        mu_T = (drift - 0.5 * v_nm1) * dt - comp_dt
+        a2_T = jnp.maximum(v_nm1 * dt, 1e-12)
+        if jp is not None:
+            e_h = K * _one_step_jump_black(x[n_steps - 1], mu_T, a2_T,
+                                           spec.cp, lam_dt, mu_jj, sig_jj)
+        else:
+            e_h = K * _one_step_black(x[n_steps - 1], mu_T, jnp.sqrt(a2_T),
+                                      spec.cp)
     else:
-        sig = jnp.asarray(spec.sigma, dtype)
-        mu = (drift - 0.5 * sig * sig) * dt
+        # merton: the diffusion vol comes from the params (the simulated
+        # transition uses merton.sigma; spec.sigma may echo it but the dual
+        # must replicate the simulator exactly).
+        sig = jnp.asarray(jp.sigma if model == "merton" else spec.sigma,
+                          dtype)
+        mu = (drift - 0.5 * sig * sig) * dt - comp_dt
         a = sig * jnp.sqrt(dt)
 
         # W_t(x_t) at the observed states, dates t = 1..n_steps-1
         # (betas (n_dates, d) broadcast against the (n_dates, P) state rows).
-        w_vals = _vhat(x[1:n_steps], K, cp, taus[:, None], rate, q, sig,
+        w_vals = _vhat(x[1:n_steps], K, cp, taus[:, None], rate, q,
+                       _aug(sig * sig),
                        policy.betas, policy.x_mean[:, None],
                        policy.x_rstd[:, None], degree)
 
@@ -374,13 +471,27 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
         # docstring), scanned over dates so memory stays O(n_inner*n_paths).
         def date_ce(carry, inp):
             i, xp_t, tau_t, b_t, m_t, rho_t = inp
-            z = _inner_normals(jax.random.fold_in(inner_key, i), (half,),
-                               xp_t.shape[0], inner_block, first_block, dtype)
-            x_up = xp_t[None, :] * jnp.exp(mu + a * z)
-            x_dn = xp_t[None, :] * jnp.exp(mu - a * z)
-            vals = (_vhat(x_up, K, cp, tau_t, rate, q, sig, b_t, m_t, rho_t,
-                          degree)
-                    + _vhat(x_dn, K, cp, tau_t, rate, q, sig, b_t, m_t,
+            dkey = jax.random.fold_in(inner_key, i)
+            z = _inner_normals(dkey, (half,), xp_t.shape[0], inner_block,
+                               first_block, dtype)
+            if jp is not None:
+                # Merton inner law = GBM step x exact compound-jump increment
+                # (count shared by the antithetic pair).
+                nj = _inner_poisson(jax.random.fold_in(dkey, 1), (half,),
+                                    xp_t.shape[0], inner_block, first_block,
+                                    lam_dt, dtype)
+                zj = _inner_normals(jax.random.fold_in(dkey, 2), (half,),
+                                    xp_t.shape[0], inner_block, first_block,
+                                    dtype)
+                jbase, jnoise = nj * mu_jj, sig_jj * jnp.sqrt(nj) * zj
+            else:
+                jbase = jnoise = jnp.asarray(0.0, dtype)
+            x_up = xp_t[None, :] * jnp.exp(mu + a * z + jbase + jnoise)
+            x_dn = xp_t[None, :] * jnp.exp(mu - a * z + jbase - jnoise)
+            sig_f = _aug(sig * sig)
+            vals = (_vhat(x_up, K, cp, tau_t, rate, q, sig_f, b_t, m_t,
+                          rho_t, degree)
+                    + _vhat(x_dn, K, cp, tau_t, rate, q, sig_f, b_t, m_t,
                             rho_t, degree))
             return carry, vals.mean(0) * 0.5
 
@@ -389,7 +500,11 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
             (jnp.arange(n_dates), x[0:n_steps - 1], taus, policy.betas,
              policy.x_mean, policy.x_rstd))           # (n_dates, P)
 
-        e_h = K * _one_step_black(x[n_steps - 1], mu, a, spec.cp)
+        if jp is not None:
+            e_h = K * _one_step_jump_black(x[n_steps - 1], mu, a * a,
+                                           spec.cp, lam_dt, mu_jj, sig_jj)
+        else:
+            e_h = K * _one_step_black(x[n_steps - 1], mu, a, spec.cp)
 
     return _dual_assemble(S_paths, spec, T, w_vals, ce, e_h, eval_mask,
                           stat_pair_block, axis_name)
@@ -630,6 +745,7 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
                            engine: str = "auto", n_inner: int = 64,
                            model: str = "gbm",
                            heston: Optional[HestonParams] = None,
+                           merton=None, bates=None,
                            lsm=None,
                            out_of_sample: bool = True) -> BracketResult:
     """Primal-dual bracket [low, high] for an American option on ONE
@@ -655,21 +771,28 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
     dual is then only an approximate bound — the policy has seen the eval
     paths).
     """
-    use_v = model == "heston"
+    use_v = model in ("heston", "bates")
     use_nn = lsm is not None and getattr(lsm, "regressor", "poly") == "nn"
+    if use_nn and model in ("merton", "bates"):
+        raise ValueError("the nn-policy dual supports gbm/heston; use the "
+                         "poly policy for the jump families")
     if lsm is not None and not use_nn:
         poly_degree = lsm.poly_degree
-    if use_v:
-        if heston is None:
-            raise ValueError("model='heston' needs heston params")
-    elif spec.sigma is None:
+    if model == "heston" and heston is None:
+        raise ValueError("model='heston' needs heston params")
+    if model == "bates" and bates is None:
+        raise ValueError("model='bates' needs bates params")
+    if model == "merton" and merton is None:
+        raise ValueError("model='merton' needs merton params")
+    if model == "gbm" and spec.sigma is None:
         raise ValueError("the one-step dual increments need spec.sigma "
                          "(GBM dynamics)")
     sim_key, inner_key = jax.random.split(key)
     if use_nn:
         train_key, inner_key = jax.random.split(inner_key)
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
-                         rate=spec.rate, heston=heston, engine=engine,
+                         rate=spec.rate, heston=heston, merton=merton,
+                         bates=bates, engine=engine,
                          div_yield=spec.div_yield, return_variance=use_v)
     S_paths, v_paths = out if use_v else (out, None)
     pb = _pair_block(mc, model, engine)
@@ -703,6 +826,7 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
         high, high_se = dual_upper_from_policy(inner_key, S_paths, spec, T,
                                                policy, n_inner=n_inner,
                                                model=model, heston=heston,
+                                               merton=merton, bates=bates,
                                                v_paths=v_paths,
                                                eval_mask=eval_mask,
                                                stat_pair_block=stat_pb,

@@ -259,7 +259,21 @@ def fit_continuation_mlp(key: jax.Array, X: jnp.ndarray, y: jnp.ndarray,
     return best_params, epoch_losses
 
 
-def mlp_predict(params, x, cfg: LSMConfig):
+def mlp_predict(params, x, cfg: LSMConfig, chunk: int = 1 << 17):
+    """Evaluate the continuation net on ``x`` (n, d) -> (n,).
+
+    Row-chunked under lax.map (same rule as the full-data epoch loss above):
+    the LSM pass-2 set is (n_dates x n_paths) rows — a single batched apply
+    at 2^18 paths x 50 dates materializes multi-GB activations and OOMs the
+    chip (observed: RESOURCE_EXHAUSTED in the bench's NN leg)."""
     model = ContinuationMLP(hidden=cfg.nn_hidden, num_layers=cfg.nn_layers,
                             dropout=cfg.nn_dropout)
-    return model.apply(params, x, deterministic=True)[:, 0]
+    n, d = x.shape
+    if n <= chunk:
+        return model.apply(params, x, deterministic=True)[:, 0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    xp = jnp.concatenate([x, jnp.zeros((n_pad - n, d), x.dtype)])
+    out = jax.lax.map(
+        lambda xc: model.apply(params, xc, deterministic=True)[:, 0],
+        xp.reshape(-1, chunk, d))
+    return out.reshape(-1)[:n]

@@ -319,6 +319,7 @@ def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,
                            mc: MCConfig, *, cp: float = -1.0,
                            model: str = "heston", sigma=None,
                            heston: Optional[HestonParams] = None,
+                           merton=None, bates=None,
                            engine: str = "auto",
                            heston_scheme: str = "euler",
                            div_yield=0.0,
@@ -345,34 +346,38 @@ def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,
     fn = _surface_impl(mc, model, engine, heston_scheme, bool(variance_basis),
                        sigma is not None, heston is not None,
                        None if (mesh is None or mesh.devices.size == 1)
-                       else mesh)
+                       else mesh,
+                       merton is not None, bates is not None)
     sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(
         sigma, jnp.float32)
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
                 if heston is None else heston)
+    from options_model_tpu.parallel.batch import _jump_args
+    jump_a = _jump_args(merton, bates)
     if mesh is not None and mesh.devices.size > 1:
         from options_model_tpu.parallel.batch import pad_to_multiple
         n_dev = mesh.devices.size
         out = fn(key, jnp.float32(S0), strikes,
                  pad_to_multiple(maturities, n_dev),
                  pad_to_multiple(ti, n_dev),
-                 jnp.float32(rate), sigma_a, heston_a, jnp.float32(cp),
-                 jnp.float32(div_yield))
+                 jnp.float32(rate), sigma_a, heston_a, jump_a,
+                 jnp.float32(cp), jnp.float32(div_yield))
         return out[:n_T]
     return fn(key, jnp.float32(S0), strikes, maturities, ti,
-              jnp.float32(rate), sigma_a, heston_a, jnp.float32(cp),
+              jnp.float32(rate), sigma_a, heston_a, jump_a, jnp.float32(cp),
               jnp.float32(div_yield))
 
 
 @functools.lru_cache(maxsize=256)
 def _surface_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
                   variance_basis: bool, has_sigma: bool, has_heston: bool,
-                  mesh):
+                  mesh, has_merton: bool = False, has_bates: bool = False):
     """Compile-cached body of price_american_surface. ``mesh`` None =
     single-device sequential map; else shard_map over the mesh's first axis."""
-    want_v = model == "heston" and has_heston and variance_basis
+    want_v = (((model == "heston" and has_heston)
+               or (model == "bates" and has_bates)) and variance_basis)
 
-    def run(key, S0, strikes, maturities, ti, rate, sigma, heston, cp,
+    def run(key, S0, strikes, maturities, ti, rate, sigma, heston, jump, cp,
             div_yield):
         def one_maturity(args):
             t_idx, T = args
@@ -381,6 +386,8 @@ def _surface_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
                                  sigma=sigma if has_sigma else None,
                                  rate=rate,
                                  heston=heston if has_heston else None,
+                                 merton=jump[0] if has_merton else None,
+                                 bates=jump[1] if has_bates else None,
                                  engine=engine, heston_scheme=heston_scheme,
                                  div_yield=div_yield, return_variance=want_v)
             S_paths, v_paths = out if want_v else (out, None)
@@ -404,7 +411,8 @@ def _surface_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
     # (same rule as parallel/batch._grid_impl).
     return jax.jit(shard_map(
         run, mesh=mesh,
-        in_specs=(rep, rep, rep, P(axis), P(axis), rep, rep, rep, rep, rep),
+        in_specs=(rep, rep, rep, P(axis), P(axis), rep, rep, rep, rep, rep,
+                  rep),
         out_specs=P(axis), check_vma=False))
 
 

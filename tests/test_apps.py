@@ -632,11 +632,20 @@ class TestBatesCLI:
         assert "lam" in summary["param_errors"]
         assert summary["param_errors"]["lam"] < 0.05
 
-    def test_calibrate_cli_bates_price_surface_rejected(self):
+    def test_calibrate_cli_bates_price_surface(self, tmp_path):
+        """Calibrate -> price: the fitted Bates dynamics drive the American
+        surface workload (jump overlay composed with the (S, v) backward)."""
         from options_model_tpu.apps.calibrate import parse_args, run
-        with pytest.raises(SystemExit, match="heston"):
-            run(parse_args(["--test", "--model", "bates", "--methods",
-                            "L-BFGS-B", "--price-surface", "/tmp/x.csv"]))
+        csv = str(tmp_path / "bates_surface.csv")
+        summary = run(parse_args(["--test", "--model", "bates", "--methods",
+                                  "L-BFGS-B", "--price-surface", csv,
+                                  "--surface-size", "3", "4"]))
+        import pandas as pd
+        df = pd.read_csv(csv)
+        assert len(df) == 12 and np.isfinite(df["price"]).all()
+        # puts increase in strike at fixed maturity
+        g = df[df["T"] == df["T"].min()].sort_values("K")["price"].to_numpy()
+        assert (np.diff(g) > -1e-3).all()
 
 
 class TestJumpFamilySweeps:
@@ -668,3 +677,19 @@ class TestJumpFamilySweeps:
         df = out["bates"]
         assert len(df) == 6 and np.isfinite(df["Option Value"]).all()
         assert "bs" not in out and "heston" not in out
+
+
+class TestJumpBracketCLI:
+    def test_cli_bracket_merton(self):
+        from options_model_tpu.apps.cli import parse_args, run
+        args = parse_args([
+            "--spot", "100", "--hist-vol", "0.2", "--K", "100",
+            "--model", "merton", "--num-simulations", "8192",
+            "--s0-start", "100", "--s0-end", "100", "--s0-step", "1",
+            "--total-points", "1", "--intervals-per-day", "1",
+            "--engine", "xla", "--option-type", "put", "--bracket"])
+        out = run(args)
+        br = out["bracket_merton"]
+        assert br["low"] <= br["high"] + 2 * (br["low_stderr"]
+                                              + br["high_stderr"])
+        assert np.isfinite(br["high"]) and br["high"] > 0

@@ -367,3 +367,92 @@ class TestDualEstimator:
         up_many, _ = dual_upper_from_policy(k_in, S, PUT_SPEC, T, policy,
                                             n_inner=256)
         assert float(up_many) <= float(up_few)
+
+
+class TestJumpFamilyBrackets:
+    """Merton/Bates primal-dual brackets: the inner one-step sampler gains
+    the simulator's exact compound-jump increment and the terminal closed
+    form becomes the Poisson-mixture Black (dual._one_step_jump_black)."""
+
+    MP_J = None  # set lazily to avoid import at collection
+
+    def _params(self):
+        from options_model_tpu.core.config import BatesParams, MertonParams
+        mp = MertonParams(sigma=0.2, lam=0.5, mu_j=-0.1, sigma_j=0.15)
+        bp = BatesParams(heston=HP, lam=0.3, mu_j=-0.1, sigma_j=0.15)
+        return mp, bp
+
+    def test_merton_bracket_contains_cv_estimate(self, key):
+        from options_model_tpu.core.config import LSMConfig
+        from options_model_tpu.pricers import price_american
+        mp, _ = self._params()
+        spec = OptionSpec(strike=K, rate=R, cp=-1.0, sigma=0.2)
+        mc = MCConfig(n_paths=1 << 15, n_steps=25, path_block=2048)
+        br = price_american_bracket(key, S0, T, spec, mc, model="merton",
+                                    merton=mp, engine="xla")
+        p, se = price_american(jax.random.fold_in(key, 9), S0, T, spec, mc,
+                               LSMConfig(use_control_variate=True),
+                               model="merton", merton=mp, engine="xla")
+        lo = float(br.low) - 3 * float(br.low_stderr)
+        hi = float(br.high) + 3 * float(br.high_stderr)
+        assert lo <= float(p) <= hi, (lo, float(p), hi)
+        assert (float(br.high) - float(br.low)) / float(p) < 0.05
+
+    def test_merton_upper_above_european(self, key):
+        from options_model_tpu.models.merton import merton_price
+        mp, _ = self._params()
+        spec = OptionSpec(strike=K, rate=R, cp=-1.0, sigma=0.2)
+        mc = MCConfig(n_paths=1 << 14, n_steps=20, path_block=2048)
+        br = price_american_bracket(key, S0, T, spec, mc, model="merton",
+                                    merton=mp, engine="xla")
+        eu = float(merton_price(S0, K, T, R, mp, cp=-1.0))
+        assert float(br.high) + 3 * float(br.high_stderr) > eu
+
+    def test_bates_bracket_contains_cv_estimate(self, key):
+        from options_model_tpu.core.config import LSMConfig
+        from options_model_tpu.pricers import price_american
+        _, bp = self._params()
+        spec = OptionSpec(strike=K, rate=R, cp=-1.0, sigma=None)
+        mc = MCConfig(n_paths=1 << 15, n_steps=25, path_block=2048)
+        br = price_american_bracket(key, S0, T, spec, mc, model="bates",
+                                    bates=bp, engine="xla")
+        p, se = price_american(jax.random.fold_in(key, 9), S0, T, spec, mc,
+                               LSMConfig(use_control_variate=True),
+                               model="bates", bates=bp, engine="xla")
+        lo = float(br.low) - 3 * float(br.low_stderr)
+        hi = float(br.high) + 3 * float(br.high_stderr)
+        assert lo <= float(p) <= hi, (lo, float(p), hi)
+        assert (float(br.high) - float(br.low)) / float(p) < 0.06
+
+    def test_bates_lam_zero_matches_heston_dual(self, key):
+        """lam=0 bates dual must equal the heston dual on the same paths
+        (the jump layer degenerates: Poisson(0) counts, zero compensator)."""
+        from options_model_tpu.core.config import BatesParams
+        from options_model_tpu.pricers.american import simulate_paths as sim
+        from options_model_tpu.pricers.dual import (dual_upper_from_policy,
+                                                    fit_lsm_policy)
+        b0 = BatesParams(heston=HP, lam=0.0, mu_j=0.0, sigma_j=0.1)
+        spec = OptionSpec(strike=K, rate=R, cp=-1.0, sigma=None)
+        mc = MCConfig(n_paths=1 << 13, n_steps=10, path_block=1024)
+        S, v = sim(key, S0, T, mc, "heston", rate=R, heston=HP,
+                   engine="xla", return_variance=True)
+        policy, _ = fit_lsm_policy(S, spec, T, v_paths=v)
+        k_in = jax.random.fold_in(key, 3)
+        up_h, _ = dual_upper_from_policy(k_in, S, spec, T, policy,
+                                         model="heston", heston=HP,
+                                         v_paths=v, n_inner=8)
+        up_b, _ = dual_upper_from_policy(k_in, S, spec, T, policy,
+                                         model="bates", bates=b0,
+                                         v_paths=v, n_inner=8)
+        # same normals; the jump layer adds Poisson(0)=0 counts and a
+        # zero compensator -> values agree to float tolerance
+        np.testing.assert_allclose(float(up_b), float(up_h), rtol=2e-5)
+
+    def test_nn_policy_rejected_for_jump_models(self, key):
+        from options_model_tpu.core.config import LSMConfig, MertonParams
+        mp = MertonParams(sigma=0.2, lam=0.5, mu_j=-0.1, sigma_j=0.15)
+        with pytest.raises(ValueError, match="nn-policy"):
+            price_american_bracket(
+                key, S0, T, OptionSpec(strike=K, rate=R, cp=-1.0, sigma=0.2),
+                MCConfig(n_paths=4096, n_steps=10, path_block=1024),
+                model="merton", merton=mp, lsm=LSMConfig(regressor="nn"))

@@ -355,3 +355,29 @@ class TestSharedCurveJumpFamilies:
             df = compute_curves(req)
         assert len(df) == 4 and np.isfinite(df["Option Value"]).all()
         assert any("shared paths" in r.message for r in caplog.records)
+
+
+class TestBatesSurface:
+    def test_bates_surface_monotone_and_mesh_equal(self, key, devices8):
+        from options_model_tpu.core.config import BatesParams, HestonParams, MCConfig
+        from options_model_tpu.parallel import make_mesh
+        from options_model_tpu.pricers.surface_american import (
+            price_american_surface)
+
+        bp = BatesParams(heston=HestonParams(kappa=2.0, theta=0.04, xi=0.3,
+                                             rho=-0.7, v0=0.04),
+                         lam=0.3, mu_j=-0.1, sigma_j=0.15)
+        Ks = np.linspace(90.0, 110.0, 4).astype(np.float32)
+        Ts = np.linspace(0.1, 0.5, 5).astype(np.float32)
+        mc = MCConfig(n_paths=4096, n_steps=10, path_block=1024)
+        P1 = price_american_surface(key, 100.0, Ks, Ts, 0.05, mc, cp=-1.0,
+                                    model="bates", bates=bp, engine="xla")
+        assert P1.shape == (5, 4)
+        p = np.asarray(P1)
+        assert np.isfinite(p).all()
+        assert (np.diff(p, axis=1) > -1e-3).all()  # put increasing in K
+        mesh = make_mesh(("tasks",), devices=devices8)
+        P8 = price_american_surface(key, 100.0, Ks, Ts, 0.05, mc, cp=-1.0,
+                                    model="bates", bates=bp, engine="xla",
+                                    mesh=mesh)
+        np.testing.assert_allclose(p, np.asarray(P8), rtol=2e-5)
