@@ -37,7 +37,17 @@ def main():
         sigma = st.number_input("Volatility (sigma)", value=0.30, step=0.01,
                                 min_value=0.01)
         option_type = st.selectbox("Option type", ["call", "put"])
-        model = st.selectbox("Model", ["bs", "heston", "both"])
+        model = st.selectbox("Model", ["bs", "heston", "both", "merton",
+                                       "bates"])
+        if model in ("merton", "bates"):
+            st.caption("Jump triple (lognormal jumps on top of the "
+                       "diffusion)")
+            j_lam = st.number_input("Jump intensity lam", value=0.3,
+                                    min_value=0.0, step=0.1)
+            j_mu = st.number_input("Mean log-jump mu_j", value=-0.1,
+                                   step=0.01)
+            j_sig = st.number_input("Log-jump vol sigma_j", value=0.15,
+                                    min_value=0.0, step=0.01)
         days = st.slider("Days to expiry", 1, 90, 21)
         ipd = st.slider("Intervals per day", 1, 8, 4)
         sims = st.select_slider("MC paths", [10_000, 50_000, 100_000, 500_000,
@@ -75,6 +85,24 @@ def main():
             s0_list=s0_list, strike=K, rate=r, cp=cp, model="heston",
             heston=heston, sigma=None, use_control_variate=False,
             div_yield=float(q),
+            intervals_per_day=ipd, total_points=total_points,
+            num_simulations=int(sims), seed=int(seed))))
+    if model == "merton":
+        from options_model_tpu.core.config import MertonParams
+        runs.append(("Merton", CurveRequest(
+            s0_list=s0_list, strike=K, rate=r, cp=cp, model="merton",
+            merton=MertonParams(sigma=sigma, lam=float(j_lam),
+                                mu_j=float(j_mu), sigma_j=float(j_sig)),
+            sigma=sigma, div_yield=float(q),
+            intervals_per_day=ipd, total_points=total_points,
+            num_simulations=int(sims), seed=int(seed))))
+    if model == "bates":
+        from options_model_tpu.core.config import BatesParams
+        runs.append(("Bates", CurveRequest(
+            s0_list=s0_list, strike=K, rate=r, cp=cp, model="bates",
+            bates=BatesParams(heston=heston, lam=float(j_lam),
+                              mu_j=float(j_mu), sigma_j=float(j_sig)),
+            sigma=None, div_yield=float(q),
             intervals_per_day=ipd, total_points=total_points,
             num_simulations=int(sims), seed=int(seed))))
 

@@ -474,6 +474,7 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
 def price_european_sharded(key: jax.Array, S0, T, spec: OptionSpec,
                            mc: MCConfig, mesh: Mesh, *, model: str = "gbm",
                            heston: Optional[HestonParams] = None,
+                           merton=None, bates=None,
                            engine: str = "xla", axis: str = "paths"):
     """One European pricing with the paths axis sharded across the mesh.
 
@@ -487,7 +488,8 @@ def price_european_sharded(key: jax.Array, S0, T, spec: OptionSpec,
     per_dev = nb_total // n_dev
     local_cfg = mc.replace(n_paths=per_dev * mc.path_block)
     sampler = make_terminal_sampler(model, S0, spec.rate, T, sigma=spec.sigma,
-                                    heston=heston, engine=engine,
+                                    heston=heston, merton=merton,
+                                    bates=bates, engine=engine,
                                     div_yield=spec.div_yield)
     discount = jnp.exp(-jnp.asarray(spec.rate, mc.dtype) * jnp.asarray(T, mc.dtype))
 
@@ -509,8 +511,13 @@ def price_european_sharded(key: jax.Array, S0, T, spec: OptionSpec,
         n = st.count * (2.0 if mc.antithetic else 1.0)
         return st.mean, st.stderr, n
 
+    # check_vma=False: jax.random.poisson (the jump families' count draw)
+    # carries mixed varying/replicated annotations through its internal
+    # while_loop, which the static checker rejects; execution is correct
+    # (same rule as _grid_impl).
     mean, stderr, n = jax.jit(shard_map(
-        body, mesh=mesh, in_specs=(), out_specs=(P(), P(), P())))()
+        body, mesh=mesh, in_specs=(), out_specs=(P(), P(), P()),
+        check_vma=False))()
     return mean, stderr, n
 
 
@@ -518,13 +525,18 @@ def price_american_sharded_paths(key: jax.Array, S0, T, spec: OptionSpec,
                                  mc: MCConfig, mesh: Mesh, *,
                                  model: str = "gbm",
                                  heston: Optional[HestonParams] = None,
+                                 merton=None, bates=None,
                                  axis: str = "paths",
                                  variance_basis: bool = True):
     """One American LSM pricing with paths sharded across the mesh.
 
     Per-date regression Gram blocks psum over the axis (regressors.masked_wls),
-    so every device sees the GLOBAL regression — the result equals the
-    unsharded pricing with the same total paths (tested on the virtual mesh).
+    so every device sees the GLOBAL regression. Agreement with the unsharded
+    pricing on the same total paths is exact up to the psum's float reduction
+    ORDER: the partial-Gram sums differ from the single unsharded matmul in
+    the last ulps, which can flip individual boundary exercise decisions
+    through the discontinuous max(h, C) rule (measured: usually bitwise,
+    occasionally ~1e-3 relative at 8k paths; tests/test_parallel.py).
     Returns (price, stderr).
     """
     n_dev = mesh.devices.size
@@ -532,12 +544,14 @@ def price_american_sharded_paths(key: jax.Array, S0, T, spec: OptionSpec,
     per_dev = nb_total // n_dev
     local_cfg = mc.replace(n_paths=per_dev * mc.path_block)
 
-    want_v = model == "heston" and heston is not None and variance_basis
+    want_v = ((model == "heston" and heston is not None)
+              or (model == "bates" and bates is not None)) and variance_basis
 
     def body():
         rank = jax.lax.axis_index(axis)
         out = simulate_paths(key, S0, T, local_cfg, model, sigma=spec.sigma,
-                             rate=spec.rate, heston=heston,
+                             rate=spec.rate, heston=heston, merton=merton,
+                             bates=bates,
                              first_block=rank * per_dev, engine="xla",
                              div_yield=spec.div_yield, return_variance=want_v)
         S_paths, v_paths = out if want_v else (out, None)
@@ -545,7 +559,8 @@ def price_american_sharded_paths(key: jax.Array, S0, T, spec: OptionSpec,
                                  v_paths=v_paths)
 
     price, stderr = jax.jit(shard_map(
-        body, mesh=mesh, in_specs=(), out_specs=(P(), P())))()
+        body, mesh=mesh, in_specs=(), out_specs=(P(), P()),
+        check_vma=False))()
     return price, stderr
 
 

@@ -509,3 +509,39 @@ class TestGridJumpFamilies:
                                 use_control_variate=True,
                                 lsm=LSMConfig(richardson=True))
         assert np.all(np.isfinite(np.asarray(p_r)))
+
+
+class TestShardedSinglePricingJump:
+    def test_bates_european_sharded_matches_unsharded(self, key, devices8):
+        from options_model_tpu.core.config import BatesParams
+        bp = BatesParams(heston=HESTON, lam=0.3, mu_j=-0.1, sigma_j=0.15)
+        mesh = make_mesh(("paths",), devices=devices8)
+        cfg = MCConfig(n_paths=8 * 2048, n_steps=16, path_block=1024)
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=None)
+        m_s, se_s, n_s = price_european_sharded(key, S0, T, spec, cfg, mesh,
+                                                model="bates", bates=bp)
+        sampler = make_terminal_sampler("bates", S0, R, T, bates=bp,
+                                        engine="xla")
+        m_u, se_u, n_u = price_european_mc(key, sampler, spec, T, cfg)
+        np.testing.assert_allclose(float(m_s), float(m_u), rtol=1e-5)
+        assert int(n_s) == int(n_u)
+
+    def test_bates_american_sharded_matches_unsharded(self, key, devices8):
+        from options_model_tpu.core.config import BatesParams
+        bp = BatesParams(heston=HESTON, lam=0.3, mu_j=-0.1, sigma_j=0.15)
+        mesh = make_mesh(("paths",), devices=devices8)
+        cfg = MCConfig(n_paths=8 * 1024, n_steps=10, path_block=1024)
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=None)
+        p_s, se_s = price_american_sharded_paths(key, S0, T, spec, cfg, mesh,
+                                                 model="bates", bates=bp)
+        S_paths, v_paths = simulate_paths(key, S0, T, cfg, "bates", rate=R,
+                                          bates=bp, engine="xla",
+                                          return_variance=True)
+        p_u, se_u = lsm_poly_backward(S_paths, spec, T, v_paths=v_paths)
+        # The paths are bitwise identical per shard (tested via
+        # simulate_paths chunk equality); the psum'ed Grams differ from the
+        # unsharded single matmul in float reduction ORDER, which can flip
+        # O(1) boundary exercise decisions (observed for heston too, seed 1:
+        # rel 9e-4 at 8k paths) — the guarantee is agreement up to those
+        # flips, not bitwise equality.
+        np.testing.assert_allclose(float(p_s), float(p_u), rtol=2e-3)
