@@ -102,7 +102,9 @@ def main():
             s0_list=s0_list, strike=K, rate=r, cp=cp, model="bates",
             bates=BatesParams(heston=heston, lam=float(j_lam),
                               mu_j=float(j_mu), sigma_j=float(j_sig)),
-            sigma=None, div_yield=float(q),
+            # same rule as the Heston run above: the f32 COS CV leg's ~2e-3
+            # noise floor (charfn.py) isn't worth it at UI path counts
+            sigma=None, use_control_variate=False, div_yield=float(q),
             intervals_per_day=ipd, total_points=total_points,
             num_simulations=int(sims), seed=int(seed))))
 

@@ -102,6 +102,24 @@ def jump_overlay(key: jax.Array, T, lam, mu_j, sigma_j, cfg: MCConfig,
     return out.reshape(nb * cfg.path_block)
 
 
+def jump_overlay_for(key: jax.Array, T, lam, mu_j, sigma_j, cfg: MCConfig,
+                     n_out: int, return_paths: bool = True, first_block=0):
+    """Overlay factor matched to a simulator output of width ``n_out``.
+
+    The fused Pallas Heston kernels round n_paths up to THEIR tile (16384
+    terminal / 4096 full-path — ops/pallas_heston.py), which need not be a
+    multiple of cfg.path_block; building the overlay at paths_rounded(cfg)
+    then mismatches the kernel's width (a TPU-only broadcast crash found in
+    review). Cover n_out with whole path blocks and slice — the per-block
+    streams are unchanged, so chunk invariance is preserved.
+    """
+    nb_cover = -(-n_out // cfg.path_block)
+    fac = jump_overlay(key, T, lam, mu_j, sigma_j,
+                       cfg.replace(n_paths=nb_cover * cfg.path_block),
+                       return_paths=return_paths, first_block=first_block)
+    return fac[..., :n_out]
+
+
 def split_bates_keys(key: jax.Array):
     """(heston_key, jump_key) — jax.random.split keeps the two sub-streams
     disjoint from each other AND from the per-block fold_in(key, b) domain

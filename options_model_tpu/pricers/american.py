@@ -112,16 +112,20 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
             if bates is None:
                 raise ValueError("bates params required for model='bates'")
             from options_model_tpu.models.bates import (
-                jump_overlay, split_bates_keys)
+                jump_overlay_for, split_bates_keys)
             kh, kj = split_bates_keys(key)
             seed = seed_from_key(jax.random.fold_in(kh, first_block))
             kern = (heston_paths_qe_pallas if heston_scheme == "qe"
                     else heston_paths_pallas)
             out = kern(seed, S0, rate, T, bates.heston, n_paths, cfg.n_steps,
                        cfg.antithetic, return_variance=return_variance)
-            fac = jump_overlay(kj, T, bates.lam, bates.mu_j, bates.sigma_j,
-                               cfg.replace(n_paths=n_paths),
-                               return_paths=True, first_block=first_block)
+            # The kernel rounds n_paths up to ITS tile; build the overlay at
+            # the kernel's actual width (jump_overlay_for's contract).
+            n_out = (out[0] if return_variance else out).shape[-1]
+            fac = jump_overlay_for(kj, T, bates.lam, bates.mu_j,
+                                   bates.sigma_j, cfg, n_out,
+                                   return_paths=True,
+                                   first_block=first_block)
             if return_variance:
                 S, v = out
                 return S * fac, v

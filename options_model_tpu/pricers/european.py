@@ -60,7 +60,8 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
         # i.i.d. draws keep pair means valid at EITHER engine's pair_block.
         if bates is None:
             raise ValueError("bates params required for model='bates'")
-        from options_model_tpu.models.bates import jump_overlay, split_bates_keys
+        from options_model_tpu.models.bates import (jump_overlay_for,
+                                                    split_bates_keys)
         base = make_terminal_sampler("heston", S0, r + div_yield, T,
                                      heston=bates.heston, engine=engine,
                                      heston_scheme=heston_scheme,
@@ -68,11 +69,14 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
 
         def fn(key, fb, c):
             kh, kj = split_bates_keys(key)
-            from options_model_tpu.models.blocks import paths_rounded
-            fac = jump_overlay(kj, T, bates.lam, bates.mu_j, bates.sigma_j,
-                               c.replace(n_paths=paths_rounded(c)),
-                               return_paths=False, first_block=fb)
-            return base(kh, fb, c) * fac
+            ST = base(kh, fb, c)
+            # The Pallas terminal kernel rounds the path count up to its
+            # 16384-path tile; size the overlay to the ACTUAL output width
+            # (jump_overlay_for — a TPU-only broadcast crash otherwise).
+            fac = jump_overlay_for(kj, T, bates.lam, bates.mu_j,
+                                   bates.sigma_j, c, ST.shape[0],
+                                   return_paths=False, first_block=fb)
+            return ST * fac
 
         fn.pair_block = base.pair_block
         return fn
