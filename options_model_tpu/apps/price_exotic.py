@@ -167,10 +167,13 @@ def run(args: argparse.Namespace) -> dict:
                 lam=bp[5], mu_j=bp[6], sigma_j=bp[7]).validate()
         mc = MCConfig(n_paths=args.paths, n_steps=args.steps,
                       path_block=4096)
-        if getattr(args, "sampler", "mc") == "sobol" \
-                and args.model in ("merton", "bates"):
-            log.info("sobol sampler supports gbm/heston only; using mc for "
-                     "%s", args.model)
+        if (getattr(args, "sampler", "mc") == "sobol"
+                and args.model in ("merton", "bates")
+                and args.contract == "asian"):
+            # European merton/bates RQMC is exact (3 dims / bridged+2 dims);
+            # the pathwise Asian average has no jump-bridge construction yet.
+            log.info("sobol Asian sampling supports gbm/heston only; using "
+                     "mc for %s", args.model)
             args.sampler = "mc"
         if args.contract == "asian":
             if args.sampler == "sobol":
@@ -206,7 +209,8 @@ def run(args: argparse.Namespace) -> dict:
                 from options_model_tpu.pricers.qmc import price_european_qmc
                 price, se, n = price_european_qmc(
                     args.seed, args.model, args.spot, spec, args.t,
-                    heston=heston, n_paths=max(args.paths // 16, 1 << 10),
+                    heston=heston, merton=merton, bates=bates,
+                    n_paths=max(args.paths // 16, 1 << 10),
                     n_steps=args.steps, replicates=16)
                 out["n_paths"] = int(n)
             else:

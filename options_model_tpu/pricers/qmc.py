@@ -32,7 +32,25 @@ from options_model_tpu.core.qmc import (
     replicate_stats,
     sobol_directions,
     sobol_normals,
+    sobol_uniforms,
 )
+
+
+def _poisson_icdf(u, lam_mean, n_max: int = 24):
+    """Poisson inverse CDF N(u) = min{n : P(X <= n) >= u} as a fixed
+    vectorized sweep over n = 0..n_max-1 (XLA-friendly: no data-dependent
+    loop). One Sobol coordinate then drives the jump COUNT with the net's
+    exact one-dimensional stratification. n_max=24 covers lam_mean up to ~8
+    with tail mass < 1e-7; the compound-jump horizons here keep
+    lam_mean = lam*T at O(0.1)."""
+    dtype = u.dtype
+    k = jnp.arange(n_max, dtype=dtype)
+    from jax.scipy.special import gammaln
+    logp = (-lam_mean + k * jnp.log(jnp.maximum(lam_mean, 1e-30))
+            - gammaln(k + 1.0))
+    pmf = jnp.where(lam_mean > 0, jnp.exp(logp), (k == 0).astype(dtype))
+    cdf = jnp.cumsum(pmf)
+    return jnp.sum((u[..., None] > cdf[None, :]).astype(dtype), axis=-1)
 
 
 def _pow2(n: int) -> int:
@@ -67,7 +85,10 @@ def heston_terminal_qmc(sv, shift, S0, r, T, p: HestonParams,
     Identical scheme to models/heston.simulate_heston (euler): the QMC price
     estimates the SAME discretized law, only the driving measure changes.
     """
-    Z = sobol_normals(sv, shift, 0, n_paths, dtype)           # (P, 2n)
+    Z = sobol_normals(sv, shift, 0, n_paths, dtype)[:, :2 * n_steps]
+    # (slice BEFORE de-interleaving: callers may carry extra trailing Sobol
+    # dims, e.g. the Bates jump pair — 0::2 over the full width would
+    # misalign the factor split)
     dB1 = bb_increments(Z[:, 0::2], T)                        # asset driver
     dB2 = bb_increments(Z[:, 1::2], T)                        # orthogonal
     dt = jnp.asarray(T, dtype) / n_steps
@@ -109,6 +130,7 @@ def _run_replicates(seed: int, dim: int, replicates: int, jitted_rep):
 
 def price_european_qmc(seed: int, model: str, S0, spec: OptionSpec, T, *,
                        heston: Optional[HestonParams] = None,
+                       merton=None, bates=None,
                        n_paths: int = 1 << 14, n_steps: int = 64,
                        replicates: int = 16, dtype=jnp.float32
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
@@ -116,7 +138,12 @@ def price_european_qmc(seed: int, model: str, S0, spec: OptionSpec, T, *,
 
     model='gbm' uses the exact one-dimensional terminal law (S_T needs only
     W_T — Sobol dim 1 is a stratification of the real line, error ~O(1/N));
-    model='heston' runs the bridged 2-factor Euler scheme.
+    model='heston' runs the bridged 2-factor Euler scheme. model='merton'
+    is EXACT in 3 Sobol dims (diffusion normal, jump count via the Poisson
+    inverse CDF, aggregated jump-size normal — no time discretization at
+    all); model='bates' appends the same (count, size) pair to the bridged
+    Heston dims (the compound jump over [0, T] is one Poisson draw,
+    models/bates.py's terminal collapse).
     """
     n_paths = _pow2(n_paths)
     r = spec.rate
@@ -146,8 +173,58 @@ def price_european_qmc(seed: int, model: str, S0, spec: OptionSpec, T, *,
             return jnp.mean(vanilla_payoff(S_T, spec.strike, spec.cp)) * disc
 
         dim = 2 * n_steps
+    elif model == "merton":
+        if merton is None:
+            raise ValueError("merton params required for model='merton'")
+        sig = jnp.asarray(merton.sigma, dtype)
+        lam = jnp.asarray(merton.lam, dtype)
+        mu_j = jnp.asarray(merton.mu_j, dtype)
+        sig_j = jnp.asarray(merton.sigma_j, dtype)
+        kbar = jnp.exp(mu_j + 0.5 * sig_j ** 2) - 1.0
+        Tf = jnp.asarray(T, dtype)
+
+        @jax.jit
+        def rep_mean(sv, shift):
+            u = sobol_uniforms(sv, shift, 0, n_paths, dtype)   # (P, 3)
+            Z = sobol_normals(sv, shift, 0, n_paths, dtype)
+            nj = _poisson_icdf(u[:, 1], lam * Tf)
+            logS = (jnp.log(jnp.asarray(S0, dtype))
+                    + (drift - 0.5 * sig ** 2 - lam * kbar) * Tf
+                    + sig * jnp.sqrt(Tf) * Z[:, 0]
+                    + nj * mu_j + sig_j * jnp.sqrt(nj) * Z[:, 2])
+            return jnp.mean(vanilla_payoff(jnp.exp(logS), spec.strike,
+                                           spec.cp)) * disc
+
+        dim = 3
+    elif model == "bates":
+        if bates is None:
+            raise ValueError("bates params required for model='bates'")
+        lam = jnp.asarray(bates.lam, dtype)
+        mu_j = jnp.asarray(bates.mu_j, dtype)
+        sig_j = jnp.asarray(bates.sigma_j, dtype)
+        kbar = jnp.exp(mu_j + 0.5 * sig_j ** 2) - 1.0
+        Tf = jnp.asarray(T, dtype)
+        hp = bates.heston
+
+        @jax.jit
+        def rep_mean(sv, shift):
+            # Heston drift carries the jump compensator; the terminal jump
+            # factor multiplies on (independent components — the exact
+            # factorization models/bates.py documents).
+            S_T = heston_terminal_qmc(sv, shift, S0, drift - lam * kbar, T,
+                                      hp, n_paths, n_steps, dtype)
+            u = sobol_uniforms(sv, shift, 0, n_paths, dtype)
+            Z = sobol_normals(sv, shift, 0, n_paths, dtype)
+            nj = _poisson_icdf(u[:, 2 * n_steps], lam * Tf)
+            fac = jnp.exp(nj * mu_j + sig_j * jnp.sqrt(nj)
+                          * Z[:, 2 * n_steps + 1])
+            return jnp.mean(vanilla_payoff(S_T * fac, spec.strike,
+                                           spec.cp)) * disc
+
+        dim = 2 * n_steps + 2
     else:
-        raise ValueError(f"model must be 'gbm' or 'heston', got {model!r}")
+        raise ValueError(f"model must be 'gbm', 'heston', 'merton' or "
+                         f"'bates', got {model!r}")
 
     price, stderr = _run_replicates(seed, dim, replicates, rep_mean)
     return price, stderr, replicates * n_paths

@@ -154,3 +154,59 @@ class TestQMCPricing:
             price_asian_qmc(0, S0, T, CALL_SPEC, average="harmonic")
         with pytest.raises(ValueError):
             price_european_qmc(0, "heston", S0, CALL_SPEC, T)
+
+
+class TestJumpFamilyQMC:
+    """RQMC for the jump families: the Merton terminal is EXACT in 3 Sobol
+    dims (diffusion normal, Poisson-inverse-CDF count, aggregated size
+    normal); Bates appends the same (count, size) pair to the bridged
+    Heston dims."""
+
+    def test_poisson_icdf_matches_cdf(self):
+        from options_model_tpu.pricers.qmc import _poisson_icdf
+        import scipy.stats as st
+        lam = 0.7
+        u = jnp.linspace(0.001, 0.999, 1001)
+        got = np.asarray(_poisson_icdf(u, jnp.float32(lam)))
+        want = st.poisson.ppf(np.asarray(u, np.float64), lam)
+        np.testing.assert_array_equal(got, want)
+
+    def test_merton_exact_vs_series(self):
+        from options_model_tpu.core.config import MertonParams, OptionSpec
+        from options_model_tpu.models.merton import merton_price
+        from options_model_tpu.pricers.qmc import price_european_qmc
+        mp = MertonParams(sigma=0.2, lam=0.5, mu_j=-0.1, sigma_j=0.15)
+        spec = OptionSpec(strike=100.0, rate=0.05, cp=-1.0, sigma=None)
+        p, se, _ = price_european_qmc(7, "merton", 100.0, spec, 0.5,
+                                      merton=mp, n_paths=1 << 12,
+                                      replicates=8)
+        ref = float(merton_price(100.0, 100.0, 0.5, 0.05, mp, cp=-1.0))
+        # exact terminal law: only RQMC noise separates them
+        assert abs(float(p) - ref) < 4 * float(se) + 1e-3
+        assert float(se) < 0.01  # way below plain-MC stderr at equal budget
+
+    def test_bates_matches_cos_within_euler_bias(self):
+        from options_model_tpu.calibration import bates_cos_price
+        from options_model_tpu.core.config import (BatesParams, HestonParams,
+                                                   OptionSpec)
+        from options_model_tpu.pricers.qmc import price_european_qmc
+        bp = BatesParams(heston=HestonParams(kappa=2.0, theta=0.04, xi=0.3,
+                                             rho=-0.7, v0=0.04),
+                         lam=0.3, mu_j=-0.1, sigma_j=0.15)
+        spec = OptionSpec(strike=100.0, rate=0.05, cp=-1.0, sigma=None)
+        p, se, _ = price_european_qmc(7, "bates", 100.0, spec, 0.5,
+                                      bates=bp, n_paths=1 << 12, n_steps=64,
+                                      replicates=8)
+        cos = float(bates_cos_price(100.0, 100.0, 0.5, 0.05, bp, cp=-1.0))
+        # 64-step Euler bias ~5e-3 dominates the tiny RQMC noise
+        assert abs(float(p) - cos) < 4 * float(se) + 0.02
+
+    def test_exotic_cli_sobol_european_merton(self):
+        from options_model_tpu.apps.price_exotic import parse_args, run
+        from options_model_tpu.models.merton import merton_price
+        from options_model_tpu.core.config import MertonParams
+        out = run(parse_args(["european", "--model", "merton", "--sampler",
+                              "sobol", "--paths", "16384", "--steps", "16"]))
+        mp = MertonParams(sigma=0.2, lam=1.0, mu_j=-0.1, sigma_j=0.15)
+        ref = float(merton_price(100.0, 100.0, 0.5, 0.05, mp, cp=1.0))
+        assert abs(out["price"] - ref) < 4 * out["stderr"] + 1e-3
