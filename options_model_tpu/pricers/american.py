@@ -120,12 +120,16 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
             out = kern(seed, S0, rate, T, bates.heston, n_paths, cfg.n_steps,
                        cfg.antithetic, return_variance=return_variance)
             # The kernel rounds n_paths up to ITS tile; build the overlay at
-            # the kernel's actual width (jump_overlay_for's contract).
+            # the kernel's actual width (jump_overlay_for's contract), keyed
+            # per CALL like the kernel's own stream (fold first_block into
+            # the key, local block ids): the tile-rounded cover can exceed
+            # the chunk's global block range, and global-block keying would
+            # then reuse jump blocks across chunked calls.
             n_out = (out[0] if return_variance else out).shape[-1]
-            fac = jump_overlay_for(kj, T, bates.lam, bates.mu_j,
+            fac = jump_overlay_for(jax.random.fold_in(kj, first_block), T,
+                                   bates.lam, bates.mu_j,
                                    bates.sigma_j, cfg, n_out,
-                                   return_paths=True,
-                                   first_block=first_block)
+                                   return_paths=True, first_block=0)
             if return_variance:
                 S, v = out
                 return S * fac, v

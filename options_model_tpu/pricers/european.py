@@ -73,6 +73,15 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
             # The Pallas terminal kernel rounds the path count up to its
             # 16384-path tile; size the overlay to the ACTUAL output width
             # (jump_overlay_for — a TPU-only broadcast crash otherwise).
+            # Keying follows the base engine's convention: the kernel seeds
+            # per CALL (tile ids extend the fb-folded seed), so the overlay
+            # must too — with global-block keying the tile-rounded cover can
+            # spill past the chunk's own block range and REUSE jump blocks
+            # across chunks (correlated payoffs, understated stderr). XLA
+            # bases are path_block-exact, so global keying stays (and keeps
+            # the sharded-equality property).
+            if eng == "pallas":
+                kj, fb = jax.random.fold_in(kj, fb), 0
             fac = jump_overlay_for(kj, T, bates.lam, bates.mu_j,
                                    bates.sigma_j, c, ST.shape[0],
                                    return_paths=False, first_block=fb)

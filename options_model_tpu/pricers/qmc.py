@@ -36,13 +36,26 @@ from options_model_tpu.core.qmc import (
 )
 
 
+def _poisson_nmax(lam_mean: float) -> int:
+    """Static sweep length covering Poisson(lam_mean) to tail mass < 1e-9:
+    mean + 10 sigma + 12 (callers compute it from the CONCRETE lam*T at
+    trace time — a fixed n_max would silently saturate the count and bias
+    the price for large lam*T while the replicate stderr stayed tiny)."""
+    lam_mean = float(lam_mean)
+    if not np.isfinite(lam_mean) or lam_mean < 0:
+        raise ValueError(f"lam*T must be finite and >= 0, got {lam_mean}")
+    if lam_mean > 1e4:
+        raise ValueError(f"lam*T = {lam_mean:g} is beyond the QMC count "
+                         "sweep's practical range; use the mc sampler")
+    return int(lam_mean + 10.0 * math.sqrt(lam_mean) + 12.0)
+
+
 def _poisson_icdf(u, lam_mean, n_max: int = 24):
     """Poisson inverse CDF N(u) = min{n : P(X <= n) >= u} as a fixed
     vectorized sweep over n = 0..n_max-1 (XLA-friendly: no data-dependent
     loop). One Sobol coordinate then drives the jump COUNT with the net's
-    exact one-dimensional stratification. n_max=24 covers lam_mean up to ~8
-    with tail mass < 1e-7; the compound-jump horizons here keep
-    lam_mean = lam*T at O(0.1)."""
+    exact one-dimensional stratification. Size ``n_max`` with _poisson_nmax
+    — too small SILENTLY clamps the count."""
     dtype = u.dtype
     k = jnp.arange(n_max, dtype=dtype)
     from jax.scipy.special import gammaln
@@ -77,20 +90,27 @@ def gbm_paths_qmc(sv, shift, S0, r, sigma, T, n_paths: int, n_steps: int,
 
 def heston_terminal_qmc(sv, shift, S0, r, T, p: HestonParams,
                         n_paths: int, n_steps: int, dtype=jnp.float32,
-                        return_paths: bool = False):
+                        return_paths: bool = False, Z=None,
+                        dim_offset: int = 0):
     """Heston full-truncation Euler driven by two bridged Brownians
-    (dim = 2 * n_steps; asset factor on the even Sobol coordinates, the
-    orthogonal variance component on the odd ones).
+    (2 * n_steps Sobol coordinates starting at ``dim_offset``; asset factor
+    on the even ones, the orthogonal variance component on the odd).
 
     Identical scheme to models/heston.simulate_heston (euler): the QMC price
     estimates the SAME discretized law, only the driving measure changes.
+    ``Z``: precomputed (n_paths, >= dim_offset + 2*n_steps) normals — pass it
+    when the caller already generated the point set (avoids regenerating the
+    whole net; the Bates branch threads one matrix through count, size and
+    diffusion).
     """
-    Z = sobol_normals(sv, shift, 0, n_paths, dtype)[:, :2 * n_steps]
-    # (slice BEFORE de-interleaving: callers may carry extra trailing Sobol
-    # dims, e.g. the Bates jump pair — 0::2 over the full width would
-    # misalign the factor split)
-    dB1 = bb_increments(Z[:, 0::2], T)                        # asset driver
-    dB2 = bb_increments(Z[:, 1::2], T)                        # orthogonal
+    if Z is None:
+        Z = sobol_normals(sv, shift, 0, n_paths, dtype)
+    Zh = Z[:, dim_offset:dim_offset + 2 * n_steps]
+    # (slice BEFORE de-interleaving: callers may carry extra Sobol dims,
+    # e.g. the Bates jump pair — 0::2 over the full width would misalign
+    # the factor split)
+    dB1 = bb_increments(Zh[:, 0::2], T)                       # asset driver
+    dB2 = bb_increments(Zh[:, 1::2], T)                       # orthogonal
     dt = jnp.asarray(T, dtype) / n_steps
     kappa = jnp.asarray(p.kappa, dtype)
     theta = jnp.asarray(p.theta, dtype)
@@ -176,22 +196,25 @@ def price_european_qmc(seed: int, model: str, S0, spec: OptionSpec, T, *,
     elif model == "merton":
         if merton is None:
             raise ValueError("merton params required for model='merton'")
+        from jax.scipy.special import ndtri
         sig = jnp.asarray(merton.sigma, dtype)
         lam = jnp.asarray(merton.lam, dtype)
         mu_j = jnp.asarray(merton.mu_j, dtype)
         sig_j = jnp.asarray(merton.sigma_j, dtype)
         kbar = jnp.exp(mu_j + 0.5 * sig_j ** 2) - 1.0
         Tf = jnp.asarray(T, dtype)
+        n_max = _poisson_nmax(float(merton.lam) * float(T))
 
         @jax.jit
         def rep_mean(sv, shift):
+            # ONE point-set generation; normals via ndtri on the same
+            # uniforms (sobol_normals would regenerate the whole net).
             u = sobol_uniforms(sv, shift, 0, n_paths, dtype)   # (P, 3)
-            Z = sobol_normals(sv, shift, 0, n_paths, dtype)
-            nj = _poisson_icdf(u[:, 1], lam * Tf)
+            nj = _poisson_icdf(u[:, 1], lam * Tf, n_max=n_max)
             logS = (jnp.log(jnp.asarray(S0, dtype))
                     + (drift - 0.5 * sig ** 2 - lam * kbar) * Tf
-                    + sig * jnp.sqrt(Tf) * Z[:, 0]
-                    + nj * mu_j + sig_j * jnp.sqrt(nj) * Z[:, 2])
+                    + sig * jnp.sqrt(Tf) * ndtri(u[:, 0])
+                    + nj * mu_j + sig_j * jnp.sqrt(nj) * ndtri(u[:, 2]))
             return jnp.mean(vanilla_payoff(jnp.exp(logS), spec.strike,
                                            spec.cp)) * disc
 
@@ -199,25 +222,32 @@ def price_european_qmc(seed: int, model: str, S0, spec: OptionSpec, T, *,
     elif model == "bates":
         if bates is None:
             raise ValueError("bates params required for model='bates'")
+        from jax.scipy.special import ndtri
         lam = jnp.asarray(bates.lam, dtype)
         mu_j = jnp.asarray(bates.mu_j, dtype)
         sig_j = jnp.asarray(bates.sigma_j, dtype)
         kbar = jnp.exp(mu_j + 0.5 * sig_j ** 2) - 1.0
         Tf = jnp.asarray(T, dtype)
         hp = bates.heston
+        n_max = _poisson_nmax(float(bates.lam) * float(T))
 
         @jax.jit
         def rep_mean(sv, shift):
+            # Jump (count, size) on the LEADING dims 0-1 — for jump-heavy
+            # parameters the terminal jump factor carries a large variance
+            # share, and the net's equidistribution is best in its first
+            # coordinates (the bridge packs the diffusion variance into the
+            # following dims). One point-set generation for everything.
+            u = sobol_uniforms(sv, shift, 0, n_paths, dtype)
+            Z = ndtri(u)
+            nj = _poisson_icdf(u[:, 0], lam * Tf, n_max=n_max)
+            fac = jnp.exp(nj * mu_j + sig_j * jnp.sqrt(nj) * Z[:, 1])
             # Heston drift carries the jump compensator; the terminal jump
             # factor multiplies on (independent components — the exact
             # factorization models/bates.py documents).
             S_T = heston_terminal_qmc(sv, shift, S0, drift - lam * kbar, T,
-                                      hp, n_paths, n_steps, dtype)
-            u = sobol_uniforms(sv, shift, 0, n_paths, dtype)
-            Z = sobol_normals(sv, shift, 0, n_paths, dtype)
-            nj = _poisson_icdf(u[:, 2 * n_steps], lam * Tf)
-            fac = jnp.exp(nj * mu_j + sig_j * jnp.sqrt(nj)
-                          * Z[:, 2 * n_steps + 1])
+                                      hp, n_paths, n_steps, dtype,
+                                      Z=Z, dim_offset=2)
             return jnp.mean(vanilla_payoff(S_T * fac, spec.strike,
                                            spec.cp)) * disc
 

@@ -210,3 +210,27 @@ class TestJumpFamilyQMC:
         mp = MertonParams(sigma=0.2, lam=1.0, mu_j=-0.1, sigma_j=0.15)
         ref = float(merton_price(100.0, 100.0, 0.5, 0.05, mp, cp=1.0))
         assert abs(out["price"] - ref) < 4 * out["stderr"] + 1e-3
+
+    def test_merton_large_lam_not_saturated(self):
+        """lam*T = 12 needs a ~50-term count sweep; the fixed n_max=24 of an
+        earlier draft silently clamped ~the whole upper tail and biased the
+        price by percents while the replicate stderr stayed tiny
+        (_poisson_nmax sizes the sweep from the concrete lam*T)."""
+        from options_model_tpu.core.config import MertonParams, OptionSpec
+        from options_model_tpu.models.merton import merton_price
+        from options_model_tpu.pricers.qmc import price_european_qmc
+        mp = MertonParams(sigma=0.2, lam=12.0, mu_j=-0.05, sigma_j=0.1)
+        spec = OptionSpec(strike=100.0, rate=0.05, cp=-1.0, sigma=None)
+        p, se, _ = price_european_qmc(3, "merton", 100.0, spec, 1.0,
+                                      merton=mp, n_paths=1 << 12,
+                                      replicates=8)
+        ref = float(merton_price(100.0, 100.0, 1.0, 0.05, mp, cp=-1.0,
+                                 n_terms=96))
+        assert abs(float(p) - ref) < 4 * float(se) + 5e-3, (float(p), ref)
+
+    def test_poisson_nmax_guards(self):
+        from options_model_tpu.pricers.qmc import _poisson_nmax
+        assert _poisson_nmax(0.0) == 12
+        assert _poisson_nmax(100.0) >= 200
+        with pytest.raises(ValueError, match="practical range"):
+            _poisson_nmax(1e6)
