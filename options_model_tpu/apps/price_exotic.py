@@ -85,9 +85,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     pa.add_argument("--strike-type", type=str, default="fixed",
                     choices=["fixed", "floating"])
     pa.add_argument("--sampler", type=str, default="mc",
-                    choices=["mc", "sobol"],
+                    choices=["mc", "sobol", "mlmc"],
                     help="sobol = randomized QMC (scrambled Sobol + "
-                         "Brownian bridge; ~10x lower stderr at equal paths)")
+                         "Brownian bridge; ~10x lower stderr at equal paths); "
+                         "mlmc = multilevel MC targeting the CONTINUOUSLY "
+                         "monitored average to --eps RMS (gbm/heston)")
+    pa.add_argument("--eps", type=float, default=1e-2,
+                    help="mlmc target RMS error in price units")
 
     pl = sub.add_parser("lookback", help="Lookback option on the extreme")
     _add_common(pl)
@@ -106,7 +110,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     pe = sub.add_parser("european", help="European vanilla (MC or RQMC)")
     _add_common(pe)
     pe.add_argument("--sampler", type=str, default="sobol",
-                    choices=["mc", "sobol"])
+                    choices=["mc", "sobol", "mlmc"],
+                    help="mlmc = multilevel MC to --eps RMS accuracy "
+                         "(discretization bias included; gbm/heston)")
+    pe.add_argument("--eps", type=float, default=1e-2,
+                    help="mlmc target RMS error in price units")
 
     pk = sub.add_parser("basket", help="European multi-asset option")
     _add_common(pk, multi=True)
@@ -167,6 +175,30 @@ def run(args: argparse.Namespace) -> dict:
                 lam=bp[5], mu_j=bp[6], sigma_j=bp[7]).validate()
         mc = MCConfig(n_paths=args.paths, n_steps=args.steps,
                       path_block=4096)
+        if getattr(args, "sampler", "mc") == "mlmc":
+            if args.model not in ("gbm", "heston"):
+                raise SystemExit("--sampler mlmc supports gbm/heston only "
+                                 "(jump couplings not implemented)")
+            if args.contract == "asian" and (
+                    args.average != "arithmetic"
+                    or args.strike_type != "fixed"):
+                raise SystemExit("--sampler mlmc prices the fixed-strike "
+                                 "arithmetic Asian only")
+            from options_model_tpu.pricers.mlmc import price_mlmc
+            res = price_mlmc(
+                key, args.spot, args.strike, args.r, args.t, cp=cp,
+                payoff=args.contract, model=args.model, sigma=args.sigma,
+                heston=heston, eps=args.eps, q=args.q)
+            out.update({
+                "price": res.price, "stderr": res.stderr,
+                "bias_bound": res.bias_bound, "levels": res.levels,
+                "n_per_level": res.n_per_level,
+                "alpha": round(res.alpha, 3), "beta": round(res.beta, 3),
+                "path_steps": res.cost,
+                "mc_path_steps_equiv": res.mc_cost_equiv,
+            })
+            out["n_paths"] = int(sum(res.n_per_level)) * 2
+            return out
         if (getattr(args, "sampler", "mc") == "sobol"
                 and args.model in ("merton", "bates")
                 and args.contract == "asian"):

@@ -28,6 +28,7 @@ from options_model_tpu.pricers.american import (
 from options_model_tpu.pricers.barrier import price_barrier_mc
 from options_model_tpu.pricers.dual import price_american_bracket
 from options_model_tpu.pricers.qmc import price_asian_qmc, price_european_qmc
+from options_model_tpu.pricers.mlmc import MLMCResult, price_mlmc
 from options_model_tpu.pricers.basket import (
     geometric_basket_bs_price,
     price_basket_mc,
@@ -55,6 +56,8 @@ __all__ = [
     "price_barrier_mc",
     "price_american_bracket",
     "price_asian_qmc",
+    "price_mlmc",
+    "MLMCResult",
     "price_basket_mc",
     "geometric_basket_bs_price",
     "price_american_basket",

@@ -198,6 +198,19 @@ def main():
             s0, float(row2["Option Value"].iloc[0]), crr2)
     log("shared-path sweep: 3 spots vs CRR ok (far point, 262k paths)")
 
+    # 8c. Multilevel MC: the coupled Heston hierarchy must land on the COS
+    # closed form within its own eps contract (bias + variance halves).
+    from options_model_tpu.pricers.mlmc import price_mlmc
+    res_ml = price_mlmc(key, S0, K, r, T, cp=1.0, payoff="european",
+                        model="heston", heston=hp, eps=3e-2, n0=4,
+                        L_min=2, L_max=5, n_pilot=4096)
+    cos_ml = float(heston_cos_price(S0, K, T, r, hp, cp=1.0))
+    err_ml = abs(res_ml.price - cos_ml)
+    log(f"MLMC heston EU: {res_ml.price:.4f} vs COS {cos_ml:.4f} "
+        f"(se {res_ml.stderr:.4f}, bias<={res_ml.bias_bound:.4f}, "
+        f"levels {res_ml.levels}, beta {res_ml.beta:.2f})")
+    assert err_ml < 4 * res_ml.stderr + max(res_ml.bias_bound, 3e-2)
+
     # 9. Validation errors raise cleanly.
     for bad in (lambda: OptionSpec(strike=-5.0, rate=r).validate(),
                 lambda: HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-2.0,
