@@ -140,7 +140,10 @@ def _coupled_heston_block(block_key, S0, r, T, p: HestonParams, nc: int,
         sum_c = sum_c + jnp.exp(logS_c)
         return (logS_f, v_f, sum_f, logS_c, v_c, sum_c), None
 
-    z = jnp.zeros((block,), dtype)
+    # vary0 ties the zero-initialized running sums to the key's data so their
+    # sharding "varying" annotation matches the per-step randomness under
+    # shard_map (same trick as models/heston.simulate_heston).
+    z = jnp.zeros((block,), dtype) + vary0
     carry0 = (logS0, v0, z, logS0, v0, z)
     (logS_f, _, sum_f, logS_c, _, sum_c), _ = jax.lax.scan(
         coarse_step, carry0, jnp.arange(nc))
@@ -151,12 +154,17 @@ def _coupled_heston_block(block_key, S0, r, T, p: HestonParams, nc: int,
 def _level_sampler(model: str, payoff: Callable, S0, r, T, level: int,
                    n0: int, M: int, block: int, antithetic: bool, dtype,
                    sigma=None, heston: Optional[HestonParams] = None,
-                   n_blocks: int = 1):
+                   n_blocks: int = 1, mesh=None):
     """Build the jitted level-l correction sampler.
 
     Returns sample(key, first_block) -> Y (n_blocks*block,) where
     Y = P_fine - P_coarse for level > 0 and Y = P_fine for level 0.
     payoff(S_T, avg) -> per-path UNdiscounted payoff.
+
+    ``mesh``: optional 1-axis jax.sharding.Mesh — the blocks are split across
+    its devices (levels are embarrassingly parallel over path blocks). The
+    RNG is keyed by GLOBAL block index either way, so the meshed result is
+    the single-device stream bit-for-bit (tested: test_mlmc.py).
     """
     nc = n0 * (M ** (level - 1)) if level > 0 else n0
     Mi = M if level > 0 else 1
@@ -175,11 +183,32 @@ def _level_sampler(model: str, payoff: Callable, S0, r, T, level: int,
             return pf
         return pf - payoff(sc, ac)
 
+    def run_blocks(key, blocks):
+        bks = jax.vmap(lambda b: jax.random.fold_in(key, b))(blocks)
+        return jax.vmap(block_sample)(bks).reshape(-1)
+
+    if mesh is None:
+        @jax.jit
+        def sample(key, first_block):
+            return run_blocks(key, first_block + jnp.arange(n_blocks))
+        return sample
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    (axis,) = mesh.axis_names
+    ndev = mesh.devices.size
+    if n_blocks % ndev:
+        raise ValueError(f"n_blocks={n_blocks} not divisible by the "
+                         f"{ndev}-device mesh")
+    local = n_blocks // ndev
+
     @jax.jit
     def sample(key, first_block):
-        bks = jax.vmap(lambda b: jax.random.fold_in(key, b))(
-            first_block + jnp.arange(n_blocks))
-        return jax.vmap(block_sample)(bks).reshape(-1)
+        def shard_fn(key, first_block):
+            start = first_block + jax.lax.axis_index(axis) * local
+            return run_blocks(key, start + jnp.arange(local))
+        return shard_map(shard_fn, mesh=mesh, in_specs=(P(), P()),
+                         out_specs=P(axis))(key, jnp.asarray(first_block))
 
     return sample
 
@@ -233,7 +262,7 @@ def mlmc_estimate(key, make_sampler: Callable[[int, int], Callable], *,
                   eps: float, n0: int, M: int = 2, L_min: int = 2,
                   L_max: int = 8, n_pilot: int = 4096, block: int = 4096,
                   antithetic: bool = True, max_samples: int = 1 << 24,
-                  discount: float = 1.0) -> MLMCResult:
+                  discount: float = 1.0, devices: int = 1) -> MLMCResult:
     """Run the Giles MLMC loop.
 
     make_sampler(level, n_blocks) -> jitted sample(key, first_block) -> (n,)
@@ -257,14 +286,17 @@ def mlmc_estimate(key, make_sampler: Callable[[int, int], Callable], *,
         return cost_unit[l]
 
     def draw(l, n_samples):
-        """Take n_samples more paths at level l (rounded up to whole blocks)."""
+        """Take n_samples more paths at level l (rounded up to whole blocks,
+        and to whole per-device block sets under a mesh)."""
         st = stats.setdefault(l, _LevelStats())
         nb_total = (n_samples + block - 1) // block
-        # chunk so one device call stays ~2^20 paths
+        nb_total = ((nb_total + devices - 1) // devices) * devices
+        # chunk so one device call stays ~2^20 paths per device
         chunk = max(1, (1 << 20) // (block * max(1, n0 * M ** l // 64)))
+        chunk = ((chunk + devices - 1) // devices) * devices
         lkey = jax.random.fold_in(key, l)
         while nb_total > 0:
-            nb = min(nb_total, chunk)
+            nb = min(nb_total, chunk)  # both multiples of devices
             sk = samplers.get((l, nb))
             if sk is None:
                 sk = samplers[(l, nb)] = make_sampler(l, nb)
@@ -365,7 +397,8 @@ def price_mlmc(key, S0, K, r, T, *, cp=1.0, payoff: str = "european",
                heston: Optional[HestonParams] = None, eps: float = 5e-3,
                q: float = 0.0, n0: int = 4, M: int = 2, L_min: int = 2,
                L_max: int = 8, n_pilot: int = 4096, block: int = 4096,
-               antithetic: bool = True, dtype=jnp.float32) -> MLMCResult:
+               antithetic: bool = True, dtype=jnp.float32,
+               mesh=None) -> MLMCResult:
     """Multilevel European/Asian pricer under GBM or Heston Euler dynamics.
 
     eps: target RMS error in PRICE units (bias and stderr each <= eps/sqrt(2)).
@@ -373,6 +406,12 @@ def price_mlmc(key, S0, K, r, T, *, cp=1.0, payoff: str = "european",
     hierarchy refines the monitoring grid, unlike price_asian_mc which prices
     the fixed n_steps-date contract. ``q``: continuous dividend yield (risk-
     neutral drift r - q; discounting stays at r).
+
+    ``mesh``: optional 1-axis jax.sharding.Mesh — every level's path blocks
+    are sharded across its devices. The sample STREAM equals the
+    single-device one (global-block-keyed RNG); per-level counts round up to
+    whole per-device block sets, so the estimate agrees statistically
+    (tested in tests/test_mlmc.py).
     """
     if model == "gbm" and sigma is None:
         raise ValueError("model='gbm' needs sigma")
@@ -384,9 +423,10 @@ def price_mlmc(key, S0, K, r, T, *, cp=1.0, payoff: str = "european",
     def make_sampler(level, n_blocks):
         return _level_sampler(model, pay, S0, mu, T, level, n0, M, block,
                               antithetic, dtype, sigma=sigma, heston=heston,
-                              n_blocks=n_blocks)
+                              n_blocks=n_blocks, mesh=mesh)
 
     disc = math.exp(-float(r) * float(T))
     return mlmc_estimate(key, make_sampler, eps=eps, n0=n0, M=M, L_min=L_min,
                          L_max=L_max, n_pilot=n_pilot, block=block,
-                         antithetic=antithetic, discount=disc)
+                         antithetic=antithetic, discount=disc,
+                         devices=1 if mesh is None else mesh.devices.size)

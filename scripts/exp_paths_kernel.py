@@ -24,16 +24,53 @@ from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, "/root/repo")
 from options_model_tpu.core.config import HestonParams
 from options_model_tpu.ops.pallas_heston import (
-    _LANES, _heston_body, _params_array, _round_up, heston_paths_pallas)
+    _LANES, _heston_body, _params_array, _round_up, _step_normals,
+    heston_paths_pallas)
 
 
-def _make_paths_fn(rows, mode):
+def _make_paths_fn(rows, mode, unroll=1):
     def kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
         pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
         S0 = par_ref[0, 0]
         logS0 = jnp.log(S0)
 
-        if mode == "per_step_exp":
+        if mode == "batched":
+            # E: unroll U steps per fori iteration, ONE (U, rows, 128) slab
+            # store instead of U row stores — tests whether the store cost
+            # is per-instruction overhead or raw VMEM bandwidth.
+            r = par_ref[0, 1]
+            dt = par_ref[0, 2]
+            kappa = par_ref[0, 3]
+            theta = par_ref[0, 4]
+            xi = par_ref[0, 5]
+            rho = par_ref[0, 6]
+            rho_bar = par_ref[0, 7]
+            v0 = par_ref[0, 8]
+            sqrt_dt = jnp.sqrt(dt)
+            assert n_steps % unroll == 0
+
+            def body(c, carry):
+                logS, v = carry
+                outs = []
+                for _ in range(unroll):
+                    z1, z2 = _step_normals(rows, antithetic)
+                    w2 = rho * z1 + rho_bar * z2
+                    v_plus = jnp.maximum(v, 0.0)
+                    sq = jnp.sqrt(v_plus) * sqrt_dt
+                    v = jnp.maximum(
+                        v_plus + kappa * (theta - v_plus) * dt + xi * sq * w2,
+                        0.0)
+                    logS = logS + (r - 0.5 * v_plus) * dt + sq * z1
+                    outs.append(logS)
+                out_ref[pl.ds(c * unroll + 1, unroll)] = jnp.stack(outs)
+                return logS, v
+
+            out_ref[0] = jnp.zeros((rows, _LANES), jnp.float32)
+            jax.lax.fori_loop(0, n_steps // unroll, body,
+                              (jnp.zeros((rows, _LANES), jnp.float32),
+                               jnp.full((rows, _LANES), v0, jnp.float32)))
+            out_ref[:] = jnp.exp(logS0 + out_ref[:])
+        elif mode == "per_step_exp":
             def emit(t, logS, v):
                 out_ref[t + 1] = jnp.exp(logS0 + logS)
             out_ref[0] = jnp.full((rows, _LANES), S0, jnp.float32)
@@ -97,20 +134,21 @@ def main():
         s, 100.0, 0.05, 1.0, hp, n_paths, n_steps)[-1])
     print(f"current (per-step exp, rows=32): {n_paths*n_steps/dt0/1e9:.1f}e9 path-steps/s")
 
-    for rows, mode, label in [
-        (32, "bulk_exp", "B bulk-exp rows=32"),
-        (64, "bulk_exp", "C bulk-exp rows=64"),
-        (16, "bulk_exp", "B16 bulk-exp rows=16"),
-        (32, "no_exp", "D log-only rows=32 (upper bound)"),
-        (64, "no_exp", "D64 log-only rows=64"),
+    for rows, mode, unroll, label in [
+        (32, "bulk_exp", 1, "B bulk-exp rows=32"),
+        (32, "batched", 2, "E2 batched-store U=2"),
+        (32, "batched", 4, "E4 batched-store U=4"),
+        (32, "batched", 10, "E10 batched-store U=10"),
+        (16, "batched", 4, "E4/16 batched-store U=4 rows=16"),
+        (32, "no_exp", 1, "D log-only rows=32 (upper bound)"),
     ]:
-        fn = _make_paths_fn(rows, mode)
+        fn = _make_paths_fn(rows, mode, unroll)
         # correctness pin vs current variant (same RNG stream per tile size
         # only when rows match: rows=32 variants must agree exactly)
         if rows == 32:
             a = heston_paths_pallas(7, 100.0, 0.05, 1.0, hp, 1 << 14, 20)
             b = fn(7, 100.0, 0.05, 1.0, hp, 1 << 14, 20)
-            if mode == "bulk_exp":
+            if mode in ("bulk_exp", "batched"):
                 err = float(jnp.max(jnp.abs(a - b) / a))
             else:
                 err = float(jnp.max(jnp.abs(a - jnp.exp(jnp.log(100.0) + b.at[0].set(0.0)))

@@ -123,6 +123,30 @@ class TestEstimator:
         assert tight.cost > 4 * loose.cost  # O(eps^-2) in the variance half
         assert tight.stderr < loose.stderr
 
+    def test_mesh_sampler_stream_matches_single_device(self, key, devices8):
+        """Blocks are keyed by GLOBAL index, so the 8-device sampler must
+        emit the single-device stream sample-for-sample."""
+        from jax.sharding import Mesh
+        pay = _payoff_fn("european", K, 1.0, jnp.float32)
+        args = ("heston", pay, S0, R, T, 1, 4, 2, 512, True, jnp.float32)
+        ref = _level_sampler(*args, heston=HP, n_blocks=16)(key, 0)
+        mesh = Mesh(np.array(devices8), ("paths",))
+        shd = _level_sampler(*args, heston=HP, n_blocks=16, mesh=mesh)(key, 0)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(shd))
+
+    def test_mesh_estimate_statistically_consistent(self, key, devices8):
+        """The meshed estimate may draw a few extra blocks (counts round to
+        whole per-device sets) but must agree within joint MC error."""
+        from jax.sharding import Mesh
+        kw = dict(cp=1.0, payoff="european", model="heston", heston=HP,
+                  eps=3e-2, n0=4, n_pilot=8192, L_min=2, L_max=3, block=512)
+        ref = price_mlmc(key, S0, K, R, T, **kw)
+        with Mesh(np.array(devices8), ("paths",)) as mesh:
+            sharded = price_mlmc(key, S0, K, R, T, mesh=mesh, **kw)
+        tol = 4 * float(np.hypot(ref.stderr, sharded.stderr)) + 1e-4
+        assert abs(sharded.price - ref.price) < tol
+        assert sharded.levels == ref.levels
+
     def test_validation(self, key):
         with pytest.raises(ValueError):
             price_mlmc(key, S0, K, R, T, model="gbm")  # sigma missing
