@@ -58,7 +58,13 @@ def _add_common(p, multi=False):
         p.add_argument("--spot", type=float, default=100.0)
         p.add_argument("--sigma", type=float, default=0.2)
         p.add_argument("--model", type=str, default="gbm",
-                       choices=["gbm", "heston", "merton", "bates"])
+                       choices=["gbm", "heston", "merton", "bates", "sabr"],
+                       help="sabr is european-only (the forward-measure "
+                            "simulator prices terminal payoffs)")
+        p.add_argument("--sabr", type=float, nargs=4, default=None,
+                       metavar=("ALPHA", "BETA", "RHO", "NU"),
+                       help="SABR parameters (default: alpha=0.2 beta=1 "
+                            "rho=-0.4 nu=0.6)")
         p.add_argument("--heston", type=float, nargs=5, default=None,
                        metavar=("KAPPA", "THETA", "XI", "RHO", "V0"))
         p.add_argument("--merton", type=float, nargs=4, default=None,
@@ -175,6 +181,26 @@ def run(args: argparse.Namespace) -> dict:
                 lam=bp[5], mu_j=bp[6], sigma_j=bp[7]).validate()
         mc = MCConfig(n_paths=args.paths, n_steps=args.steps,
                       path_block=4096)
+        if getattr(args, "model", "gbm") == "sabr":
+            if args.contract != "european":
+                raise SystemExit("--model sabr supports the european "
+                                 "contract only (forward-measure simulator)")
+            from options_model_tpu.core.config import SABRParams
+            from options_model_tpu.models.sabr import (sabr_bs_price,
+                                                       sabr_european_mc)
+            sp = args.sabr or (0.2, 1.0, -0.4, 0.6)
+            sabr = SABRParams(alpha=sp[0], beta=sp[1], rho=sp[2],
+                              nu=sp[3]).validate()
+            price, se = sabr_european_mc(
+                key, args.spot, args.strike, args.r, args.t, sabr, mc,
+                cp=cp, q=args.q)
+            import jax.numpy as jnp
+            F0 = args.spot * float(jnp.exp((args.r - args.q) * args.t))
+            out["hagan_closed_form"] = float(sabr_bs_price(
+                F0, args.strike, args.t, args.r, sabr, cp))
+            out["price"] = float(price)
+            out["stderr"] = float(se)
+            return out
         if getattr(args, "sampler", "mc") == "mlmc":
             if args.model not in ("gbm", "heston"):
                 raise SystemExit("--sampler mlmc supports gbm/heston only "

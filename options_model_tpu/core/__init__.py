@@ -9,6 +9,7 @@ functions over JAX pytrees.
 from options_model_tpu.core.config import (
     HestonParams,
     MertonParams,
+    SABRParams,
     BatesParams,
     LSMConfig,
     MCConfig,
@@ -37,6 +38,7 @@ from options_model_tpu.core.timegrid import (
 __all__ = [
     "HestonParams",
     "MertonParams",
+    "SABRParams",
     "BatesParams",
     "LSMConfig",
     "MCConfig",

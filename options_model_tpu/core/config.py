@@ -210,6 +210,47 @@ class BatesParams:
 
 
 @struct.dataclass
+class SABRParams:
+    """SABR stochastic-volatility parameters (beyond-reference dynamics).
+
+        dF = alpha_t F^beta dW1,   d alpha = nu alpha dW2,
+        corr(dW1, dW2) = rho,  alpha_0 = alpha.
+
+    The industry-standard smile model (Hagan et al. 2002, "Managing Smile
+    Risk"); ``models/sabr.py`` carries the closed-form lognormal implied vol,
+    the exact-lognormal-alpha simulator, and the smile calibrator.
+    """
+
+    alpha: float  # initial instantaneous vol level
+    beta: float   # CEV backbone exponent in [0, 1]
+    rho: float    # forward/vol correlation
+    nu: float     # vol of vol
+
+    def validate(self) -> "SABRParams":
+        if self.alpha <= 0:
+            raise ValueError(f"alpha={self.alpha} must be positive")
+        if not 0.0 <= self.beta <= 1.0:
+            raise ValueError(f"beta={self.beta} must be in [0, 1]")
+        if not -1.0 < self.rho < 1.0:
+            raise ValueError(f"rho={self.rho} must be in (-1, 1)")
+        if self.nu < 0:
+            raise ValueError(f"nu={self.nu} must be non-negative")
+        return self
+
+    def to_array(self) -> jnp.ndarray:
+        return jnp.array([self.alpha, self.beta, self.rho, self.nu])
+
+    @classmethod
+    def from_array(cls, x) -> "SABRParams":
+        return cls(alpha=float(x[0]), beta=float(x[1]), rho=float(x[2]),
+                   nu=float(x[3]))
+
+    def __str__(self) -> str:
+        return (f"SABRParams(alpha={self.alpha:.4f}, beta={self.beta:.2f}, "
+                f"rho={self.rho:.4f}, nu={self.nu:.4f})")
+
+
+@struct.dataclass
 class MCConfig:
     """Monte-Carlo workload shape.
 

@@ -22,6 +22,13 @@ from options_model_tpu.models.heston import simulate_heston
 from options_model_tpu.models.merton import merton_price, simulate_merton
 from options_model_tpu.models.bates import simulate_bates
 from options_model_tpu.models.localvol import simulate_local_vol
+from options_model_tpu.models.sabr import (
+    calibrate_sabr,
+    hagan_lognormal_iv,
+    sabr_bs_price,
+    sabr_european_mc,
+    simulate_sabr,
+)
 from options_model_tpu.models.multiasset import (
     correlation_cholesky,
     gbm_basket_terminal_exact,
@@ -37,6 +44,11 @@ __all__ = [
     "merton_price",
     "simulate_bates",
     "simulate_local_vol",
+    "simulate_sabr",
+    "sabr_european_mc",
+    "sabr_bs_price",
+    "hagan_lognormal_iv",
+    "calibrate_sabr",
     "simulate_gbm_basket",
     "gbm_basket_terminal_exact",
     "correlation_cholesky",

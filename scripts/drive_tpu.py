@@ -211,6 +211,20 @@ def main():
         f"levels {res_ml.levels}, beta {res_ml.beta:.2f})")
     assert err_ml < 4 * res_ml.stderr + max(res_ml.bias_bound, 3e-2)
 
+    # 8d. SABR: European MC (frozen-vol CV) on the chip vs the Hagan closed
+    # form, within MC error + the formula's own O(nu^2 T) approximation.
+    from options_model_tpu.core.config import SABRParams
+    from options_model_tpu.models.sabr import sabr_bs_price, sabr_european_mc
+    sabr = SABRParams(alpha=0.2, beta=1.0, rho=-0.4, nu=0.6).validate()
+    mc_s = MCConfig(n_paths=262_144, n_steps=64)
+    S0_fwd = S0 * float(jnp.exp(-r * T))   # so F0 = S0
+    p_sabr, se_sabr = sabr_european_mc(key, S0_fwd, K, r, T, sabr, mc_s,
+                                       cp=1.0)
+    hagan = float(sabr_bs_price(S0, K, T, r, sabr, 1.0))
+    log(f"SABR EU: mc {float(p_sabr):.4f} +- {float(se_sabr):.4f} vs "
+        f"Hagan {hagan:.4f}")
+    assert abs(float(p_sabr) - hagan) < 4 * float(se_sabr) + 3e-3 * hagan
+
     # 9. Validation errors raise cleanly.
     for bad in (lambda: OptionSpec(strike=-5.0, rate=r).validate(),
                 lambda: HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-2.0,

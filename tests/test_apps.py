@@ -594,6 +594,26 @@ class TestExoticCLI:
             self._run(["basket", "--spots", "100", "95", "--sigmas",
                        "0.2", "0.3", "--corr", "1", "0.4", "0.4"])
 
+    def test_sabr_european_cli(self):
+        out = self._run(["european", "--model", "sabr", "--paths", "32768",
+                         "--steps", "32", "--t", "0.5"])
+        # MC vs the reported Hagan closed form: 4 sigma + the O(nu^2 T)
+        # approximation allowance (tests/test_sabr.py measures ~0.2%)
+        ref = out["hagan_closed_form"]
+        assert abs(out["price"] - ref) < 4.0 * out["stderr"] + 3e-3 * ref
+        with pytest.raises(SystemExit):  # european-only family
+            self._run(["asian", "--model", "sabr", "--paths", "8192"])
+
+    def test_mlmc_sampler_cli(self):
+        from options_model_tpu.pricers import bs_price
+        out = self._run(["european", "--sampler", "mlmc", "--eps", "0.05",
+                         "--t", "0.5"])
+        ref = float(bs_price(100.0, 100.0, 0.5, 0.05, 0.2, 1.0))
+        assert abs(out["price"] - ref) < 4.0 * out["stderr"] + 0.05
+        assert out["levels"] >= 3
+        with pytest.raises(SystemExit):  # jump couplings not implemented
+            self._run(["european", "--sampler", "mlmc", "--model", "merton"])
+
 
 class TestBatesCLI:
     """model='bates' reachable from the exotic pricer and the calibrate app."""
