@@ -10,8 +10,22 @@ from options_model_tpu.surface.network import IVNetwork
 from options_model_tpu.surface.loss import arbitrage_penalty_fd, vega_weights
 from options_model_tpu.surface.train import SurfaceTrainResult, train_iv_surface
 from options_model_tpu.surface.model import IVSurfaceModel
+from options_model_tpu.surface.svi import (
+    SVISlice,
+    SVISurface,
+    fit_svi_slice,
+    fit_svi_surface,
+    svi_butterfly_g,
+    svi_total_variance,
+)
 
 __all__ = [
+    "SVISlice",
+    "SVISurface",
+    "fit_svi_slice",
+    "fit_svi_surface",
+    "svi_butterfly_g",
+    "svi_total_variance",
     "SurfaceScaler",
     "IVNetwork",
     "arbitrage_penalty_fd",
