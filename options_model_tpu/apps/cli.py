@@ -73,8 +73,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--engine", type=str, default="auto",
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--iv", type=str, default=None,
-                   help="Implied vol: a float, 'nn' for the IV-surface network, "
-                        "or omit to fetch the live IV")
+                   help="Implied vol: a float, 'nn' for the IV-surface "
+                        "network, 'svi' for the parametric SVI surface "
+                        "(Dupire local vol), or omit to fetch the live IV")
     p.add_argument("--greeks", type=float, nargs=5, default=None,
                    metavar=("DELTA", "GAMMA", "VEGA", "THETA", "RHO"),
                    help="Override Greeks instead of computing them")
@@ -214,7 +215,7 @@ def interactive_wizard(args, input_fn=input) -> argparse.Namespace:
                                  int)
     args.model = ask_choice("Model (bs/heston/both/merton/bates)", args.model,
                             ("bs", "heston", "both", "merton", "bates"))
-    iv = ask("Implied vol (float, 'nn', or blank to auto-fetch)",
+    iv = ask("Implied vol (float, 'nn', 'svi', or blank to auto-fetch)",
              args.iv or "", str)
     args.iv = iv or None
     args.heston_scheme = ask_choice("Heston scheme (euler/qe)",
@@ -288,6 +289,31 @@ def _resolve_sigma(args, S0_live: float, sigma_hist: float, T_live: float):
         sigma = model.get_sigma_iv(args.K, S0_live, max(T_live, 1e-3))
         log.info(f"NN-predicted starting IV at live spot: {sigma:.2%}")
         return sigma, model
+    if args.iv is not None and args.iv.lower() == "svi":
+        # Parametric counterpart of --iv nn: per-expiry raw-SVI fits with
+        # closed-form no-arbitrage diagnostics, then TRUE Dupire local vol
+        # through the same fused local-vol sweep path (surface/svi.py).
+        from options_model_tpu.surface.svi import (SVILocalVolEngine,
+                                                   fit_svi_from_chain)
+        if args.synthetic:
+            from options_model_tpu.data.synthetic import synthetic_smile_surface
+            K_o, T_o, iv_o, S0_o = synthetic_smile_surface(S0=S0_live)
+        else:
+            from options_model_tpu.data.market import fetch_option_chain
+            K_o, T_o, iv_o, S0_o = fetch_option_chain(args.ticker)
+        log.info("Fitting SVI surface...")
+        surf, infos = fit_svi_from_chain(K_o, T_o, iv_o, S0_o, rate=args.r,
+                                         div_yield=args.q)
+        bfly = surf.check_butterfly()
+        cal = surf.check_calendar()
+        log.info(f"SVI surface: {len(surf.expiries)} expiries, worst slice "
+                 f"RMSE {max(i['rmse_iv'] for i in infos):.2%}, "
+                 f"butterfly {'clean' if bfly['ok'] else 'ARBITRAGE'}, "
+                 f"calendar {'clean' if cal['ok'] else 'ARBITRAGE'}")
+        engine = SVILocalVolEngine(surf)
+        sigma = engine.get_sigma_iv(args.K, S0_live, max(T_live, 1e-3))
+        log.info(f"SVI-implied starting vol at live spot: {sigma:.2%}")
+        return sigma, engine
     if args.iv is not None:
         sigma = float(args.iv)
         log.info(f"Using user-supplied implied volatility: {sigma:.2%}")

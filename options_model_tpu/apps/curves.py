@@ -181,8 +181,14 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
         localvol_table = None
         if req.model == "localvol":
             from options_model_tpu.surface.cheb import compile_localvol_table
+            # Per-maturity adapter factories (SVI's Dupire local vol needs
+            # calendar time, so the closure binds the bucket's maturity);
+            # plain sigma(S, tau) closures pass through unchanged.
+            sig_fn = req.sigma_fn
+            if hasattr(sig_fn, "for_maturity"):
+                sig_fn = sig_fn.for_maturity(float(Ts[0]))
             localvol_table = compile_localvol_table(
-                req.sigma_fn, req.strike, float(Ts[0]), steps,
+                sig_fn, req.strike, float(Ts[0]), steps,
                 float(np.mean(S0s)),
                 S0_range=(float(S0s.min()), float(S0s.max())))
         if use_shared:
@@ -277,8 +283,10 @@ def compute_curve_for_S0(key, S0: float, strike: float, rate: float,
         T = d / 365.0
         steps = adaptive_num_steps(d)
         mc = MCConfig(n_paths=num_simulations, n_steps=steps)
+        sig_fn = (sigma_fn.for_maturity(T)
+                  if hasattr(sigma_fn, "for_maturity") else sigma_fn)
         price, _ = price_american(jax.random.fold_in(key, i), S0, T, spec, mc,
-                                  lsm, model, heston=heston, sigma_fn=sigma_fn,
+                                  lsm, model, heston=heston, sigma_fn=sig_fn,
                                   engine=engine)
         records.append({"S0": S0, "Days to Expiry": float(d),
                         "Option Value": float(price)})

@@ -11,8 +11,10 @@ from options_model_tpu.surface.loss import arbitrage_penalty_fd, vega_weights
 from options_model_tpu.surface.train import SurfaceTrainResult, train_iv_surface
 from options_model_tpu.surface.model import IVSurfaceModel
 from options_model_tpu.surface.svi import (
+    SVILocalVolEngine,
     SVISlice,
     SVISurface,
+    fit_svi_from_chain,
     fit_svi_slice,
     fit_svi_surface,
     svi_butterfly_g,
@@ -20,8 +22,10 @@ from options_model_tpu.surface.svi import (
 )
 
 __all__ = [
+    "SVILocalVolEngine",
     "SVISlice",
     "SVISurface",
+    "fit_svi_from_chain",
     "fit_svi_slice",
     "fit_svi_surface",
     "svi_butterfly_g",

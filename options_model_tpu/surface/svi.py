@@ -313,6 +313,78 @@ class SVISurface:
         return fn
 
 
+@dataclasses.dataclass(frozen=True)
+class _PerMaturityLocalVol:
+    """Curve-engine adapter factory. The sweep engine compiles one local-vol
+    table per (maturity, steps) bucket; Dupire local vol needs the CALENDAR
+    time t = T_bucket - tau, so the closure must bind each bucket's own
+    maturity — `compute_curves` calls ``for_maturity(T)`` before compiling
+    (apps/curves.py unwraps anything exposing that attribute)."""
+
+    surf: "SVISurface"
+
+    def for_maturity(self, T: float) -> Callable:
+        return self.surf.local_vol_fn(T_option=float(T))
+
+    def __call__(self, S, tau):
+        raise TypeError(
+            "per-maturity local-vol adapter: bind a maturity first via "
+            ".for_maturity(T) (compute_curves does this per bucket)")
+
+
+@dataclasses.dataclass(frozen=True)
+class SVILocalVolEngine:
+    """CLI engine wrapper, duck-typed to IVSurfaceModel's two simulator
+    adapters (surface/model.py:121-150) so `--iv svi` routes through exactly
+    the NN engine's local-vol sweep path (apps/cli.py)."""
+
+    surf: SVISurface
+
+    def sigma_fn(self, K: float = None, compute_dtype=None):
+        # K is unused: Dupire local vol is a property of the surface, not of
+        # the contract being priced (the NN engine's sigma_fn closes over K
+        # only because its feature map is moneyness-parametrized).
+        del K, compute_dtype
+        return _PerMaturityLocalVol(self.surf)
+
+    def get_sigma_iv(self, K: float, S0: float, tau: float) -> float:
+        if K <= 0 or S0 <= 0 or tau <= 0:
+            raise ValueError("K, S0, and tau must be positive")
+        del S0  # the surface carries its own spot (forward convention)
+        return float(self.surf.iv(K, tau))
+
+
+def fit_svi_from_chain(strikes, expiries, ivs, S0, rate,
+                       div_yield: float = 0.0, min_strikes: int = 5
+                       ) -> Tuple[SVISurface, List[dict]]:
+    """Fit the SVI surface from a FLATTENED option chain (the shape
+    data/market.fetch_option_chain and data/synthetic.synthetic_smile_surface
+    both return): group rows by expiry, drop expiries with fewer than
+    ``min_strikes`` usable quotes (a raw-SVI slice has five parameters), fit
+    each survivor. Needs >= 2 surviving expiries — the Dupire dw/dT term has
+    no information in a single smile."""
+    K = np.asarray(strikes, np.float64)
+    T = np.asarray(expiries, np.float64)
+    iv = np.asarray(ivs, np.float64)
+    ok = (np.isfinite(K) & np.isfinite(T) & np.isfinite(iv)
+          & (K > 0) & (T > 0) & (iv > 0))
+    K, T, iv = K[ok], T[ok], iv[ok]
+    rows_K, rows_iv, Ts = [], [], []
+    for t in np.unique(np.round(T, 9)):
+        m = np.abs(T - t) < 1e-9
+        if int(m.sum()) < min_strikes:
+            continue
+        Ts.append(float(t))
+        rows_K.append(K[m])
+        rows_iv.append(iv[m])
+    if len(Ts) < 2:
+        raise ValueError(
+            f"SVI surface fit needs >= 2 expiries with >= {min_strikes} "
+            f"quotes each; chain has {len(Ts)}")
+    return fit_svi_surface(S0, rate, Ts, rows_K, rows_iv,
+                           div_yield=div_yield)
+
+
 def fit_svi_surface(S0, rate, expiries: Sequence[float],
                     strike_rows: Sequence, iv_rows: Sequence,
                     div_yield: float = 0.0,

@@ -9,8 +9,8 @@ import pytest
 from options_model_tpu.core.config import HestonParams, MCConfig
 from options_model_tpu.pricers.blackscholes import bs_price, implied_vol
 from options_model_tpu.surface.svi import (
-    SVISlice, SVISurface, fit_svi_slice, fit_svi_surface, svi_butterfly_g,
-    svi_total_variance)
+    SVISlice, SVISurface, fit_svi_from_chain, fit_svi_slice, fit_svi_surface,
+    svi_butterfly_g, svi_total_variance)
 
 S0, R = 100.0, 0.05
 
@@ -139,3 +139,52 @@ class TestSurface:
         assert np.isfinite(float(surf.iv(100.0, 0.5)))
         with pytest.raises(ValueError):
             surf.local_vol_fn(T_option=0.5)
+
+
+class TestChainAndEngine:
+    def test_fit_from_flattened_chain(self):
+        from options_model_tpu.data.synthetic import synthetic_smile_surface
+        K, T, iv, S0_o = synthetic_smile_surface(S0=S0)
+        surf, infos = fit_svi_from_chain(K, T, iv, S0_o, rate=R)
+        assert len(surf.expiries) == 3
+        # SVI's smoothed-|k| form fits the synthetic |logm| smile closely
+        assert all(i["rmse_iv"] < 5e-3 for i in infos)
+        assert surf.check_butterfly()["ok"]
+
+    def test_chain_drops_thin_expiries_and_nan_rows(self):
+        K = np.concatenate([np.linspace(80, 120, 9)] * 2 + [[100.0, 105.0]])
+        T = np.concatenate([np.full(9, 0.25), np.full(9, 0.5), [1.0, 1.0]])
+        iv = np.full(20, 0.2)
+        iv[3] = np.nan
+        with pytest.raises(ValueError):
+            # dropping the NaN row leaves the first expiry with 8 quotes;
+            # require 9 and only ONE expiry survives
+            fit_svi_from_chain(K, T, iv, S0, rate=R, min_strikes=9)
+        surf, _ = fit_svi_from_chain(K, T, iv, S0, rate=R, min_strikes=8)
+        assert surf.expiries == (0.25, 0.5)   # the 2-quote expiry is dropped
+
+    def test_engine_adapter_factory(self):
+        from options_model_tpu.surface.svi import SVILocalVolEngine
+        surf, _ = TestSurface()._flat_surface()
+        eng = SVILocalVolEngine(surf)
+        assert eng.get_sigma_iv(100.0, S0, 0.5) == pytest.approx(0.2, abs=2e-4)
+        factory = eng.sigma_fn(100.0)
+        with pytest.raises(TypeError):
+            factory(jnp.ones(4), 0.5)   # must bind a maturity first
+        fn = factory.for_maturity(0.8)
+        sig = np.asarray(fn(jnp.array([90.0, 110.0]), jnp.float32(0.3)))
+        np.testing.assert_allclose(sig, 0.2, atol=2e-4)
+
+    def test_cli_synthetic_svi_run(self):
+        """--iv svi end-to-end: chain fit -> Dupire local vol -> fused
+        local-vol sweep (mirrors the --iv nn pipeline test in test_apps)."""
+        from options_model_tpu.apps.cli import parse_args, run
+        args = parse_args([
+            "--spot", "100", "--K", "100", "--model", "bs", "--iv", "svi",
+            "--synthetic", "--num-simulations", "2048",
+            "--s0-start", "100", "--s0-end", "100", "--s0-step", "1",
+            "--total-points", "1", "--intervals-per-day", "1",
+            "--engine", "xla", "--option-type", "put"])
+        out = run(args)
+        assert 0.15 < out["sigma"] < 0.4
+        assert np.isfinite(out["bs"]["Option Value"]).all()
