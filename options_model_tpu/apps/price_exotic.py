@@ -122,6 +122,16 @@ def parse_args(argv=None) -> argparse.Namespace:
     pe.add_argument("--eps", type=float, default=1e-2,
                     help="mlmc target RMS error in price units")
 
+    pv = sub.add_parser("varswap", help="Variance / volatility swap: "
+                                        "closed-form fair strikes (QV and "
+                                        "log-contract replication) + the "
+                                        "discretely monitored MC strikes")
+    _add_common(pv)
+    pv.add_argument("--var-strike", type=float, default=None,
+                    help="Traded variance strike (variance units, e.g. 0.04 "
+                         "= 20%% vol): adds the swap PV per unit of variance "
+                         "notional")
+
     pk = sub.add_parser("basket", help="European multi-asset option")
     _add_common(pk, multi=True)
     pk.add_argument("--kind", type=str, default="basket",
@@ -159,7 +169,8 @@ def run(args: argparse.Namespace) -> dict:
     cp = cp_from_str(args.option_type)
     out = {"contract": args.contract, "n_paths": args.paths}
 
-    if args.contract in ("asian", "lookback", "barrier", "european"):
+    if args.contract in ("asian", "lookback", "barrier", "european",
+                         "varswap"):
         spec = OptionSpec(strike=args.strike, rate=args.r, cp=cp,
                           sigma=args.sigma, div_yield=args.q)
         heston = merton = bates = None
@@ -181,6 +192,28 @@ def run(args: argparse.Namespace) -> dict:
                 lam=bp[5], mu_j=bp[6], sigma_j=bp[7]).validate()
         mc = MCConfig(n_paths=args.paths, n_steps=args.steps,
                       path_block=4096)
+        if args.contract == "varswap":
+            if args.model == "sabr":
+                raise SystemExit("varswap supports gbm/heston/merton/bates")
+            from options_model_tpu.pricers.varswap import (
+                varswap_mc, varswap_pv, varswap_strike,
+                varswap_strike_replication)
+            cf = dict(sigma=args.sigma, heston=heston, merton=merton,
+                      bates=bates)
+            out["var_strike_qv"] = varswap_strike(args.t, args.model, **cf)
+            out["var_strike_replication"] = varswap_strike_replication(
+                args.t, args.model, **cf)
+            out.update(varswap_mc(key, args.spot, args.t, mc, args.model,
+                                  sigma=args.sigma, rate=args.r,
+                                  div_yield=args.q, heston=heston,
+                                  merton=merton, bates=bates))
+            # main() prints price/stderr: report the MC variance strike there
+            out["price"] = out["var_strike"]
+            out["stderr"] = out["var_stderr"]
+            if args.var_strike is not None:
+                out["pv_per_var_notional"] = varswap_pv(
+                    out["var_strike"], args.var_strike, args.t, args.r)
+            return out
         if getattr(args, "model", "gbm") == "sabr":
             if args.contract != "european":
                 raise SystemExit("--model sabr supports the european "

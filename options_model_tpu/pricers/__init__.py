@@ -9,6 +9,7 @@
 - qmc:          randomized-QMC pricers (scrambled Sobol + Brownian bridge)
 - basket:       multi-asset European baskets/rainbows (geometric-basket CV)
 - american_basket: multi-asset Bermudan LSM (Andersen-Broadie validated)
+- varswap:      variance/volatility swaps (closed forms per family + MC)
 """
 
 from options_model_tpu.pricers.blackscholes import (
@@ -35,6 +36,13 @@ from options_model_tpu.pricers.basket import (
 )
 from options_model_tpu.pricers.american_basket import price_american_basket
 from options_model_tpu.pricers.fd_heston import heston_fd_price
+from options_model_tpu.pricers.varswap import (
+    forward_varswap_strike,
+    varswap_mc,
+    varswap_pv,
+    varswap_strike,
+    varswap_strike_replication,
+)
 from options_model_tpu.pricers.surface_american import (
     price_american_curve_shared,
     price_american_surface,
@@ -63,6 +71,11 @@ __all__ = [
     "price_american_basket",
     "price_european_qmc",
     "heston_fd_price",
+    "forward_varswap_strike",
+    "varswap_mc",
+    "varswap_pv",
+    "varswap_strike",
+    "varswap_strike_replication",
     "price_american_curve_shared",
     "price_american_surface",
     "price_european_surface_mc",
