@@ -99,6 +99,20 @@ def parse_args(argv=None) -> argparse.Namespace:
     pa.add_argument("--eps", type=float, default=1e-2,
                     help="mlmc target RMS error in price units")
 
+    paa = sub.add_parser("american-asian",
+                         help="American Asian option (LSM on the joint "
+                              "(S, running-average) state; exercise at "
+                              "every monitoring date)")
+    _add_common(paa)
+    paa.add_argument("--strike-type", type=str, default="fixed",
+                     choices=["fixed", "floating"])
+    paa.add_argument("--out-of-sample", action="store_true",
+                     help="Low-biased estimator (policy fitted on "
+                          "alternating path blocks)")
+    paa.add_argument("--no-control-variate", action="store_true",
+                     help="Disable the geometric-Asian control variate "
+                          "(active on gbm + fixed strike)")
+
     pl = sub.add_parser("lookback", help="Lookback option on the extreme")
     _add_common(pl)
     pl.add_argument("--strike-type", type=str, default="floating",
@@ -169,8 +183,8 @@ def run(args: argparse.Namespace) -> dict:
     cp = cp_from_str(args.option_type)
     out = {"contract": args.contract, "n_paths": args.paths}
 
-    if args.contract in ("asian", "lookback", "barrier", "european",
-                         "varswap"):
+    if args.contract in ("asian", "american-asian", "lookback", "barrier",
+                         "european", "varswap"):
         spec = OptionSpec(strike=args.strike, rate=args.r, cp=cp,
                           sigma=args.sigma, div_yield=args.q)
         heston = merton = bates = None
@@ -266,7 +280,15 @@ def run(args: argparse.Namespace) -> dict:
             log.info("sobol Asian sampling supports gbm/heston only; using "
                      "mc for %s", args.model)
             args.sampler = "mc"
-        if args.contract == "asian":
+        if args.contract == "american-asian":
+            from options_model_tpu.pricers.american_asian import (
+                price_american_asian)
+            price, se = price_american_asian(
+                key, args.spot, args.t, spec, mc, args.model,
+                strike_type=args.strike_type, heston=heston, merton=merton,
+                bates=bates, out_of_sample=args.out_of_sample,
+                control_variate="off" if args.no_control_variate else "auto")
+        elif args.contract == "asian":
             if args.sampler == "sobol":
                 from options_model_tpu.pricers.qmc import price_asian_qmc
                 price, se, n = price_asian_qmc(

@@ -9,6 +9,8 @@
 - qmc:          randomized-QMC pricers (scrambled Sobol + Brownian bridge)
 - basket:       multi-asset European baskets/rainbows (geometric-basket CV)
 - american_basket: multi-asset Bermudan LSM (Andersen-Broadie validated)
+- american_asian:  American Asian LSM on the (S, running-average) state
+- fd_asian:     Hull-White representative-average binomial oracle (float64)
 - varswap:      variance/volatility swaps (closed forms per family + MC)
 """
 
@@ -35,6 +37,13 @@ from options_model_tpu.pricers.basket import (
     price_basket_mc,
 )
 from options_model_tpu.pricers.american_basket import price_american_basket
+from options_model_tpu.pricers.american_asian import price_american_asian
+from options_model_tpu.pricers.exotics import (
+    geometric_asian_bs_price,
+    price_asian_mc,
+    price_lookback_mc,
+)
+from options_model_tpu.pricers.fd_asian import asian_binomial_price
 from options_model_tpu.pricers.fd_heston import heston_fd_price
 from options_model_tpu.pricers.varswap import (
     forward_varswap_strike,
@@ -69,6 +78,11 @@ __all__ = [
     "price_basket_mc",
     "geometric_basket_bs_price",
     "price_american_basket",
+    "price_american_asian",
+    "price_asian_mc",
+    "price_lookback_mc",
+    "geometric_asian_bs_price",
+    "asian_binomial_price",
     "price_european_qmc",
     "heston_fd_price",
     "forward_varswap_strike",
