@@ -265,13 +265,22 @@ def price_asian_qmc(seed: int, S0, T, spec: OptionSpec, *,
                     heston: Optional[HestonParams] = None,
                     average: str = "arithmetic", strike_type: str = "fixed",
                     n_paths: int = 1 << 14, n_steps: int = 64,
-                    replicates: int = 16, dtype=jnp.float32
+                    replicates: int = 16, dtype=jnp.float32,
+                    control_variate: str = "auto"
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """Asian option under RQMC (mirrors pricers/exotics.price_asian_mc).
 
     The showcase QMC workload: the average is a smooth low-effective-dimension
     functional of the bridge's leading coordinates, so RQMC beats MC by ~10x+
     in stderr at equal paths (measured in tests/test_qmc.py).
+
+    control_variate: 'auto' | 'on' | 'off' — the same Kemna-Vorst geometric
+    variate as price_asian_mc, composed at the REPLICATE level: each scramble
+    reports (payoff mean, variate mean), beta* is fit across the K i.i.d.
+    replicate means (E[adj] = 0 exactly over scrambles, so the CV'd means
+    stay unbiased up to the O(1/K) beta-fit term) and one regression degree
+    of freedom is charged to the stderr (K-2 denominator). Eligibility rule
+    is identical to the MC pricer: GBM + arithmetic + fixed strike.
     """
     if average not in ("arithmetic", "geometric"):
         raise ValueError("average must be 'arithmetic' or 'geometric'")
@@ -279,6 +288,15 @@ def price_asian_qmc(seed: int, S0, T, spec: OptionSpec, *,
         raise ValueError("strike_type must be 'fixed' or 'floating'")
     if model not in ("gbm", "heston"):
         raise ValueError(f"model must be 'gbm' or 'heston', got {model!r}")
+    if control_variate not in ("auto", "on", "off"):
+        raise ValueError("control_variate must be 'auto', 'on' or 'off'")
+    cv_ok = (model == "gbm" and average == "arithmetic"
+             and strike_type == "fixed" and replicates >= 4)
+    if control_variate == "on" and not cv_ok:
+        raise ValueError("control_variate='on' requires model='gbm', "
+                         "average='arithmetic', strike_type='fixed' and "
+                         ">= 4 replicates")
+    use_cv = cv_ok and control_variate != "off"
     n_paths = _pow2(n_paths)
     drift = spec.rate - spec.div_yield
     disc = jnp.exp(-jnp.asarray(spec.rate, dtype) * jnp.asarray(T, dtype))
@@ -301,8 +319,31 @@ def price_asian_qmc(seed: int, S0, T, spec: OptionSpec, *,
             payoff = jnp.maximum(spec.cp * (avg - spec.strike), 0.0)
         else:
             payoff = jnp.maximum(spec.cp * (S[-1] - avg), 0.0)
-        return jnp.mean(payoff) * disc
+        pay_mean = jnp.mean(payoff) * disc
+        if not use_cv:
+            return pay_mean, jnp.zeros((), dtype)
+        from options_model_tpu.pricers.exotics import geometric_asian_bs_price
+        geo = jnp.exp(jnp.mean(jnp.log(monitored), axis=0))
+        geo_pay = jnp.maximum(spec.cp * (geo - spec.strike), 0.0)
+        geo_cf = geometric_asian_bs_price(S0, spec.strike, T, spec.rate,
+                                          spec.sigma, n_steps, spec.cp,
+                                          spec.div_yield)
+        return pay_mean, geo_cf - disc * jnp.mean(geo_pay)
 
     dim = n_steps if model == "gbm" else 2 * n_steps
-    price, stderr = _run_replicates(seed, dim, replicates, rep_mean)
-    return price, stderr, replicates * n_paths
+    pairs = []
+    for k in range(replicates):
+        sv, shift = sobol_directions(dim, scramble_seed=seed * 1000 + k)
+        pairs.append(rep_mean(jnp.asarray(sv), jnp.asarray(shift)))
+    pm = jnp.stack([p[0] for p in pairs])
+    if not use_cv:
+        price, stderr = replicate_stats(pm)
+        return price, stderr, replicates * n_paths
+    am = jnp.stack([p[1] for p in pairs])
+    from options_model_tpu.core.stats import optimal_cv_beta
+    beta = optimal_cv_beta(pm, am)
+    cvd = pm + beta * am
+    price = jnp.mean(cvd)
+    k = replicates
+    var = jnp.sum((cvd - price) ** 2) / (k - 2)  # beta burns one dof
+    return price, jnp.sqrt(var / k), replicates * n_paths
