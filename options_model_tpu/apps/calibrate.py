@@ -27,10 +27,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--ticker", type=str, default="AAPL",
                    help="Stock ticker to fetch the option chain for")
     p.add_argument("--model", type=str, default="heston",
-                   choices=["heston", "bates"],
+                   choices=["heston", "bates", "vg"],
                    help="bates adds the lognormal jump triple (lam, mu_j, "
                         "sigma_j) to the fit — beyond-reference; include "
-                        "short-dated expiries, jumps are identified there")
+                        "short-dated expiries, jumps are identified there. "
+                        "vg fits the 3-param Variance Gamma pure-jump Levy "
+                        "family (sigma, theta, nu)")
     p.add_argument("--test", action="store_true",
                    help="Calibrate against the synthetic Heston oracle "
                         "(no network)")
@@ -59,7 +61,8 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 def run(args) -> dict:
     from options_model_tpu.calibration.calibrator import (
-        calibrate_bates_to_data, calibrate_heston_to_data)
+        calibrate_bates_to_data, calibrate_heston_to_data,
+        calibrate_vg_to_data)
 
     cfg = CalibrationConfig(
         use_vega_weighting=not args.no_vega_weighting,
@@ -67,6 +70,7 @@ def run(args) -> dict:
         optimization_methods=tuple(args.methods),
         seed=args.seed, verbose=args.verbose).validate()
     calibrate_fn = (calibrate_bates_to_data if args.model == "bates"
+                    else calibrate_vg_to_data if args.model == "vg"
                     else calibrate_heston_to_data)
 
     if args.test:
@@ -74,7 +78,15 @@ def run(args) -> dict:
             create_synthetic_bates_surface, create_synthetic_heston_surface)
         hp = HestonParams(kappa=2.5, theta=0.04, xi=0.3, rho=-0.7, v0=0.04)
         S0 = 100.0
-        if args.model == "bates":
+        if args.model == "vg":
+            from options_model_tpu.core.config import VGParams
+            from options_model_tpu.calibration.synthetic import (
+                create_synthetic_vg_surface)
+            true = VGParams(sigma=0.18, theta=-0.14, nu=0.35)
+            K, T, iv = create_synthetic_vg_surface(
+                true, S0=S0, rate=args.rate, noise_std=args.noise,
+                seed=args.seed)
+        elif args.model == "bates":
             from options_model_tpu.core.config import BatesParams
             true = BatesParams(heston=hp, lam=0.4, mu_j=-0.12, sigma_j=0.18)
             K, T, iv = create_synthetic_bates_surface(
@@ -94,8 +106,9 @@ def run(args) -> dict:
         import numpy as np
         got, want = (np.asarray(params.to_array(), np.float64),
                      np.asarray(true.to_array(), np.float64))
-        names = ["kappa", "theta", "xi", "rho", "v0", "lam", "mu_j",
-                 "sigma_j"][:len(got)]
+        names = (["sigma", "theta", "nu"] if args.model == "vg"
+                 else ["kappa", "theta", "xi", "rho", "v0", "lam", "mu_j",
+                       "sigma_j"][:len(got)])
         summary["param_errors"] = {n: float(abs(g - w))
                                    for n, g, w in zip(names, got, want)}
     else:
@@ -110,6 +123,10 @@ def run(args) -> dict:
 
     summary["params"] = params
 
+    if args.price_surface and args.model == "vg":
+        raise SystemExit("--price-surface supports heston/bates (the "
+                         "shared-path surface backward rides the (S, v) "
+                         "variance state)")
     if args.price_surface:
         # Calibrate -> price: the fitted dynamics immediately drive the
         # headline American surface workload (Heston or Bates — the surface

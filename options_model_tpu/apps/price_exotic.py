@@ -58,7 +58,8 @@ def _add_common(p, multi=False):
         p.add_argument("--spot", type=float, default=100.0)
         p.add_argument("--sigma", type=float, default=0.2)
         p.add_argument("--model", type=str, default="gbm",
-                       choices=["gbm", "heston", "merton", "bates", "sabr"],
+                       choices=["gbm", "heston", "merton", "bates", "sabr",
+                                "vg"],
                        help="sabr is european-only (the forward-measure "
                             "simulator prices terminal payoffs)")
         p.add_argument("--sabr", type=float, nargs=4, default=None,
@@ -71,6 +72,10 @@ def _add_common(p, multi=False):
                        metavar=("SIGMA", "LAM", "MU_J", "SIGMA_J"),
                        help="Merton jump-diffusion parameters (default: "
                             "sigma=0.2 lam=1 mu_j=-0.1 sigma_j=0.15)")
+        p.add_argument("--vg", type=float, nargs=3, default=None,
+                       metavar=("SIGMA", "THETA", "NU"),
+                       help="Variance Gamma parameters (default: sigma=0.18 "
+                            "theta=-0.14 nu=0.35)")
         p.add_argument("--bates", type=float, nargs=8, default=None,
                        metavar=("KAPPA", "THETA", "XI", "RHO", "V0", "LAM",
                                 "MU_J", "SIGMA_J"),
@@ -187,7 +192,7 @@ def run(args: argparse.Namespace) -> dict:
                          "european", "varswap"):
         spec = OptionSpec(strike=args.strike, rate=args.r, cp=cp,
                           sigma=args.sigma, div_yield=args.q)
-        heston = merton = bates = None
+        heston = merton = bates = vg = None
         if getattr(args, "model", "gbm") == "heston":
             hp = args.heston or _DEF_HESTON
             heston = HestonParams(kappa=hp[0], theta=hp[1], xi=hp[2],
@@ -197,6 +202,10 @@ def run(args: argparse.Namespace) -> dict:
             mp = args.merton or (0.2, 1.0, -0.1, 0.15)
             merton = MertonParams(sigma=mp[0], lam=mp[1], mu_j=mp[2],
                                   sigma_j=mp[3]).validate()
+        elif getattr(args, "model", "gbm") == "vg":
+            from options_model_tpu.core.config import VGParams
+            vp = args.vg or (0.18, -0.14, 0.35)
+            vg = VGParams(sigma=vp[0], theta=vp[1], nu=vp[2]).validate()
         elif getattr(args, "model", "gbm") == "bates":
             from options_model_tpu.core.config import BatesParams
             bp = args.bates or (*_DEF_HESTON, 0.3, -0.1, 0.15)
@@ -213,14 +222,14 @@ def run(args: argparse.Namespace) -> dict:
                 varswap_mc, varswap_pv, varswap_strike,
                 varswap_strike_replication)
             cf = dict(sigma=args.sigma, heston=heston, merton=merton,
-                      bates=bates)
+                      bates=bates, vg=vg)
             out["var_strike_qv"] = varswap_strike(args.t, args.model, **cf)
             out["var_strike_replication"] = varswap_strike_replication(
                 args.t, args.model, **cf)
             out.update(varswap_mc(key, args.spot, args.t, mc, args.model,
                                   sigma=args.sigma, rate=args.r,
                                   div_yield=args.q, heston=heston,
-                                  merton=merton, bates=bates))
+                                  merton=merton, bates=bates, vg=vg))
             # main() prints price/stderr: report the MC variance strike there
             out["price"] = out["var_strike"]
             out["stderr"] = out["var_stderr"]
@@ -273,6 +282,13 @@ def run(args: argparse.Namespace) -> dict:
             out["n_paths"] = int(sum(res.n_per_level)) * 2
             return out
         if (getattr(args, "sampler", "mc") == "sobol"
+                and args.model == "vg"):
+            # VG RQMC has no gamma-bridge construction yet; the plain MC
+            # European is already exact-terminal (models/vg.py).
+            log.info("sobol sampling supports gbm/heston (and jump-family "
+                     "european) only; using mc for vg")
+            args.sampler = "mc"
+        if (getattr(args, "sampler", "mc") == "sobol"
                 and args.model in ("merton", "bates")
                 and args.contract == "asian"):
             # European merton/bates RQMC is exact (3 dims / bridged+2 dims);
@@ -286,7 +302,7 @@ def run(args: argparse.Namespace) -> dict:
             price, se = price_american_asian(
                 key, args.spot, args.t, spec, mc, args.model,
                 strike_type=args.strike_type, heston=heston, merton=merton,
-                bates=bates, out_of_sample=args.out_of_sample,
+                bates=bates, vg=vg, out_of_sample=args.out_of_sample,
                 control_variate="off" if args.no_control_variate else "auto")
         elif args.contract == "asian":
             if args.sampler == "sobol":
@@ -303,19 +319,19 @@ def run(args: argparse.Namespace) -> dict:
                 price, se = price_asian_mc(
                     key, args.spot, args.t, spec, mc, args.model,
                     average=args.average, strike_type=args.strike_type,
-                    heston=heston, merton=merton, bates=bates)
+                    heston=heston, merton=merton, bates=bates, vg=vg)
         elif args.contract == "lookback":
             from options_model_tpu.pricers.exotics import price_lookback_mc
             price, se = price_lookback_mc(
                 key, args.spot, args.t, spec, mc, args.model,
                 strike_type=args.strike_type, heston=heston, merton=merton,
-                bates=bates)
+                bates=bates, vg=vg)
         elif args.contract == "barrier":
             from options_model_tpu.pricers.barrier import price_barrier_mc
             price, se = price_barrier_mc(
                 key, args.spot, args.t, spec, args.barrier,
                 args.barrier_type.replace("-", "-and-"), mc, args.model,
-                heston=heston, merton=merton, bates=bates,
+                heston=heston, merton=merton, bates=bates, vg=vg,
                 continuity_correction=args.continuity_correction)
         else:  # european
             if args.sampler == "sobol":
@@ -332,7 +348,7 @@ def run(args: argparse.Namespace) -> dict:
                 sampler = make_terminal_sampler(
                     args.model, args.spot, args.r, args.t,
                     sigma=args.sigma, heston=heston, merton=merton,
-                    bates=bates, engine="auto", div_yield=args.q)
+                    bates=bates, vg=vg, engine="auto", div_yield=args.q)
                 price, se, _ = price_european_mc(key, sampler, spec,
                                                  args.t, mc)
     else:  # multi-asset

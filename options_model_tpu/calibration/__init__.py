@@ -13,6 +13,7 @@ from options_model_tpu.calibration.charfn import (
     bates_cos_price,
     heston_charfn,
     heston_cos_price,
+    vg_cos_price,
 )
 from options_model_tpu.calibration.calibrator import (
     HestonCalibrator,
@@ -20,11 +21,13 @@ from options_model_tpu.calibration.calibrator import (
     calibrate_bates_to_data,
     calibrate_heston_to_data,
     calibrate_heston_to_ticker,
+    calibrate_vg_to_data,
     detect_regime,
 )
 from options_model_tpu.calibration.synthetic import (
     create_synthetic_bates_surface,
     create_synthetic_heston_surface,
+    create_synthetic_vg_surface,
 )
 
 __all__ = [
@@ -36,7 +39,10 @@ __all__ = [
     "calibrate_bates_to_data",
     "calibrate_heston_to_data",
     "calibrate_heston_to_ticker",
+    "calibrate_vg_to_data",
     "detect_regime",
     "create_synthetic_bates_surface",
     "create_synthetic_heston_surface",
+    "create_synthetic_vg_surface",
+    "vg_cos_price",
 ]

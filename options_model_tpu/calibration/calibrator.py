@@ -32,8 +32,10 @@ import numpy as np
 from scipy.optimize import differential_evolution, dual_annealing, minimize
 
 from options_model_tpu.core.config import (BatesParams, CalibrationConfig,
-                                           HestonParams)
-from options_model_tpu.calibration.charfn import bates_cos_price, heston_cos_price
+                                           HestonParams, VGParams)
+from options_model_tpu.calibration.charfn import (bates_cos_price,
+                                                  heston_cos_price,
+                                                  vg_cos_price)
 from options_model_tpu.pricers.blackscholes import bs_vega, implied_vol
 from options_model_tpu.utils.logging import get_logger
 
@@ -109,6 +111,15 @@ def _initial_guess(regime: str, avg_iv: float) -> np.ndarray:
 _JUMP_BOUNDS = [(0.0, 3.0), (-0.5, 0.3), (0.01, 0.6)]
 _JUMP_GUESS = np.array([0.3, -0.05, 0.15])
 
+# Variance Gamma (sigma, theta, nu) bounds/guess (beyond reference). The
+# martingale constraint theta*nu + sigma^2*nu/2 < 1 is enforced by an
+# objective penalty (the box alone cannot express the joint constraint).
+_VG_BOUNDS = [(0.03, 1.0), (-1.0, 0.5), (0.01, 2.0)]
+
+
+def _vg_guess(avg_iv: float) -> np.ndarray:
+    return np.array([avg_iv, -0.1, 0.3])
+
 
 @partial(jax.jit, static_argnames=("n_terms", "use_vega_weighting", "dtype",
                                    "model"))
@@ -135,6 +146,16 @@ def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
     S0 = jnp.asarray(S0, dtype)
     rate = jnp.asarray(rate, dtype)
     div_yield = jnp.asarray(div_yield, dtype)
+    if model == "vg":
+        params = VGParams(sigma=x[0], theta=x[1], nu=x[2])
+        prices = vg_cos_price(S0, strikes, expiries, rate, params, cp=1.0,
+                              n_terms=n_terms, L=cos_L, q=div_yield,
+                              dtype=dtype)
+        # joint-constraint penalty replaces the (Heston-only) Feller term
+        mart_gap = x[1] * x[2] + 0.5 * x[0] ** 2 * x[2] - 0.98
+        penalty = 100.0 * jnp.maximum(mart_gap, 0.0)
+        return _iv_rmse(prices, strikes, expiries, market_ivs, S0, rate,
+                        div_yield, use_vega_weighting, min_weight) + penalty
     hp = HestonParams(kappa=x[0], theta=x[1], xi=x[2], rho=x[3], v0=x[4])
     if model == "bates":
         params = BatesParams(heston=hp, lam=x[5], mu_j=x[6], sigma_j=x[7])
@@ -145,6 +166,17 @@ def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
         prices = heston_cos_price(S0, strikes, expiries, rate, hp, cp=1.0,
                                   n_terms=n_terms, L=cos_L, q=div_yield,
                                   dtype=dtype)
+    weighted_rmse = _iv_rmse(prices, strikes, expiries, market_ivs, S0, rate,
+                             div_yield, use_vega_weighting, min_weight)
+    feller_gap = x[2] ** 2 - 2.0 * x[0] * x[1]
+    feller_penalty = 100.0 * jnp.maximum(feller_gap, 0.0)
+    return weighted_rmse + feller_penalty
+
+
+def _iv_rmse(prices, strikes, expiries, market_ivs, S0, rate, div_yield,
+             use_vega_weighting, min_weight):
+    """Vega-weighted IV RMSE of COS prices vs market IVs — the model-
+    independent tail of the objective (shared by all COS families)."""
     # Floor keeps the IV solve well-posed for deep-OTM points.
     intrinsic = jnp.maximum(S0 * jnp.exp(-div_yield * expiries)
                             - strikes * jnp.exp(-rate * expiries), 0.0)
@@ -159,11 +191,7 @@ def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
         w = jnp.ones_like(market_ivs)
 
     err = model_ivs - market_ivs
-    weighted_rmse = jnp.sqrt(jnp.sum(w * err**2) / jnp.sum(w))
-
-    feller_gap = x[2] ** 2 - 2.0 * x[0] * x[1]
-    feller_penalty = 100.0 * jnp.maximum(feller_gap, 0.0)
-    return weighted_rmse + feller_penalty
+    return jnp.sqrt(jnp.sum(w * err**2) / jnp.sum(w))
 
 
 @contextmanager
@@ -235,8 +263,9 @@ class HestonCalibrator:
 
     def __init__(self, config: Optional[CalibrationConfig] = None,
                  model: str = "heston"):
-        if model not in ("heston", "bates"):
-            raise ValueError(f"model must be 'heston' or 'bates', got {model!r}")
+        if model not in ("heston", "bates", "vg"):
+            raise ValueError(f"model must be 'heston', 'bates' or 'vg', "
+                             f"got {model!r}")
         self.config = (config or CalibrationConfig()).validate()
         self.model = model
         self.best_params: Optional[HestonParams] = None
@@ -245,10 +274,14 @@ class HestonCalibrator:
 
     def _make_objective(self, surface: MarketSurface):
         cfg = self.config
-        bounds = list(_REGIME_BOUNDS[surface.regime if cfg.regime_detection
-                                     else "normal_vol"])
-        if self.model == "bates":
-            bounds = bounds + _JUMP_BOUNDS
+        if self.model == "vg":
+            bounds = list(_VG_BOUNDS)
+        else:
+            bounds = list(_REGIME_BOUNDS[surface.regime
+                                         if cfg.regime_detection
+                                         else "normal_vol"])
+            if self.model == "bates":
+                bounds = bounds + _JUMP_BOUNDS
         lo = np.array([b[0] for b in bounds])
         hi = np.array([b[1] for b in bounds])
 
@@ -296,9 +329,7 @@ class HestonCalibrator:
             candidates.append((jnp.float32, cpu_dev))
         candidates.append((jnp.float32, None))
 
-        x0 = _initial_guess(surface.regime, float(surface.ivs.mean()))
-        if self.model == "bates":
-            x0 = np.concatenate([x0, _JUMP_GUESS])
+        x0 = self._x0(surface)
         x0 = np.clip(x0, lo, hi)
         val_and_grad = None
         for dtype, dev in candidates:
@@ -310,10 +341,18 @@ class HestonCalibrator:
                 K = jnp.asarray(surface.strikes, dtype)
                 T = jnp.asarray(surface.expiries, dtype)
                 iv = jnp.asarray(surface.ivs, dtype)
+            # VG needs a much longer COS series on short-dated points: its
+            # char-fn decays only POLYNOMIALLY (|phi| ~ u^{-2T/nu}; the
+            # density has an x^{T/nu - 1} singularity at small T). Measured
+            # f64 price error at T=7d: 5e-3 @128 terms, 2e-3 @256, 6e-6
+            # @2048 — the default cos_n=128 would put a ~1e-2 floor under
+            # the whole objective. O(points x terms) is still trivial.
+            n_terms = max(cfg.cos_n, 2048) if self.model == "vg" else cfg.cos_n
             vg = jax.jit(jax.value_and_grad(
-                lambda x, K=K, T=T, iv=iv, dtype=dtype: _objective_core(
+                lambda x, K=K, T=T, iv=iv, dtype=dtype, n_terms=n_terms:
+                _objective_core(
                     x, K, T, iv, surface.S0, surface.rate,
-                    n_terms=cfg.cos_n,
+                    n_terms=n_terms,
                     use_vega_weighting=cfg.use_vega_weighting,
                     min_weight=cfg.min_vega_weight,
                     cos_L=cfg.cos_L,
@@ -374,6 +413,14 @@ class HestonCalibrator:
 
         return f, f_and_g, bounds
 
+    def _x0(self, surface: MarketSurface) -> np.ndarray:
+        if self.model == "vg":
+            return _vg_guess(float(surface.ivs.mean()))
+        x0 = _initial_guess(surface.regime, float(surface.ivs.mean()))
+        if self.model == "bates":
+            x0 = np.concatenate([x0, _JUMP_GUESS])
+        return x0
+
     def model_ivs(self, surface: MarketSurface,
                   params: Optional[HestonParams] = None) -> np.ndarray:
         """Model implied vols at the surface's observation points under
@@ -387,9 +434,14 @@ class HestonCalibrator:
         K = jnp.asarray(surface.strikes, jnp.float32)
         T = jnp.asarray(surface.expiries, jnp.float32)
         pricer = (bates_cos_price if isinstance(p, BatesParams)
+                  else vg_cos_price if isinstance(p, VGParams)
                   else heston_cos_price)
+        # same short-maturity series-length rule as the objective (see
+        # _make_objective's n_terms note)
+        n_terms = (max(cfg.cos_n, 2048) if isinstance(p, VGParams)
+                   else cfg.cos_n)
         prices = pricer(surface.S0, K, T, surface.rate, p, cp=1.0,
-                        n_terms=cfg.cos_n, L=cfg.cos_L,
+                        n_terms=n_terms, L=cfg.cos_L,
                         q=surface.div_yield)
         intrinsic = jnp.maximum(
             surface.S0 * jnp.exp(-surface.div_yield * T)
@@ -419,9 +471,7 @@ class HestonCalibrator:
                   diagnostics_dir: Optional[str] = None) -> HestonParams:
         cfg = self.config
         f, f_and_g, bounds = self._make_objective(surface)
-        x0 = _initial_guess(surface.regime, float(surface.ivs.mean()))
-        if self.model == "bates":
-            x0 = np.concatenate([x0, _JUMP_GUESS])
+        x0 = self._x0(surface)
         if cfg.verbose:
             print(f"Calibrating to {len(surface)} points, regime={surface.regime}, "
                   f"avg IV={surface.ivs.mean():.4f}")
@@ -440,8 +490,18 @@ class HestonCalibrator:
                     # every parameter to ~0.1% on clean data.
                     ok, x, fun = False, x0, np.inf
                     lo_k, hi_k = bounds[0]
-                    kappas = {float(np.clip(k, lo_k, hi_k))
-                              for k in (x0[0], 1.0, 2.0, 6.0)}
+                    if self.model == "vg":
+                        # nu (x[2]) is the weakly-started direction here:
+                        # short surfaces identify total kurtosis, and a bad
+                        # clock-variance start trades off against theta.
+                        kappas = {float(x0[0])}
+                        lo_n, hi_n = bounds[2]
+                        nus = sorted({float(np.clip(n_, lo_n, hi_n))
+                                      for n_ in (0.1, x0[2], 0.8)})
+                    else:
+                        kappas = {float(np.clip(k, lo_k, hi_k))
+                                  for k in (x0[0], 1.0, 2.0, 6.0)}
+                        nus = [None]
                     if self.model == "bates":
                         # lam is the second weakly-started direction: from a
                         # bad intensity guess the solver parks in a
@@ -452,13 +512,15 @@ class HestonCalibrator:
                                        for l in (0.1, x0[5], 1.0)})
                     else:
                         lams = [None]
-                    starts = [(k0, l0) for k0 in sorted(kappas)
-                              for l0 in lams]
-                    for k0, l0 in starts:
+                    starts = [(k0, l0, n0) for k0 in sorted(kappas)
+                              for l0 in lams for n0 in nus]
+                    for k0, l0, n0 in starts:
                         xs = np.array(x0)
                         xs[0] = k0
                         if l0 is not None:
                             xs[5] = l0
+                        if n0 is not None:
+                            xs[2] = n0
                         # ftol/gtol pinned to the f64 objective's floor, NOT
                         # cfg.tolerance: with exact f64 gradients the solver
                         # keeps making real progress far below 1e-8 (the
@@ -512,7 +574,8 @@ class HestonCalibrator:
             elif cfg.verbose:
                 print(f"  {method}: failed or worse ({fun:.6f})")
 
-        param_cls = BatesParams if self.model == "bates" else HestonParams
+        param_cls = (BatesParams if self.model == "bates"
+                     else VGParams if self.model == "vg" else HestonParams)
         try:
             self.best_params = param_cls.from_array(best_x).validate()
             self.best_error = float(best_fun)
@@ -520,11 +583,14 @@ class HestonCalibrator:
             if cfg.verbose:
                 print(f"Final parameter validation failed: {e}; using defaults")
             avg_iv = float(surface.ivs.mean())
-            fallback = HestonParams(kappa=2.0, theta=avg_iv**2, xi=0.3,
-                                    rho=-0.5, v0=avg_iv**2)
-            if self.model == "bates":
-                fallback = BatesParams(heston=fallback, lam=0.0, mu_j=0.0,
-                                       sigma_j=0.1)
+            if self.model == "vg":
+                fallback = VGParams(sigma=avg_iv, theta=-0.1, nu=0.3)
+            else:
+                fallback = HestonParams(kappa=2.0, theta=avg_iv**2, xi=0.3,
+                                        rho=-0.5, v0=avg_iv**2)
+                if self.model == "bates":
+                    fallback = BatesParams(heston=fallback, lam=0.0,
+                                           mu_j=0.0, sigma_j=0.1)
             self.best_params = fallback
             self.best_error = np.inf
 
@@ -548,6 +614,13 @@ class HestonCalibrator:
         if self.best_params is None:
             return {}
         p = self.best_params
+        if isinstance(p, VGParams):
+            return {
+                "parameters": {"sigma": p.sigma, "theta": p.theta,
+                               "nu": p.nu},
+                "error": self.best_error,
+                "n_calibrations": len(self.calibration_history),
+            }
         hp = p.heston if isinstance(p, BatesParams) else p
         params = {"kappa": hp.kappa, "theta": hp.theta, "xi": hp.xi,
                   "rho": hp.rho, "v0": hp.v0}
@@ -586,6 +659,21 @@ def calibrate_bates_to_data(strikes, expiries, ivs, S0, rate=0.05,
     surface = MarketSurface(strikes=strikes, expiries=expiries, ivs=ivs,
                             S0=S0, rate=rate, div_yield=div_yield)
     calibrator = HestonCalibrator(config, model="bates")
+    params = calibrator.calibrate(surface, diagnostics_dir=diagnostics_dir)
+    return params, calibrator.get_calibration_summary()
+
+
+def calibrate_vg_to_data(strikes, expiries, ivs, S0, rate=0.05,
+                         config: Optional[CalibrationConfig] = None,
+                         diagnostics_dir: Optional[str] = None,
+                         div_yield: float = 0.0
+                         ) -> Tuple[VGParams, Dict[str, Any]]:
+    """Variance Gamma (sigma, theta, nu) calibration (beyond-reference) —
+    the same f64 COS objective/cascade with the VG char-fn and a martingale
+    constraint penalty replacing the Feller term."""
+    surface = MarketSurface(strikes=strikes, expiries=expiries, ivs=ivs,
+                            S0=S0, rate=rate, div_yield=div_yield)
+    calibrator = HestonCalibrator(config, model="vg")
     params = calibrator.calibrate(surface, diagnostics_dir=diagnostics_dir)
     return params, calibrator.get_calibration_summary()
 

@@ -14,8 +14,11 @@ import numpy as np
 
 from contextlib import nullcontext as _nullcontext
 
-from options_model_tpu.core.config import BatesParams, HestonParams
-from options_model_tpu.calibration.charfn import bates_cos_price, heston_cos_price
+from options_model_tpu.core.config import (BatesParams, HestonParams,
+                                           VGParams)
+from options_model_tpu.calibration.charfn import (bates_cos_price,
+                                                  heston_cos_price,
+                                                  vg_cos_price)
 from options_model_tpu.pricers.blackscholes import implied_vol
 from options_model_tpu.utils.logging import get_logger
 
@@ -73,13 +76,17 @@ def create_synthetic_heston_surface(
     except RuntimeError:
         cpu = None
     pricer = (bates_cos_price if isinstance(params, BatesParams)
+              else vg_cos_price if isinstance(params, VGParams)
               else heston_cos_price)
+    # VG short-dated points need a long COS series (polynomial char-fn
+    # decay; see calibrator._make_objective's n_terms note).
+    n_terms = 4096 if isinstance(params, VGParams) else 256
     ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
     x64ctx = _explicit_x64_scope() if want_f64 else _nullcontext()
     with x64ctx, ctx:
         prices = pricer(S0, jnp.asarray(K, jdt),
                         jnp.asarray(T, jdt), rate, params,
-                        cp=1.0, dtype=jdt)
+                        cp=1.0, n_terms=n_terms, dtype=jdt)
         ivs = np.asarray(implied_vol(prices, S0, jnp.asarray(K, jdt),
                                      jnp.asarray(T, jdt), rate, cp=1.0),
                          np.float64)
@@ -106,6 +113,26 @@ def create_synthetic_bates_surface(
     expiry ladder reaches down to one WEEK: the jump triple is identified by
     short-dated smiles (diffusion smiles flatten like sqrt(T) there; jump
     smiles don't — see calibrator._JUMP_BOUNDS)."""
+    return create_synthetic_heston_surface(
+        params, S0=S0, rate=rate, strikes=strikes,
+        expiries_days=expiries_days, noise_std=noise_std, seed=seed,
+        dtype=dtype)
+
+
+def create_synthetic_vg_surface(
+    params: VGParams,
+    S0: float = 100.0,
+    rate: float = 0.05,
+    strikes: Optional[np.ndarray] = None,
+    expiries_days=(7, 30, 90, 180, 365, 730),
+    noise_std: float = 0.0,
+    seed: int = 0,
+    dtype=np.float32,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Variance Gamma oracle surface (vg_cos_price -> IV). The expiry ladder
+    spans a week to two years: VG excess kurtosis decays like nu/T, so the
+    TERM STRUCTURE of the smile identifies nu while the short-dated skew
+    pins theta."""
     return create_synthetic_heston_surface(
         params, S0=S0, rate=rate, strikes=strikes,
         expiries_days=expiries_days, noise_std=noise_std, seed=seed,

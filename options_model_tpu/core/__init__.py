@@ -9,6 +9,7 @@ functions over JAX pytrees.
 from options_model_tpu.core.config import (
     HestonParams,
     MertonParams,
+    VGParams,
     SABRParams,
     BatesParams,
     LSMConfig,
@@ -38,6 +39,7 @@ from options_model_tpu.core.timegrid import (
 __all__ = [
     "HestonParams",
     "MertonParams",
+    "VGParams",
     "SABRParams",
     "BatesParams",
     "LSMConfig",

@@ -210,6 +210,55 @@ class BatesParams:
 
 
 @struct.dataclass
+class VGParams:
+    """Variance Gamma (Madan-Carr-Chang 1998) pure-jump Levy parameters
+    (beyond-reference dynamics).
+
+        X_t = theta * G_t + sigma * W_{G_t},  G a gamma process with unit
+        mean rate and variance rate nu;  S_t = S0 exp((r - q + omega) t + X_t)
+        with omega = ln(1 - theta*nu - sigma^2*nu/2) / nu (the martingale
+        compensator: E[e^{X_t}] = e^{-omega t}).
+
+    Infinite-activity jumps, no diffusion component: the gamma subordinator
+    makes EXACT increment simulation over any step trivial (two fixed-shape
+    draws — a gamma time increment and a normal), models/vg.py.
+    """
+
+    sigma: float  # volatility of the subordinated Brownian motion
+    theta: float  # drift of the subordinated Brownian motion (skew)
+    nu: float     # variance rate of the gamma clock (kurtosis)
+
+    def validate(self) -> "VGParams":
+        if self.sigma <= 0:
+            raise ValueError(f"sigma={self.sigma} must be positive")
+        if self.nu <= 0:
+            raise ValueError(f"nu={self.nu} must be positive")
+        if 1.0 - self.theta * self.nu - 0.5 * self.sigma**2 * self.nu <= 0:
+            raise ValueError(
+                "martingale compensator undefined: need "
+                f"theta*nu + sigma^2*nu/2 < 1, got theta={self.theta}, "
+                f"sigma={self.sigma}, nu={self.nu}")
+        return self
+
+    def omega(self) -> float:
+        """Martingale drift correction ln(1 - theta nu - sigma^2 nu/2)/nu."""
+        import math
+        return math.log(1.0 - self.theta * self.nu
+                        - 0.5 * self.sigma**2 * self.nu) / self.nu
+
+    def to_array(self) -> jnp.ndarray:
+        return jnp.array([self.sigma, self.theta, self.nu])
+
+    @classmethod
+    def from_array(cls, x) -> "VGParams":
+        return cls(sigma=float(x[0]), theta=float(x[1]), nu=float(x[2]))
+
+    def __str__(self) -> str:
+        return (f"VGParams(sigma={self.sigma:.4f}, theta={self.theta:.4f}, "
+                f"nu={self.nu:.4f})")
+
+
+@struct.dataclass
 class SABRParams:
     """SABR stochastic-volatility parameters (beyond-reference dynamics).
 

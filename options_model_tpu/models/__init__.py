@@ -20,6 +20,7 @@ Pallas kernels in ops/ implement the same contract for the hot path.
 from options_model_tpu.models.gbm import simulate_gbm, gbm_terminal_exact
 from options_model_tpu.models.heston import simulate_heston
 from options_model_tpu.models.merton import merton_price, simulate_merton
+from options_model_tpu.models.vg import simulate_vg, vg_terminal_exact
 from options_model_tpu.models.bates import simulate_bates
 from options_model_tpu.models.localvol import simulate_local_vol
 from options_model_tpu.models.sabr import (
@@ -42,6 +43,8 @@ __all__ = [
     "simulate_heston",
     "simulate_merton",
     "merton_price",
+    "simulate_vg",
+    "vg_terminal_exact",
     "simulate_bates",
     "simulate_local_vol",
     "simulate_sabr",

@@ -54,7 +54,7 @@ from options_model_tpu.models.localvol import simulate_local_vol
 
 def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
                    rate=0.0, heston: Optional[HestonParams] = None,
-                   merton=None, bates=None, sigma_fn=None,
+                   merton=None, bates=None, vg=None, sigma_fn=None,
                    first_block=0, engine: str = "auto",
                    heston_scheme: str = "euler",
                    localvol_table=None, div_yield=0.0,
@@ -172,12 +172,18 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
         return simulate_bates(key, S0, rate, T, bates, cfg, return_paths=True,
                               return_variance=return_variance,
                               first_block=first_block, scheme=heston_scheme)
+    if model == "vg":
+        if vg is None:
+            raise ValueError("vg params required for model='vg'")
+        from options_model_tpu.models.vg import simulate_vg
+        return simulate_vg(key, S0, rate, T, vg, cfg,
+                           return_paths=True, first_block=first_block)
     raise ValueError(f"unknown model {model!r}")
 
 
 def _cv_adjustment(S_paths, spec: OptionSpec, T,
                    heston: Optional[HestonParams] = None,
-                   model: str = "gbm", merton=None, bates=None):
+                   model: str = "gbm", merton=None, bates=None, vg=None):
     """Per-path beta=1 control-variate adjustment (the European closed form
     minus the discounted terminal payoff of the SAME path) — shared by the CV
     pricer and the Richardson extrapolator.
@@ -210,6 +216,13 @@ def _cv_adjustment(S_paths, spec: OptionSpec, T,
         from options_model_tpu.calibration.charfn import bates_cos_price
         eu = bates_cos_price(S_paths[0][0], spec.strike, T, spec.rate, bates,
                              cp=spec.cp, q=spec.div_yield)
+    elif model == "vg":
+        if vg is None:
+            raise ValueError("model='vg' control variate needs vg params "
+                             "for the COS leg")
+        from options_model_tpu.calibration.charfn import vg_cos_price
+        eu = vg_cos_price(S_paths[0][0], spec.strike, T, spec.rate, vg,
+                          cp=spec.cp, q=spec.div_yield)
     else:
         eu = bs_price(S_paths[0][0], spec.strike, T, spec.rate, spec.sigma,
                       spec.cp, q=spec.div_yield)
@@ -625,7 +638,7 @@ def lsm_nn_backward(key: jax.Array, S_paths: jnp.ndarray, spec: OptionSpec, T,
 def richardson_nn_stat(key: jax.Array, S_paths, v_paths, spec: OptionSpec, T,
                        lsm: LSMConfig, *,
                        heston: Optional[HestonParams] = None, bates=None,
-                       model: str = "gbm",
+                       vg=None, model: str = "gbm",
                        pair_block: Optional[int] = None):
     """(per-path Richardson statistic, eval mask) for the NN-LSM — the nn
     sibling of richardson_cv_stat.
@@ -660,11 +673,12 @@ def richardson_nn_stat(key: jax.Array, S_paths, v_paths, spec: OptionSpec, T,
     stat = 2.0 * cash_f - cash_c
     cv_leg = ((spec.sigma is not None and model == "gbm")
               or (model == "heston" and heston is not None)
-              or (model == "bates" and bates is not None))
+              or (model == "bates" and bates is not None)
+              or (model == "vg" and vg is not None))
     if lsm.use_control_variate and cv_leg:
         stat = _apply_cv(stat, _cv_adjustment(S_paths, spec, T,
                                               heston=heston, model=model,
-                                              bates=bates),
+                                              bates=bates, vg=vg),
                          lsm.cv_beta, eval_mask, None, pair_block)
     return stat, eval_mask
 
@@ -682,7 +696,7 @@ def _vol_params(heston, bates):
 def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                        lsm: LSMConfig, model: str = "gbm", *,
                        heston: Optional[HestonParams] = None, merton=None,
-                       bates=None, sigma_fn=None,
+                       bates=None, vg=None, sigma_fn=None,
                        axis_name: Optional[str] = None,
                        return_paths_stats: bool = False, engine: str = "auto"):
     """Simulate + LSM backward induction. Returns (price, stderr[, S_paths])."""
@@ -690,7 +704,7 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     want_v = model in ("heston", "bates") and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         bates=bates, sigma_fn=sigma_fn,
+                         bates=bates, vg=vg, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
@@ -717,7 +731,7 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
 def price_american_with_control_variate(
         key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig, lsm: LSMConfig,
         model: str = "gbm", *, heston: Optional[HestonParams] = None,
-        merton=None, bates=None,
+        merton=None, bates=None, vg=None,
         sigma_fn=None, axis_name: Optional[str] = None, engine: str = "auto"):
     """American price with the European control variate (beta = 1):
 
@@ -736,18 +750,20 @@ def price_american_with_control_variate(
     analytic = ((model == "gbm" and spec.sigma is not None)
                 or (model == "heston" and heston is not None)
                 or (model == "merton" and merton is not None)
-                or (model == "bates" and bates is not None))
+                or (model == "bates" and bates is not None)
+                or (model == "vg" and vg is not None))
     if not analytic:
         # No closed-form European leg: fall back to the plain price.
         return price_american_lsm(key, S0, T, spec, mc, lsm, model,
                                   heston=heston, merton=merton, bates=bates,
+                                  vg=vg,
                                   sigma_fn=sigma_fn,
                                   axis_name=axis_name, engine=engine)
     sim_key, fit_key = jax.random.split(key)
     want_v = model in ("heston", "bates") and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         bates=bates, sigma_fn=sigma_fn,
+                         bates=bates, vg=vg, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
@@ -768,7 +784,7 @@ def price_american_with_control_variate(
     stat_pb = pb if mc.antithetic else None
     cv = _apply_cv(cash, _cv_adjustment(S_paths, spec, T, heston=heston,
                                         model=model, merton=merton,
-                                        bates=bates),
+                                        bates=bates, vg=vg),
                    lsm.cv_beta, eval_mask, axis_name, stat_pb)
     return masked_mean_stderr(cv, eval_mask, axis_name, stat_pb)[:2]
 
@@ -776,7 +792,7 @@ def price_american_with_control_variate(
 def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                    lsm: LSMConfig, model: str = "gbm", *,
                    heston: Optional[HestonParams] = None, merton=None,
-                   bates=None, sigma_fn=None,
+                   bates=None, vg=None, sigma_fn=None,
                    axis_name: Optional[str] = None, engine: str = "auto"):
     """Dispatcher mirroring price_american_option
     (options_model_3/options_model_3.py:679-695): European approximation when
@@ -788,7 +804,7 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         # to the Pallas sampler (different RNG stream than requested).
         sampler = make_terminal_sampler(model, S0, spec.rate, T, sigma=spec.sigma,
                                         heston=heston, merton=merton,
-                                        bates=bates, sigma_fn=sigma_fn,
+                                        bates=bates, vg=vg, sigma_fn=sigma_fn,
                                         engine=engine,
                                         div_yield=spec.div_yield)
         price, stderr, _ = price_european_mc(key, sampler, spec, T, mc)
@@ -796,19 +812,20 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     if lsm.richardson:
         return price_american_richardson(key, S0, T, spec, mc, lsm, model,
                                          heston=heston, merton=merton,
-                                         bates=bates, sigma_fn=sigma_fn,
+                                         bates=bates, vg=vg, sigma_fn=sigma_fn,
                                          engine=engine)
     cv_leg = ((spec.sigma is not None and model == "gbm")
               or (model == "heston" and heston is not None)
               or (model == "merton" and merton is not None)
-              or (model == "bates" and bates is not None))
+              or (model == "bates" and bates is not None)
+              or (model == "vg" and vg is not None))
     if lsm.use_control_variate and cv_leg:
         return price_american_with_control_variate(
             key, S0, T, spec, mc, lsm, model, heston=heston, merton=merton,
-            bates=bates, sigma_fn=sigma_fn,
+            bates=bates, vg=vg, sigma_fn=sigma_fn,
             axis_name=axis_name, engine=engine)
     return price_american_lsm(key, S0, T, spec, mc, lsm, model, heston=heston,
-                              merton=merton, bates=bates,
+                              merton=merton, bates=bates, vg=vg,
                               sigma_fn=sigma_fn, axis_name=axis_name,
                               engine=engine)
 
@@ -817,7 +834,7 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
                               mc: MCConfig, lsm: LSMConfig,
                               model: str = "gbm", *,
                               heston: Optional[HestonParams] = None,
-                              merton=None, bates=None,
+                              merton=None, bates=None, vg=None,
                               sigma_fn=None, engine: str = "auto"):
     """(price, stderr, cashflow_stats) — the reference's verbose pricing
     report (mean/std/min/max/P(worthless) of the per-path discounted
@@ -828,7 +845,7 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
     want_v = model in ("heston", "bates") and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         bates=bates, sigma_fn=sigma_fn,
+                         bates=bates, vg=vg, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
@@ -853,7 +870,7 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
 def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
                               mc: MCConfig, lsm: LSMConfig, model: str = "gbm",
                               *, heston: Optional[HestonParams] = None,
-                              merton=None, bates=None,
+                              merton=None, bates=None, vg=None,
                               sigma_fn=None, engine: str = "auto"):
     """Richardson-extrapolated continuous-exercise American price.
 
@@ -876,18 +893,19 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
     want_v = model in ("heston", "bates") and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         bates=bates, sigma_fn=sigma_fn,
+                         bates=bates, vg=vg, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
     if lsm.regressor == "poly":
         stat, mask = richardson_cv_stat(S_paths, v_paths, spec, T, lsm,
                                         heston=heston, merton=merton,
-                                        bates=bates, model=model,
+                                        bates=bates, vg=vg, model=model,
                                         pair_block=pb)
     else:
         stat, mask = richardson_nn_stat(fit_key, S_paths, v_paths, spec, T,
                                         lsm, heston=heston, bates=bates,
+                                        vg=vg,
                                         model=model,
                                         pair_block=pb)
     price, stderr, _ = masked_mean_stderr(stat, mask, None,
@@ -897,7 +915,7 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
 
 def richardson_cv_stat(S_paths, v_paths, spec: OptionSpec, T, lsm: LSMConfig,
                        *, heston: Optional[HestonParams] = None, merton=None,
-                       bates=None,
+                       bates=None, vg=None,
                        model: str = "gbm", pair_block: Optional[int] = None,
                        axis_name: Optional[str] = None):
     """(per-path Richardson statistic, eval mask) on given paths — the single
@@ -915,10 +933,12 @@ def richardson_cv_stat(S_paths, v_paths, spec: OptionSpec, T, lsm: LSMConfig,
     cv_leg = ((spec.sigma is not None and model == "gbm")
               or (model == "heston" and heston is not None)
               or (model == "merton" and merton is not None)
-              or (model == "bates" and bates is not None))
+              or (model == "bates" and bates is not None)
+              or (model == "vg" and vg is not None))
     if lsm.use_control_variate and cv_leg:
         stat = _apply_cv(stat, _cv_adjustment(S_paths, spec, T,
                                               heston=heston, model=model,
-                                              merton=merton, bates=bates),
+                                              merton=merton, bates=bates,
+                                              vg=vg),
                          lsm.cv_beta, mask, axis_name, pair_block)
     return stat, mask

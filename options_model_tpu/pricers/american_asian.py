@@ -156,7 +156,7 @@ def price_american_asian(key: jax.Array, S0, T, spec: OptionSpec,
                          mc: Optional[MCConfig] = None, model: str = "gbm", *,
                          strike_type: str = "fixed",
                          heston: Optional[HestonParams] = None, merton=None,
-                         bates=None, sigma_fn=None,
+                         bates=None, vg=None, sigma_fn=None,
                          out_of_sample: bool = False,
                          control_variate: str = "auto",
                          cv_beta: str = "opt",
@@ -190,7 +190,7 @@ def price_american_asian(key: jax.Array, S0, T, spec: OptionSpec,
     want_v = model == "heston"
     out = simulate_paths(key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         bates=bates, sigma_fn=sigma_fn,
+                         bates=bates, vg=vg, sigma_fn=sigma_fn,
                          div_yield=spec.div_yield, return_variance=want_v)
     S, v_paths = out if want_v else (out, None)
     pb = _pair_block(mc, model, "auto") if mc.antithetic else None

@@ -61,7 +61,7 @@ def _bridge_survival(S_paths, barrier, sigma, T, is_up):
 def price_barrier_mc(key: jax.Array, S0, T, spec: OptionSpec, barrier: float,
                      barrier_type: str, mc: MCConfig, model: str = "gbm", *,
                      heston: Optional[HestonParams] = None, merton=None,
-                     bates=None, sigma_fn=None,
+                     bates=None, vg=None, sigma_fn=None,
                      continuity_correction: bool = False):
     """Price a barrier option by Monte Carlo. Returns (price, stderr).
 
@@ -85,7 +85,7 @@ def price_barrier_mc(key: jax.Array, S0, T, spec: OptionSpec, barrier: float,
 
     S_paths = simulate_paths(key, S0, T, mc, model, sigma=spec.sigma,
                              rate=spec.rate, heston=heston, merton=merton,
-                             bates=bates, sigma_fn=sigma_fn,
+                             bates=bates, vg=vg, sigma_fn=sigma_fn,
                              div_yield=spec.div_yield)
     if continuity_correction:
         surv = _bridge_survival(S_paths, barrier, spec.sigma, T, is_up)

@@ -36,7 +36,7 @@ TerminalSampler = Callable[[jax.Array, jnp.ndarray, MCConfig], jnp.ndarray]
 
 def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
                           heston: Optional[HestonParams] = None,
-                          merton=None, bates=None,
+                          merton=None, bates=None, vg=None,
                           sigma_fn=None, engine: str = "auto",
                           heston_scheme: str = "euler",
                           localvol_table=None, div_yield=0.0) -> TerminalSampler:
@@ -159,6 +159,14 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
         fn = lambda key, fb, c: simulate_merton(key, S0, r, T, merton, c,
                                                 return_paths=False,
                                                 first_block=fb)
+    elif model == "vg":
+        if vg is None:
+            raise ValueError("vg params required for model='vg'")
+        # One-step EXACT terminal law (models/vg.py): n_steps is irrelevant
+        # for European payoffs under VG — the gamma clock composes.
+        from options_model_tpu.models.vg import vg_terminal_exact
+        fn = lambda key, fb, c: vg_terminal_exact(key, S0, r, T, vg, c,
+                                                  first_block=fb)
     else:
         raise ValueError(f"unknown model {model!r}")
     fn.pair_block = lambda c: c.path_block

@@ -66,7 +66,8 @@ def price_asian_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                    model: str = "gbm", *, average: str = "arithmetic",
                    strike_type: str = "fixed",
                    heston: Optional[HestonParams] = None, merton=None,
-                   bates=None, sigma_fn=None, control_variate: str = "auto"
+                   bates=None, vg=None, sigma_fn=None,
+                   control_variate: str = "auto"
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Asian option on the average of the monitored prices.
 
@@ -94,7 +95,7 @@ def price_asian_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     use_cv = cv_ok and control_variate != "off"
 
     S = simulate_paths(key, S0, T, mc, model, sigma=spec.sigma, rate=spec.rate,
-                       heston=heston, merton=merton, bates=bates,
+                       heston=heston, merton=merton, bates=bates, vg=vg,
                        sigma_fn=sigma_fn, div_yield=spec.div_yield)
     monitored = S[1:]  # average over the monitoring dates, not the spot
     if average == "arithmetic":
@@ -129,7 +130,7 @@ def price_asian_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
 def price_lookback_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                       model: str = "gbm", *, strike_type: str = "floating",
                       heston: Optional[HestonParams] = None, merton=None,
-                      bates=None, sigma_fn=None
+                      bates=None, vg=None, sigma_fn=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lookback option on the running extreme.
 
@@ -140,7 +141,7 @@ def price_lookback_mc(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         raise ValueError("strike_type must be 'fixed' or 'floating'")
 
     S = simulate_paths(key, S0, T, mc, model, sigma=spec.sigma, rate=spec.rate,
-                       heston=heston, merton=merton, bates=bates,
+                       heston=heston, merton=merton, bates=bates, vg=vg,
                        sigma_fn=sigma_fn, div_yield=spec.div_yield)
     S_min = jnp.min(S, axis=0)
     S_max = jnp.max(S, axis=0)

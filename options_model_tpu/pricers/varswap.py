@@ -13,6 +13,8 @@ Two CLOSED-FORM fair variance strikes, both annualized:
       Heston:  theta + (v0 - theta)(1 - e^{-kappa T}) / (kappa T)
       Merton:  sigma^2 + lam (mu_j^2 + sigma_j^2)
       Bates:   Heston term + lam (mu_j^2 + sigma_j^2)
+      VG:      sigma^2 + nu theta^2   (E of the summed squared jumps: the
+               gamma clock's Levy measure integrates x^2 to nu per year)
 
   (jumps contribute their squared log-sizes to QV: E[J^2] = mu_j^2+sigma_j^2).
 
@@ -26,7 +28,9 @@ Two CLOSED-FORM fair variance strikes, both annualized:
                    ~ lam E[J^3] / 3,
 
   so both are provided and the gap is testable (negative for downward-
-  skewed jumps).
+  skewed jumps). For VG the replication strike is exactly -2(omega + theta)
+  (E[log S_T/S0] = (r - q + omega + theta) T), and the gap to QV is the same
+  third-order jump correction, O(nu sigma^2).
 
 The MC leg (``varswap_mc``) prices the DISCRETELY monitored contract on the
 simulation grid — realized variance (1/T) sum (log S_{i+1}/S_i)^2 — through
@@ -76,7 +80,7 @@ def _jump_replication(lam: float, mu_j: float, sigma_j: float) -> float:
     return 2.0 * lam * (kbar - mu_j)
 
 
-def _family(model, sigma, heston, merton, bates):
+def _family(model, sigma, heston, merton, bates, vg=None):
     if model == "gbm":
         if sigma is None:
             raise ValueError("model='gbm' needs sigma")
@@ -97,17 +101,24 @@ def _family(model, sigma, heston, merton, bates):
         return ("heston", bates.heston,
                 _jump_qv(bates.lam, bates.mu_j, bates.sigma_j),
                 _jump_replication(bates.lam, bates.mu_j, bates.sigma_j))
-    raise ValueError(f"varswap closed forms support gbm/heston/merton/bates, "
-                     f"got {model!r}")
+    if model == "vg":
+        if vg is None:
+            raise ValueError("model='vg' needs VGParams")
+        qv = float(vg.sigma) ** 2 + float(vg.nu) * float(vg.theta) ** 2
+        rep = -2.0 * (vg.omega() + float(vg.theta))
+        return ("gbm", qv, 0.0, rep - qv)
+    raise ValueError(f"varswap closed forms support gbm/heston/merton/bates/"
+                     f"vg, got {model!r}")
 
 
 def varswap_strike(T: float, model: str = "gbm", *, sigma=None,
                    heston: Optional[HestonParams] = None,
                    merton: Optional[MertonParams] = None,
-                   bates: Optional[BatesParams] = None) -> float:
+                   bates: Optional[BatesParams] = None, vg=None) -> float:
     """Closed-form fair variance strike: annualized expected quadratic
     variation of log S over [0, T] (variance units, e.g. 0.04 = 20% vol)."""
-    kind, diff, jump_qv, _ = _family(model, sigma, heston, merton, bates)
+    kind, diff, jump_qv, _ = _family(model, sigma, heston, merton, bates,
+                                     vg)
     base = heston_integrated_variance(diff, T) if kind == "heston" else diff
     if kind != "heston" and float(T) <= 0:
         raise ValueError(f"T must be positive, got {T}")
@@ -117,13 +128,14 @@ def varswap_strike(T: float, model: str = "gbm", *, sigma=None,
 def varswap_strike_replication(T: float, model: str = "gbm", *, sigma=None,
                                heston: Optional[HestonParams] = None,
                                merton: Optional[MertonParams] = None,
-                               bates: Optional[BatesParams] = None) -> float:
+                               bates: Optional[BatesParams] = None,
+                               vg=None) -> float:
     """Log-contract replication strike (2/T) E[(r-q)T - log(S_T/S0)] — what
     the Demeterfi et al. vanilla strip locks in. Equals ``varswap_strike``
     for continuous families; differs by 2 lam E[e^J - 1 - J - J^2/2] under
     jumps (module docstring)."""
     kind, diff, jump_qv, jump_rep = _family(model, sigma, heston, merton,
-                                            bates)
+                                            bates, vg)
     base = heston_integrated_variance(diff, T) if kind == "heston" else diff
     if kind != "heston" and float(T) <= 0:
         raise ValueError(f"T must be positive, got {T}")
@@ -133,17 +145,17 @@ def varswap_strike_replication(T: float, model: str = "gbm", *, sigma=None,
 
 def forward_varswap_strike(T1: float, T2: float, model: str = "gbm", *,
                            sigma=None, heston=None, merton=None,
-                           bates=None) -> float:
+                           bates=None, vg=None) -> float:
     """Fair strike of the forward-starting variance swap over [T1, T2]:
     total variance is additive, so K = (T2 K(T2) - T1 K(T1)) / (T2 - T1)."""
     if not 0.0 <= T1 < T2:
         raise ValueError(f"need 0 <= T1 < T2, got {T1}, {T2}")
     k2 = varswap_strike(T2, model, sigma=sigma, heston=heston, merton=merton,
-                        bates=bates)
+                        bates=bates, vg=vg)
     if T1 == 0.0:
         return k2
     k1 = varswap_strike(T1, model, sigma=sigma, heston=heston, merton=merton,
-                        bates=bates)
+                        bates=bates, vg=vg)
     return (T2 * k2 - T1 * k1) / (T2 - T1)
 
 
@@ -151,7 +163,7 @@ def varswap_mc(key: jax.Array, S0, T, mc: MCConfig, model: str = "gbm", *,
                sigma=None, rate=0.0, div_yield=0.0,
                heston: Optional[HestonParams] = None,
                merton: Optional[MertonParams] = None,
-               bates: Optional[BatesParams] = None, sigma_fn=None,
+               bates: Optional[BatesParams] = None, vg=None, sigma_fn=None,
                localvol_table=None, heston_scheme: str = "euler",
                engine: str = "auto") -> dict:
     """Discretely monitored realized-variance statistics from ONE simulation.
@@ -162,7 +174,7 @@ def varswap_mc(key: jax.Array, S0, T, mc: MCConfig, model: str = "gbm", *,
     sqrt(var_strike) by Jensen), and pair-mean stderrs for both.
     """
     S = simulate_paths(key, S0, T, mc, model, sigma=sigma, rate=rate,
-                       heston=heston, merton=merton, bates=bates,
+                       heston=heston, merton=merton, bates=bates, vg=vg,
                        sigma_fn=sigma_fn, localvol_table=localvol_table,
                        heston_scheme=heston_scheme, engine=engine,
                        div_yield=div_yield)

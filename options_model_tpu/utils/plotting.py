@@ -154,15 +154,21 @@ def plot_calibration_results(market_ivs: np.ndarray, model_ivs: np.ndarray,
     ax3.set_title("Residual distribution")
 
     hp = getattr(params, "heston", params)  # BatesParams nests the diffusion
-    lines = [f"kappa = {hp.kappa:.4f}", f"theta = {hp.theta:.4f}",
-             f"xi    = {hp.xi:.4f}", f"rho   = {hp.rho:.4f}",
-             f"v0    = {hp.v0:.4f}"]
+    if hasattr(hp, "kappa"):
+        lines = [f"kappa = {hp.kappa:.4f}", f"theta = {hp.theta:.4f}",
+                 f"xi    = {hp.xi:.4f}", f"rho   = {hp.rho:.4f}",
+                 f"v0    = {hp.v0:.4f}"]
+    else:  # VGParams (no variance state, no Feller condition)
+        lines = [f"sigma = {hp.sigma:.4f}", f"theta = {hp.theta:.4f}",
+                 f"nu    = {hp.nu:.4f}"]
     if hasattr(params, "lam"):
         lines += [f"lam   = {params.lam:.4f}", f"mu_j  = {params.mu_j:.4f}",
                   f"sig_j = {params.sigma_j:.4f}"]
-    lines += [f"RMSE  = {error:.6f}",
-              f"Feller: {'ok' if params.feller_condition() else 'VIOLATED'}",
-              f"Regime: {regime}"]
+    lines += [f"RMSE  = {error:.6f}"]
+    if hasattr(params, "feller_condition"):
+        lines += [f"Feller: "
+                  f"{'ok' if params.feller_condition() else 'VIOLATED'}"]
+    lines += [f"Regime: {regime}"]
     for i, line in enumerate(lines):
         ax4.text(0.08, 0.9 - 0.11 * i, line, transform=ax4.transAxes,
                  family="monospace")
