@@ -66,9 +66,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "2, 500) (v1.5 rule, options_model_v1.5.py:326-331)")
     # Models / engines
     p.add_argument("--model", type=str, default="both",
-                   choices=["bs", "heston", "both", "merton", "bates"],
+                   choices=["bs", "heston", "both", "merton", "bates", "vg"],
                    help="'both' = BS + Heston (reference semantics); "
-                        "'merton'/'bates' sweep the jump-diffusion families "
+                        "'merton'/'bates' sweep the jump-diffusion families, "
+                        "'vg' the Variance Gamma pure-jump Levy family "
                         "(beyond-reference)")
     p.add_argument("--engine", type=str, default="auto",
                    choices=["auto", "xla", "pallas"])
@@ -99,6 +100,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "parameters (--heston-params or the sigma^2 seed; "
                         "default 0.3 -0.1 0.15). Full 8-param fits come from "
                         "apps/calibrate.py --model bates")
+    p.add_argument("--vg-params", type=float, nargs=2, default=None,
+                   metavar=("THETA", "NU"),
+                   help="Variance Gamma (theta, nu) for --model vg; the "
+                        "subordinated-Brownian sigma comes from --iv (the "
+                        "live/explicit implied vol). Default -0.1 0.3. Full "
+                        "3-param fits: apps/calibrate.py --model vg")
     p.add_argument("--richardson", action="store_true",
                    help="Common-path Richardson extrapolation to the "
                         "continuous-exercise limit (removes the n-date "
@@ -213,8 +220,10 @@ def interactive_wizard(args, input_fn=input) -> argparse.Namespace:
     args.s0_step = ask("S0 grid step", args.s0_step, int)
     args.intervals_per_day = ask("Intervals per day", args.intervals_per_day,
                                  int)
-    args.model = ask_choice("Model (bs/heston/both/merton/bates)", args.model,
-                            ("bs", "heston", "both", "merton", "bates"))
+    args.model = ask_choice("Model (bs/heston/both/merton/bates/vg)",
+                            args.model,
+                            ("bs", "heston", "both", "merton", "bates",
+                             "vg"))
     iv = ask("Implied vol (float, 'nn', 'svi', or blank to auto-fetch)",
              args.iv or "", str)
     args.iv = iv or None
@@ -419,12 +428,18 @@ def run(args) -> Dict[str, "object"]:
     run_heston = args.model in ("heston", "both")
     run_merton = args.model == "merton"
     run_bates = args.model == "bates"
+    run_vg = args.model == "vg"
     if run_merton:
         jump = tuple(args.merton_params or (0.3, -0.1, 0.15))
     elif run_bates:
         jump = tuple(args.bates_params or (0.3, -0.1, 0.15))
     else:
         jump = None
+    vg_params = None
+    if run_vg:
+        from options_model_tpu.core.config import VGParams
+        th, nu = tuple(args.vg_params or (-0.1, 0.3))
+        vg_params = VGParams(sigma=sigma, theta=th, nu=nu).validate()
 
     if args.plot_paths and args.diagnostics_dir and iv_model is None:
         import os
@@ -490,13 +505,14 @@ def run(args) -> Dict[str, "object"]:
             jump_params["bates"] = BatesParams(
                 heston=heston, lam=jump[0], mu_j=jump[1], sigma_j=jump[2])
         for mdl, enabled in (("gbm", run_bs), ("heston", run_heston),
-                             ("merton", run_merton), ("bates", run_bates)):
+                             ("merton", run_merton), ("bates", run_bates),
+                             ("vg", run_vg)):
             if not enabled:
                 continue
             # the nn-policy dual covers gbm/heston only; jump models always
             # bracket the poly policy (pricers/dual.price_american_bracket)
             lsm_b = (lsm_cfg.replace(regressor="poly")
-                     if mdl in ("merton", "bates") else lsm_cfg)
+                     if mdl in ("merton", "bates", "vg") else lsm_cfg)
             probe_spec = OptionSpec(
                 strike=args.K, rate=args.r, cp=cp,
                 sigma=sigma if mdl in ("gbm", "merton") else None,
@@ -509,11 +525,12 @@ def run(args) -> Dict[str, "object"]:
                 model=mdl, heston=heston if mdl == "heston" else None,
                 merton=jump_params.get("merton"),
                 bates=jump_params.get("bates"),
+                vg=vg_params if mdl == "vg" else None,
                 lsm=lsm_b)  # --lsm-regressor nn brackets the NN policy
             lo = float(br.low) - 2 * float(br.low_stderr)
             hi = float(br.high) + 2 * float(br.high_stderr)
             name = {"gbm": "BS", "heston": "Heston", "merton": "Merton",
-                    "bates": "Bates"}[mdl]
+                    "bates": "Bates", "vg": "VG"}[mdl]
             log.info(f"Live-spot American {args.option_type} {name} bracket "
                      f"(~95%): [${lo:.4f}, ${hi:.4f}]  "
                      f"(LSM low ${float(br.low):.4f} +- "
@@ -562,8 +579,13 @@ def run(args) -> Dict[str, "object"]:
         out["bates"] = compute_curves(
             CurveRequest(model="bates", bates=bp, sigma=None, **common),
             progress=_progress_bar("Bates sweep"))
+    if run_vg:
+        log.info(f"VG sweep: {vg_params}")
+        out["vg"] = compute_curves(
+            CurveRequest(model="vg", vg=vg_params, sigma=None, **common),
+            progress=_progress_bar("VG sweep"))
 
-    for name in ("bs", "heston", "merton", "bates"):
+    for name in ("bs", "heston", "merton", "bates", "vg"):
         df = out.get(name)
         if df is None or len(df) == 0:
             continue
@@ -577,7 +599,8 @@ def run(args) -> Dict[str, "object"]:
                 df, s0_list, S0_live, args.K, sigma, args.r, args.option_type,
                 args.ticker,
                 {"bs": "Black-Scholes", "heston": "Heston",
-                 "merton": "Merton", "bates": "Bates"}[name],
+                 "merton": "Merton", "bates": "Bates",
+                 "vg": "Variance Gamma"}[name],
                 show=args.show_plot,
                 html_path=(args.html.replace(".html", f"_{name}.html")
                            if args.html else None))
@@ -593,7 +616,7 @@ def main(argv=None) -> int:
     except Exception as e:
         log.error(f"Fatal error: {e}")
         return 1
-    for name in ("bs", "heston", "merton", "bates"):
+    for name in ("bs", "heston", "merton", "bates", "vg"):
         if name in out:
             print(f"\n=== {name} sample ===")
             print(out[name].head(10).to_string(index=False))

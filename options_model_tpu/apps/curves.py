@@ -45,11 +45,12 @@ class CurveRequest:
     intervals_per_day: int = 4
     total_points: int = 8
     num_simulations: int = 100_000
-    model: str = "gbm"                # gbm | heston | localvol | merton | bates
+    model: str = "gbm"        # gbm | heston | localvol | merton | bates | vg
     sigma: Optional[float] = None
     heston: Optional[HestonParams] = None
     merton: Optional[object] = None   # MertonParams (model='merton')
     bates: Optional[object] = None    # BatesParams (model='bates')
+    vg: Optional[object] = None       # VGParams (model='vg')
     # model='localvol': sigma(S, tau) surface adapter (IVSurfaceModel.sigma_fn).
     # The sweep compiles it into per-(steps, day) Chebyshev tables and routes
     # through the batched grid pricer — on TPU that is the fused Pallas
@@ -118,7 +119,7 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
     # 'auto' routes shared regardless of the mesh size (r2 forfeited the
     # ~|S0 grid|x shared-path win the moment a multi-chip mesh appeared).
     shared_reasons = []
-    if req.model not in ("gbm", "heston", "merton", "bates"):
+    if req.model not in ("gbm", "heston", "merton", "bates", "vg"):
         # localvol: sigma depends on the absolute spot level, so the
         # homogeneity scaling V(S0,K) = (S0/B) V(B, K B/S0) does not hold.
         shared_reasons.append(f"model={req.model!r} is not spot-homogeneous")
@@ -137,7 +138,7 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
     shared_eligible = not shared_reasons
     use_shared = shared_eligible and req.shared_paths in ("on", "auto")
     if (not shared_eligible and req.shared_paths != "off"
-            and req.model in ("gbm", "heston", "merton", "bates")):
+            and req.model in ("gbm", "heston", "merton", "bates", "vg")):
         # An eligible-looking sweep losing the ~|S0 grid|x fast path should
         # never be silent (VERDICT r2 weak #6).
         log.info("shared-path engine unavailable for this sweep "
@@ -208,7 +209,7 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
                     np.array(days_b, np.float32) / 365.0, req.rate, mc,
                     point_ids=pids, cp=req.cp, model=req.model,
                     sigma=req.sigma, heston=req.heston, merton=req.merton,
-                    bates=req.bates, engine=req.engine,
+                    bates=req.bates, vg=req.vg, engine=req.engine,
                     heston_scheme=req.heston_scheme,
                     div_yield=req.div_yield,
                     use_control_variate=req.use_control_variate,
@@ -235,7 +236,7 @@ def compute_curves(req: CurveRequest, mesh=None, progress=None) -> pd.DataFrame:
             prices, stderrs = price_american_grid(
                 key, S0s, Ks, Ts, req.rate, mc, mesh, cp=req.cp,
                 sigma=req.sigma, heston=req.heston, merton=req.merton,
-                bates=req.bates, model=req.model,
+                bates=req.bates, vg=req.vg, model=req.model,
                 engine=req.engine,
                 use_control_variate=req.use_control_variate,
                 european_approximation=req.european_approximation,

@@ -38,7 +38,13 @@ def main():
                                 min_value=0.01)
         option_type = st.selectbox("Option type", ["call", "put"])
         model = st.selectbox("Model", ["bs", "heston", "both", "merton",
-                                       "bates"])
+                                       "bates", "vg"])
+        if model == "vg":
+            st.caption("Variance Gamma (pure-jump Levy; sigma above is the "
+                       "subordinated-Brownian vol)")
+            vg_theta = st.number_input("VG skew theta", value=-0.1, step=0.01)
+            vg_nu = st.number_input("VG kurtosis nu", value=0.3,
+                                    min_value=0.01, step=0.05)
         if model in ("merton", "bates"):
             st.caption("Jump triple (lognormal jumps on top of the "
                        "diffusion)")
@@ -104,6 +110,16 @@ def main():
                               mu_j=float(j_mu), sigma_j=float(j_sig)),
             # same rule as the Heston run above: the f32 COS CV leg's ~2e-3
             # noise floor (charfn.py) isn't worth it at UI path counts
+            sigma=None, use_control_variate=False, div_yield=float(q),
+            intervals_per_day=ipd, total_points=total_points,
+            num_simulations=int(sims), seed=int(seed))))
+    if model == "vg":
+        from options_model_tpu.core.config import VGParams
+        runs.append(("Variance Gamma", CurveRequest(
+            s0_list=s0_list, strike=K, rate=r, cp=cp, model="vg",
+            vg=VGParams(sigma=sigma, theta=float(vg_theta),
+                        nu=float(vg_nu)).validate(),
+            # same COS-CV noise-floor rule as the Heston/Bates runs
             sigma=None, use_control_variate=False, div_yield=float(q),
             intervals_per_day=ipd, total_points=total_points,
             num_simulations=int(sims), seed=int(seed))))

@@ -48,7 +48,7 @@ def pad_to_multiple(x: jnp.ndarray, m: int) -> jnp.ndarray:
 def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
                         mesh: Mesh, *, cp: float = -1.0, sigma=None,
                         heston: Optional[HestonParams] = None,
-                        merton=None, bates=None,
+                        merton=None, bates=None, vg=None,
                         model: str = "gbm", engine: str = "auto",
                         use_control_variate: bool = False,
                         european_approximation: bool = False,
@@ -108,7 +108,8 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
                     lsm_out_of_sample, lsm, axis,
                     sigma is not None, heston is not None,
                     localvol_table is not None,
-                    merton is not None, bates is not None)
+                    merton is not None, bates is not None,
+                    vg is not None)
     sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(
         sigma, jnp.float32)
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
@@ -116,7 +117,7 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
     table_a = (LocalVolTable(coeffs=jnp.zeros((1, 1), jnp.float32),
                              m_center=0.0, m_half=1.0, K=1.0)
                if localvol_table is None else localvol_table)
-    jump_a = _jump_args(merton, bates)
+    jump_a = _jump_args(merton, bates, vg)
     prices, stderrs = fn(S0p, Kp, Tp, task_ids, key, jnp.float32(rate),
                          sigma_a, heston_a, table_a, jump_a, jnp.float32(cp),
                          jnp.float32(div_yield))
@@ -125,19 +126,21 @@ def price_american_grid(key: jax.Array, S0s, strikes, taus, rate, mc: MCConfig,
     return prices[:n_tasks]
 
 
-def _jump_args(merton, bates):
-    """Fixed-structure (MertonParams, BatesParams) pytree for the jitted grid
-    bodies — dummies stand in when a family is unused so the lru-cached
-    executable's argument structure never changes (has_merton/has_bates
+def _jump_args(merton, bates, vg=None):
+    """Fixed-structure (MertonParams, BatesParams, VGParams) pytree for the
+    jitted grid bodies — dummies stand in when a family is unused so the
+    lru-cached executable's argument structure never changes (the has_*
     statics decide whether price_one reads them)."""
-    from options_model_tpu.core.config import BatesParams, MertonParams
+    from options_model_tpu.core.config import (BatesParams, MertonParams,
+                                               VGParams)
     m = (MertonParams(sigma=0.2, lam=0.0, mu_j=0.0, sigma_j=0.1)
          if merton is None else merton)
     b = (BatesParams(heston=HestonParams(kappa=1.0, theta=0.04, xi=0.1,
                                          rho=0.0, v0=0.04),
                      lam=0.0, mu_j=0.0, sigma_j=0.1)
          if bates is None else bates)
-    return (m, b)
+    v = VGParams(sigma=0.2, theta=0.0, nu=0.1) if vg is None else vg
+    return (m, b, v)
 
 
 @functools.lru_cache(maxsize=256)
@@ -146,7 +149,8 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                heston_scheme: str, lsm_out_of_sample: bool,
                lsm: Optional[LSMConfig], axis: str,
                has_sigma: bool, has_heston: bool, has_table: bool,
-               has_merton: bool = False, has_bates: bool = False):
+               has_merton: bool = False, has_bates: bool = False,
+               has_vg: bool = False):
     """Compile-cached body of price_american_grid (statics in the cache key;
     array shapes re-specialize through jit's own cache)."""
 
@@ -160,6 +164,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
         table = table if has_table else None
         merton = jump[0] if has_merton else None
         bates = jump[1] if has_bates else None
+        vg = jump[2] if has_vg else None
         S0, K, T, tid = task
         task_key = jax.random.fold_in(key, tid.astype(jnp.int32))
         spec = OptionSpec(strike=K, rate=rate, cp=cp, sigma=sigma,
@@ -170,7 +175,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                   and (lsm is None or lsm.variance_basis))
         out = simulate_paths(task_key, S0, T, mc, model, sigma=sigma,
                              rate=rate, heston=heston, merton=merton,
-                             bates=bates, engine=engine,
+                             bates=bates, vg=vg, engine=engine,
                              heston_scheme=heston_scheme,
                              localvol_table=table,
                              div_yield=div_yield, return_variance=want_v)
@@ -191,7 +196,8 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
         cv_leg = ((has_sigma and model == "gbm")
                   or (model == "heston" and has_heston)
                   or (model == "merton" and has_merton)
-                  or (model == "bates" and has_bates))
+                  or (model == "bates" and has_bates)
+                  or (model == "vg" and has_vg))
         # The grid-level flag and the LSMConfig knob both request the
         # low-biased estimator; every branch below (poly/nn, plain/richardson)
         # must honor their OR — pricing in-sample while the caller asked for
@@ -211,7 +217,8 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                     out_of_sample=oos)
                 stat, mask_r = richardson_nn_stat(
                     fit_key, S_paths, v_paths, spec, T, eff_lsm,
-                    heston=heston, bates=bates, model=model, pair_block=pb)
+                    heston=heston, bates=bates, vg=vg, model=model,
+                    pair_block=pb)
                 price, stderr, _ = masked_mean_stderr(stat, mask_r, None,
                                                       stat_pb)
                 return price, stderr
@@ -225,7 +232,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                                                     heston=heston,
                                                     model=model,
                                                     merton=merton,
-                                                    bates=bates),
+                                                    bates=bates, vg=vg),
                                lsm.cv_beta, eval_mask, None, stat_pb)
                 price, stderr, _ = masked_mean_stderr(cv, eval_mask, None,
                                                       stat_pb)
@@ -242,7 +249,8 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
             stat, mask_r = richardson_cv_stat(S_paths, v_paths, spec, T,
                                               eff_lsm, heston=heston,
                                               merton=merton, bates=bates,
-                                              model=model, pair_block=pb)
+                                              vg=vg, model=model,
+                                              pair_block=pb)
             price, stderr, _ = masked_mean_stderr(stat, mask_r, None, stat_pb)
             return price, stderr
         if use_control_variate and cv_leg:
@@ -258,7 +266,8 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
                 return_cash=True, v_paths=v_paths)
             cv = _apply_cv(cash, _cv_adjustment(S_paths, spec, T,
                                                 heston=heston, model=model,
-                                                merton=merton, bates=bates),
+                                                merton=merton, bates=bates,
+                                                vg=vg),
                            lsm.cv_beta if lsm is not None else "opt",
                            eval_mask, None, stat_pb)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, None, stat_pb)
@@ -290,7 +299,7 @@ def _grid_impl(mc: MCConfig, mesh: Mesh, model: str, engine: str,
 def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
                            mc: MCConfig, mesh: Mesh, *, cp: float = -1.0,
                            sigma=None, heston: Optional[HestonParams] = None,
-                           merton=None, bates=None,
+                           merton=None, bates=None, vg=None,
                            model: str = "gbm", heston_scheme: str = "euler",
                            use_control_variate: bool = False,
                            european_approximation: bool = False,
@@ -317,9 +326,9 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
     the American backward (the reference's streaming-mode shortcut) — the
     per-shard partial means psum over ``path_axis``.
     """
-    if model not in ("gbm", "heston", "merton", "bates"):
+    if model not in ("gbm", "heston", "merton", "bates", "vg"):
         raise ValueError(
-            "price_american_grid_2d supports gbm/heston/merton/bates "
+            "price_american_grid_2d supports gbm/heston/merton/bates/vg "
             "(localvol tables have no global-block-index XLA stream), "
             f"got {model!r}")
     S0s = jnp.asarray(S0s, jnp.float32)
@@ -355,12 +364,13 @@ def price_american_grid_2d(key: jax.Array, S0s, strikes, taus, rate,
                        lsm.variance_basis if lsm is not None else True,
                        lsm.richardson if lsm is not None else False,
                        european_approximation,
-                       merton is not None, bates is not None)
+                       merton is not None, bates is not None,
+                       vg is not None)
     sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(
         sigma, jnp.float32)
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
                 if heston is None else heston)
-    jump_a = _jump_args(merton, bates)
+    jump_a = _jump_args(merton, bates, vg)
     prices, stderrs = fn(S0p, Kp, Tp, task_ids, key, jnp.float32(rate),
                          sigma_a, heston_a, jump_a, jnp.float32(cp),
                          jnp.float32(div_yield))
@@ -375,7 +385,8 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
                   path_axis: str, has_sigma: bool, has_heston: bool,
                   variance_basis: bool = True, richardson: bool = False,
                   european_approximation: bool = False,
-                  has_merton: bool = False, has_bates: bool = False):
+                  has_merton: bool = False, has_bates: bool = False,
+                  has_vg: bool = False):
     """Compile-cached body of price_american_grid_2d."""
     n_path_dev = mesh.shape[path_axis]
     nb_total = _pad_to(num_blocks(mc), n_path_dev)
@@ -391,6 +402,7 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
         heston = heston if has_heston else None
         merton = jump[0] if has_merton else None
         bates = jump[1] if has_bates else None
+        vg = jump[2] if has_vg else None
         S0, K, T, tid = task
         task_key = jax.random.fold_in(key, tid.astype(jnp.int32))
         rank = jax.lax.axis_index(path_axis)
@@ -406,7 +418,7 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
         # invariance tested).
         out = simulate_paths(task_key, S0, T, local_cfg, model,
                              sigma=sigma, rate=rate, heston=heston,
-                             merton=merton, bates=bates,
+                             merton=merton, bates=bates, vg=vg,
                              first_block=rank * per_dev, engine="xla",
                              heston_scheme=heston_scheme,
                              div_yield=div_yield, return_variance=want_v)
@@ -424,7 +436,8 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
         cv_leg = ((has_sigma and model == "gbm")
                   or (model == "heston" and has_heston)
                   or (model == "merton" and has_merton)
-                  or (model == "bates" and has_bates))
+                  or (model == "bates" and has_bates)
+                  or (model == "vg" and has_vg))
         if richardson:
             from options_model_tpu.pricers.american import richardson_cv_stat
             from options_model_tpu.core.config import LSMConfig as _L
@@ -433,7 +446,7 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
             stat, mask_r = richardson_cv_stat(S_paths, v_paths, spec, T,
                                               eff_lsm, heston=heston,
                                               merton=merton, bates=bates,
-                                              model=model,
+                                              vg=vg, model=model,
                                               axis_name=path_axis)
             price, stderr, _ = masked_mean_stderr(stat, mask_r, path_axis,
                                                   stat_pb)
@@ -446,7 +459,8 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
             # GLOBAL variance-minimizing coefficient.
             cv = _apply_cv(cash, _cv_adjustment(S_paths, spec, T,
                                                 heston=heston, model=model,
-                                                merton=merton, bates=bates),
+                                                merton=merton, bates=bates,
+                                                vg=vg),
                            "opt", eval_mask, path_axis, stat_pb)
             price, stderr, _ = masked_mean_stderr(cv, eval_mask, path_axis,
                                                   stat_pb)
@@ -474,7 +488,7 @@ def _grid_2d_impl(mc: MCConfig, mesh: Mesh, model: str, heston_scheme: str,
 def price_european_sharded(key: jax.Array, S0, T, spec: OptionSpec,
                            mc: MCConfig, mesh: Mesh, *, model: str = "gbm",
                            heston: Optional[HestonParams] = None,
-                           merton=None, bates=None,
+                           merton=None, bates=None, vg=None,
                            engine: str = "xla", axis: str = "paths"):
     """One European pricing with the paths axis sharded across the mesh.
 
@@ -489,7 +503,7 @@ def price_european_sharded(key: jax.Array, S0, T, spec: OptionSpec,
     local_cfg = mc.replace(n_paths=per_dev * mc.path_block)
     sampler = make_terminal_sampler(model, S0, spec.rate, T, sigma=spec.sigma,
                                     heston=heston, merton=merton,
-                                    bates=bates, engine=engine,
+                                    bates=bates, vg=vg, engine=engine,
                                     div_yield=spec.div_yield)
     discount = jnp.exp(-jnp.asarray(spec.rate, mc.dtype) * jnp.asarray(T, mc.dtype))
 
@@ -525,7 +539,7 @@ def price_american_sharded_paths(key: jax.Array, S0, T, spec: OptionSpec,
                                  mc: MCConfig, mesh: Mesh, *,
                                  model: str = "gbm",
                                  heston: Optional[HestonParams] = None,
-                                 merton=None, bates=None,
+                                 merton=None, bates=None, vg=None,
                                  axis: str = "paths",
                                  variance_basis: bool = True):
     """One American LSM pricing with paths sharded across the mesh.
@@ -551,7 +565,7 @@ def price_american_sharded_paths(key: jax.Array, S0, T, spec: OptionSpec,
         rank = jax.lax.axis_index(axis)
         out = simulate_paths(key, S0, T, local_cfg, model, sigma=spec.sigma,
                              rate=spec.rate, heston=heston, merton=merton,
-                             bates=bates,
+                             bates=bates, vg=vg,
                              first_block=rank * per_dev, engine="xla",
                              div_yield=spec.div_yield, return_variance=want_v)
         S_paths, v_paths = out if want_v else (out, None)

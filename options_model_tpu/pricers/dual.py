@@ -250,6 +250,23 @@ def _inner_poisson(dkey, lead, n, inner_block, first_block, lam_dt, dtype):
     return jnp.transpose(z, perm).reshape(lead + (n,))
 
 
+def _inner_gamma(dkey, lead, n, inner_block, first_block, alpha, dtype):
+    """Fresh Gamma(alpha, scale 1) draws of shape lead + (n,) for one date —
+    the gamma-clock analogue of _inner_normals (VG inner steps), same
+    global-block keying rule."""
+    if inner_block is None:
+        return jax.random.gamma(dkey, alpha, lead + (n,), dtype)
+    nb = n // inner_block
+
+    def blk(b):
+        return jax.random.gamma(jax.random.fold_in(dkey, first_block + b),
+                                alpha, lead + (inner_block,), dtype)
+
+    z = jax.vmap(blk)(jnp.arange(nb))
+    perm = tuple(range(1, 1 + len(lead))) + (0, 1 + len(lead))
+    return jnp.transpose(z, perm).reshape(lead + (n,))
+
+
 def _one_step_jump_black(x, mu0, a2, cp, lam_dt, mu_j, sig_j,
                          n_terms: int = 10):
     """E[h(x')|state] for one jump-diffusion step, by conditioning on the
@@ -277,7 +294,7 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
                            n_inner: int = 64,
                            model: str = "gbm",
                            heston: Optional[HestonParams] = None,
-                           merton=None, bates=None,
+                           merton=None, bates=None, vg=None,
                            v_paths: Optional[jnp.ndarray] = None,
                            eval_mask: Optional[jnp.ndarray] = None,
                            stat_pair_block: Optional[int] = None,
@@ -325,9 +342,9 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
     if n_inner < 2 or n_inner % 2:
         raise ValueError("n_inner must be an even count >= 2 (antithetic "
                          "inner pairs)")
-    if model not in ("gbm", "heston", "merton", "bates"):
-        raise ValueError(f"model must be 'gbm', 'heston', 'merton' or "
-                         f"'bates', got {model!r}")
+    if model not in ("gbm", "heston", "merton", "bates", "vg"):
+        raise ValueError(f"model must be 'gbm', 'heston', 'merton', 'bates' "
+                         f"or 'vg', got {model!r}")
     use_v = model in ("heston", "bates")
     if model == "bates":
         if bates is None:
@@ -335,6 +352,8 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
         heston = bates.heston
     if model == "merton" and merton is None:
         raise ValueError("model='merton' needs merton params")
+    if model == "vg" and vg is None:
+        raise ValueError("model='vg' needs vg params")
     if use_v:
         if heston is None or v_paths is None or policy.v_mean is None:
             raise ValueError(f"model={model!r} needs the variance params, "
@@ -450,6 +469,59 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
         else:
             e_h = K * _one_step_black(x[n_steps - 1], mu_T, jnp.sqrt(a2_T),
                                       spec.cp)
+    elif model == "vg":
+        # Pure-jump VG: the inner one-step law is the simulator's EXACT
+        # increment (models/vg.py) — a gamma time step G = nu*Gamma(dt/nu)
+        # and a conditional normal. The antithetic inner pair shares G and
+        # mirrors the normal (each member keeps the exact marginal — the
+        # Poisson-count rule of the merton/bates branches). The surrogate's
+        # European floor uses the VG quadratic-variation rate
+        # sigma^2 + nu theta^2 (tightness only, never validity).
+        sigv = jnp.asarray(vg.sigma, dtype)
+        thv = jnp.asarray(vg.theta, dtype)
+        nuv = jnp.asarray(vg.nu, dtype)
+        om = jnp.log1p(-thv * nuv - 0.5 * sigv**2 * nuv) / nuv
+        mu = (drift + om) * dt
+        sig_f = jnp.sqrt(sigv**2 + nuv * thv**2)
+        alpha = dt / nuv
+
+        w_vals = _vhat(x[1:n_steps], K, cp, taus[:, None], rate, q, sig_f,
+                       policy.betas, policy.x_mean[:, None],
+                       policy.x_rstd[:, None], degree)
+
+        def date_ce(carry, inp):
+            i, xp_t, tau_t, b_t, m_t, rho_t = inp
+            dkey = jax.random.fold_in(inner_key, i)
+            z = _inner_normals(dkey, (half,), xp_t.shape[0], inner_block,
+                               first_block, dtype)
+            G = nuv * _inner_gamma(jax.random.fold_in(dkey, 1), (half,),
+                                   xp_t.shape[0], inner_block, first_block,
+                                   alpha, dtype)
+            jb, jn = thv * G, sigv * jnp.sqrt(G) * z
+            x_up = xp_t[None, :] * jnp.exp(mu + jb + jn)
+            x_dn = xp_t[None, :] * jnp.exp(mu + jb - jn)
+            vals = (_vhat(x_up, K, cp, tau_t, rate, q, sig_f, b_t, m_t,
+                          rho_t, degree)
+                    + _vhat(x_dn, K, cp, tau_t, rate, q, sig_f, b_t, m_t,
+                            rho_t, degree))
+            return carry, vals.mean(0) * 0.5
+
+        _, ce = jax.lax.scan(
+            date_ce, None,
+            (jnp.arange(n_dates), x[0:n_steps - 1], taus, policy.betas,
+             policy.x_mean, policy.x_rstd))           # (n_dates, P)
+
+        # Terminal step: no finite Black mixture exists over the gamma clock,
+        # so Rao-Blackwellize — sample ONLY G and take the Black closed form
+        # conditional on it (lognormal given G). The residual inner noise
+        # only loosens the dual (the docstring's validity argument), and
+        # integrating out the normal removes most of it.
+        tkey = jax.random.fold_in(inner_key, n_dates)
+        G_T = nuv * _inner_gamma(tkey, (half,), x.shape[1], inner_block,
+                                 first_block, alpha, dtype)
+        e_h = K * jnp.mean(_one_step_black(
+            x[n_steps - 1][None, :], mu + thv * G_T,
+            sigv * jnp.sqrt(jnp.maximum(G_T, 1e-20)), spec.cp), axis=0)
     else:
         # merton: the diffusion vol comes from the params (the simulated
         # transition uses merton.sigma; spec.sigma may echo it but the dual
@@ -745,7 +817,7 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
                            engine: str = "auto", n_inner: int = 64,
                            model: str = "gbm",
                            heston: Optional[HestonParams] = None,
-                           merton=None, bates=None,
+                           merton=None, bates=None, vg=None,
                            lsm=None,
                            out_of_sample: bool = True) -> BracketResult:
     """Primal-dual bracket [low, high] for an American option on ONE
@@ -773,7 +845,7 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
     """
     use_v = model in ("heston", "bates")
     use_nn = lsm is not None and getattr(lsm, "regressor", "poly") == "nn"
-    if use_nn and model in ("merton", "bates"):
+    if use_nn and model in ("merton", "bates", "vg"):
         raise ValueError("the nn-policy dual supports gbm/heston; use the "
                          "poly policy for the jump families")
     if lsm is not None and not use_nn:
@@ -784,6 +856,8 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
         raise ValueError("model='bates' needs bates params")
     if model == "merton" and merton is None:
         raise ValueError("model='merton' needs merton params")
+    if model == "vg" and vg is None:
+        raise ValueError("model='vg' needs vg params")
     if model == "gbm" and spec.sigma is None:
         raise ValueError("the one-step dual increments need spec.sigma "
                          "(GBM dynamics)")
@@ -792,7 +866,7 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
         train_key, inner_key = jax.random.split(inner_key)
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         bates=bates, engine=engine,
+                         bates=bates, vg=vg, engine=engine,
                          div_yield=spec.div_yield, return_variance=use_v)
     S_paths, v_paths = out if use_v else (out, None)
     pb = _pair_block(mc, model, engine)
@@ -827,7 +901,7 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
                                                policy, n_inner=n_inner,
                                                model=model, heston=heston,
                                                merton=merton, bates=bates,
-                                               v_paths=v_paths,
+                                               vg=vg, v_paths=v_paths,
                                                eval_mask=eval_mask,
                                                stat_pair_block=stat_pb,
                                                inner_block=pb)

@@ -177,6 +177,35 @@ def cos_greeks_bates(S0, K, T, r, bates, cp=1.0, q=0.0
     }
 
 
+def cos_greeks_vg(S0, K, T, r, vg, cp=1.0, q=0.0) -> Dict[str, jnp.ndarray]:
+    """EXACT European Variance Gamma Greeks: jax.grad through the COS pricer
+    (calibration/charfn.vg_cos_price) — spot Greeks plus the full parameter
+    gradient (dSigma/dTheta/dNu). Pathwise MC AD is unavailable for nu (the
+    gamma clock has no pathwise derivative); the smooth closed form is. Vega
+    reports dPrice/dSigma per 1% (the subordinated-Brownian vol)."""
+    from options_model_tpu.core.config import VGParams
+    from options_model_tpu.calibration.charfn import vg_cos_price
+
+    def f(x):
+        vp = VGParams(sigma=x[4], theta=x[5], nu=x[6])
+        return vg_cos_price(x[0], x[1], x[2], x[3], vp, cp, n_terms=1024,
+                            q=q).sum()
+
+    x = jnp.array([S0, K, T, r, vg.sigma, vg.theta, vg.nu], jnp.float32)
+    price, g = jax.value_and_grad(f)(x)
+    gamma = jax.grad(lambda s: jax.grad(
+        lambda s2: f(x.at[0].set(s2)))(s))(x[0])
+    return {
+        "Price": price,
+        "Delta": g[0],
+        "Gamma": gamma,
+        "Theta": -g[2] / 365.0,
+        "Rho": g[3] / 100.0,
+        "Vega": g[4] / 100.0,
+        "dSigma": g[4], "dThetaVG": g[5], "dNu": g[6],
+    }
+
+
 def merton_greeks(S0, K, T, r, merton, cp=1.0, q=0.0
                   ) -> Dict[str, jnp.ndarray]:
     """EXACT European Merton Greeks: jax.grad through the closed-form series

@@ -130,7 +130,7 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
                                  cp: float = -1.0,
                                  model: str = "gbm", sigma=None,
                                  heston: Optional[HestonParams] = None,
-                                 merton=None, bates=None,
+                                 merton=None, bates=None, vg=None,
                                  engine: str = "auto",
                                  heston_scheme: str = "euler",
                                  div_yield: float = 0.0,
@@ -167,9 +167,9 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
     keyed by the global point_id, which travels with the shard: results
     equal the single-device engine exactly.
     """
-    if model not in ("gbm", "heston", "merton", "bates"):
+    if model not in ("gbm", "heston", "merton", "bates", "vg"):
         raise ValueError("shared-path curve pricing requires spot-homogeneous "
-                         "dynamics (gbm/heston/merton/bates), got "
+                         "dynamics (gbm/heston/merton/bates/vg), got "
                          f"{model!r}")
     S0s = jnp.asarray(S0s, jnp.float32)
     Ts = jnp.asarray(Ts, jnp.float32).reshape(-1)
@@ -184,13 +184,14 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
     fn = _shared_impl(mc, model, engine, heston_scheme, use_control_variate,
                       sigma is not None, heston is not None, variance_basis,
                       mesh if multi else None,
-                      merton is not None, bates is not None)
+                      merton is not None, bates is not None,
+                      vg is not None)
     sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(sigma,
                                                                  jnp.float32)
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
                 if heston is None else heston)
     from options_model_tpu.parallel.batch import _jump_args
-    jump_a = _jump_args(merton, bates)
+    jump_a = _jump_args(merton, bates, vg)
     if multi:
         from options_model_tpu.parallel.batch import pad_to_multiple
         n_d = Ts.shape[0]
@@ -211,7 +212,8 @@ def price_american_curves_shared(key: jax.Array, S0s, strike, Ts, rate,
 def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
                  use_cv: bool, has_sigma: bool, has_heston: bool,
                  variance_basis: bool = True, mesh=None,
-                 has_merton: bool = False, has_bates: bool = False):
+                 has_merton: bool = False, has_bates: bool = False,
+                 has_vg: bool = False):
     """Compile-cached body of price_american_curves_shared (statics in the
     cache key; shapes re-specialize through jit's own cache). ``mesh`` None =
     single device; else the curve-point axis shards over the mesh's first
@@ -231,6 +233,7 @@ def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
         eff_strikes = strike / scale       # K * B / S0_i
         merton = jump[0] if has_merton else None
         bates = jump[1] if has_bates else None
+        vg = jump[2] if has_vg else None
 
         want_v = (((model == "heston" and has_heston)
                    or (model == "bates" and has_bates)) and variance_basis)
@@ -242,7 +245,7 @@ def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
                 pkey, base, T, mc, model,
                 sigma=sigma if has_sigma else None, rate=rate,
                 heston=heston if has_heston else None,
-                merton=merton, bates=bates, engine=engine,
+                merton=merton, bates=bates, vg=vg, engine=engine,
                 heston_scheme=heston_scheme, div_yield=div_yield,
                 return_variance=want_v)
             S_paths, v_paths = out if want_v else (out, None)
@@ -273,6 +276,10 @@ def _shared_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
                 eu = jax.vmap(lambda k: merton_price(
                     base, k, T, rate, merton, cp=cp, q=div_yield))(
                         eff_strikes)
+            elif use_cv and model == "vg" and has_vg:
+                from options_model_tpu.calibration.charfn import vg_cos_price
+                eu = vg_cos_price(base, eff_strikes, T, rate, vg,
+                                  cp=cp, q=div_yield)
             if eu is not None:
                 disc = jnp.exp(-jnp.asarray(rate, cash.dtype)
                                * jnp.asarray(T, cash.dtype))
@@ -319,7 +326,7 @@ def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,
                            mc: MCConfig, *, cp: float = -1.0,
                            model: str = "heston", sigma=None,
                            heston: Optional[HestonParams] = None,
-                           merton=None, bates=None,
+                           merton=None, bates=None, vg=None,
                            engine: str = "auto",
                            heston_scheme: str = "euler",
                            div_yield=0.0,
@@ -347,13 +354,14 @@ def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,
                        sigma is not None, heston is not None,
                        None if (mesh is None or mesh.devices.size == 1)
                        else mesh,
-                       merton is not None, bates is not None)
+                       merton is not None, bates is not None,
+                       vg is not None)
     sigma_a = jnp.float32(0.0) if sigma is None else jnp.asarray(
         sigma, jnp.float32)
     heston_a = (HestonParams(kappa=1.0, theta=0.04, xi=0.1, rho=0.0, v0=0.04)
                 if heston is None else heston)
     from options_model_tpu.parallel.batch import _jump_args
-    jump_a = _jump_args(merton, bates)
+    jump_a = _jump_args(merton, bates, vg)
     if mesh is not None and mesh.devices.size > 1:
         from options_model_tpu.parallel.batch import pad_to_multiple
         n_dev = mesh.devices.size
@@ -371,7 +379,8 @@ def price_american_surface(key: jax.Array, S0, strikes, maturities, rate,
 @functools.lru_cache(maxsize=256)
 def _surface_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
                   variance_basis: bool, has_sigma: bool, has_heston: bool,
-                  mesh, has_merton: bool = False, has_bates: bool = False):
+                  mesh, has_merton: bool = False, has_bates: bool = False,
+                  has_vg: bool = False):
     """Compile-cached body of price_american_surface. ``mesh`` None =
     single-device sequential map; else shard_map over the mesh's first axis."""
     want_v = (((model == "heston" and has_heston)
@@ -388,6 +397,7 @@ def _surface_impl(mc: MCConfig, model: str, engine: str, heston_scheme: str,
                                  heston=heston if has_heston else None,
                                  merton=jump[0] if has_merton else None,
                                  bates=jump[1] if has_bates else None,
+                                 vg=jump[2] if has_vg else None,
                                  engine=engine, heston_scheme=heston_scheme,
                                  div_yield=div_yield, return_variance=want_v)
             S_paths, v_paths = out if want_v else (out, None)

@@ -225,6 +225,33 @@ def main():
         f"Hagan {hagan:.4f}")
     assert abs(float(p_sabr) - hagan) < 4 * float(se_sabr) + 3e-3 * hagan
 
+    # 8e. Variance Gamma: exact-terminal European MC vs the COS closed form,
+    # and the American LSM+CV sits above the European floor.
+    from options_model_tpu.core.config import VGParams
+    from options_model_tpu.calibration.charfn import vg_cos_price
+    from options_model_tpu.pricers.european import (make_terminal_sampler,
+                                                    price_european_mc)
+    vgp = VGParams(sigma=0.18, theta=-0.14, nu=0.35).validate()
+    mc_vg = MCConfig(n_paths=262_144, n_steps=1)
+    samp_vg = make_terminal_sampler("vg", S0, r, T, vg=vgp)
+    p_vg, se_vg, _ = price_european_mc(key, samp_vg,
+                                       OptionSpec(strike=K, rate=r, cp=1.0),
+                                       T, mc_vg)
+    cos_vg = float(vg_cos_price(S0, K, T, r, vgp, cp=1.0, n_terms=4096))
+    log(f"VG EU: exact-terminal mc {float(p_vg):.4f} +- {float(se_vg):.4f} "
+        f"vs COS {cos_vg:.4f}")
+    assert abs(float(p_vg) - cos_vg) < 4 * float(se_vg)
+    from options_model_tpu.pricers.american import (
+        price_american_with_control_variate)
+    spec_vg = OptionSpec(strike=K, rate=r, cp=-1.0)
+    am_vg, am_se_vg = price_american_with_control_variate(
+        key, S0, T, spec_vg, MCConfig(n_paths=131_072, n_steps=50),
+        LSMConfig(), model="vg", vg=vgp)
+    eu_put_vg = float(vg_cos_price(S0, K, T, r, vgp, cp=-1.0, n_terms=4096))
+    log(f"VG AM put: LSM+CV {float(am_vg):.4f} +- {float(am_se_vg):.4f} "
+        f"(EU floor {eu_put_vg:.4f})")
+    assert float(am_vg) > eu_put_vg - 2 * float(am_se_vg)
+
     # 9. Validation errors raise cleanly.
     for bad in (lambda: OptionSpec(strike=-5.0, rate=r).validate(),
                 lambda: HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-2.0,

@@ -202,3 +202,147 @@ class TestVGExotics:
         am, _ = price_american_asian(KEY, S0, T, spec, MC, "vg", vg=VG)
         eu, eu_se = price_asian_mc(KEY, S0, T, spec, MC, "vg", vg=VG)
         assert float(am) >= float(eu) - 2.0 * float(eu_se)
+
+
+class TestVGParallel:
+    """VG on the sharded grids (parallel/batch.py) and the shared-path
+    curve engine — the mesh integration the other families carry."""
+
+    def test_grid_matches_single_pricer(self):
+        import numpy as np
+        from options_model_tpu.parallel.batch import price_american_grid
+        from options_model_tpu.parallel.mesh import make_mesh
+        from options_model_tpu.pricers.american import price_american_lsm
+
+        mesh = make_mesh(("tasks",))
+        mc = MCConfig(n_paths=16384, n_steps=20, path_block=2048)
+        S0s = np.array([95.0, 100.0, 105.0], np.float32)
+        p, se = price_american_grid(
+            KEY, S0s, np.full(3, K, np.float32), np.full(3, 0.5, np.float32),
+            R, mc, mesh, model="vg", vg=VG, return_stderr=True)
+        # grid task 1 folds the key by its task id — replicate that stream
+        spec = OptionSpec(strike=K, rate=R, cp=-1.0)
+        p1, se1 = price_american_lsm(
+            jax.random.fold_in(KEY, jnp.int32(1)), 100.0, 0.5, spec, mc,
+            LSMConfig(), model="vg", vg=VG, engine="xla")
+        assert abs(float(p[1]) - float(p1)) < 4.0 * float(
+            jnp.sqrt(se[1] ** 2 + se1 ** 2))
+
+    def test_grid_2d_factorization_invariant(self):
+        import numpy as np
+        from jax.sharding import Mesh
+        from options_model_tpu.parallel.batch import price_american_grid_2d
+
+        mc = MCConfig(n_paths=16384, n_steps=16, path_block=2048)
+        S0s = np.array([95.0, 100.0, 105.0], np.float32)
+        Ks = np.full(3, K, np.float32)
+        Ts = np.full(3, 0.5, np.float32)
+        devs = np.array(jax.devices())
+        p24 = price_american_grid_2d(KEY, S0s, Ks, Ts, R, mc,
+                                     Mesh(devs.reshape(2, 4),
+                                          ("tasks", "paths")),
+                                     model="vg", vg=VG)
+        p42 = price_american_grid_2d(KEY, S0s, Ks, Ts, R, mc,
+                                     Mesh(devs.reshape(4, 2),
+                                          ("tasks", "paths")),
+                                     model="vg", vg=VG)
+        # psum reduction order can flip O(1) boundary exercise decisions
+        # (parallel/batch.py docstring) — agreement is statistical-tight,
+        # not bitwise.
+        assert float(jnp.max(jnp.abs(p24 - p42))) < 5e-3 * float(
+            jnp.max(jnp.abs(p24)))
+
+    def test_shared_path_curves_agree_with_task_per_cell(self):
+        import numpy as np
+        from options_model_tpu.apps.curves import (CurveRequest,
+                                                   compute_curves)
+        from options_model_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(("tasks",))
+        base = dict(s0_list=[95.0, 100.0, 105.0], strike=K, rate=R,
+                    total_points=2, intervals_per_day=1,
+                    num_simulations=16384, model="vg", vg=VG, seed=11)
+        df_sh = compute_curves(CurveRequest(shared_paths="on", **base), mesh)
+        df_off = compute_curves(CurveRequest(shared_paths="off", **base),
+                                mesh)
+        m = df_sh.merge(df_off, on=["S0", "Days to Expiry"],
+                        suffixes=("_sh", "_off"))
+        z = ((m["Option Value_sh"] - m["Option Value_off"])
+             / np.sqrt(m.StdErr_sh**2 + m.StdErr_off**2))
+        assert z.abs().max() < 4.0
+
+    def test_european_sharded_matches_cos(self):
+        from options_model_tpu.parallel.batch import price_european_sharded
+        from options_model_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(("paths",))
+        spec = OptionSpec(strike=K, rate=R, cp=1.0)
+        p, se, _ = price_european_sharded(KEY, S0, T, spec,
+                                          MCConfig(n_paths=1 << 16, n_steps=1,
+                                                   path_block=2048),
+                                          mesh, model="vg", vg=VG)
+        cos = float(vg_cos_price(S0, K, T, R, VG, cp=1.0, n_terms=4096))
+        assert abs(float(p) - cos) < 4.0 * float(se)
+
+
+class TestVGBracket:
+    def test_bracket_contains_lsm_and_gap_small(self):
+        from options_model_tpu.pricers.dual import price_american_bracket
+
+        spec = OptionSpec(strike=K, rate=R, cp=-1.0, sigma=None)
+        mc = MCConfig(n_paths=16384, n_steps=20, path_block=2048)
+        br = price_american_bracket(KEY, S0, 0.5, spec, mc, model="vg",
+                                    vg=VG, n_inner=32)
+        lo = float(br.low) - 2 * float(br.low_stderr)
+        hi = float(br.high) + 2 * float(br.high_stderr)
+        assert lo < hi
+        # dual gap bounds the policy suboptimality: a valid VG inner law
+        # keeps it tight (a broken transition law blows the upper bound up)
+        assert float(br.high) - float(br.low) < 0.06 * float(br.low)
+        # the in-sample LSM point sits inside the (widened) bracket
+        from options_model_tpu.pricers.american import price_american_lsm
+        p, se = price_american_lsm(KEY, S0, 0.5, spec, mc, LSMConfig(),
+                                   model="vg", vg=VG)
+        assert lo - 2 * float(se) < float(p) < hi + 2 * float(se)
+
+
+class TestVGGreeks:
+    def test_cos_greeks_match_finite_differences(self):
+        from options_model_tpu.pricers.greeks import cos_greeks_vg
+
+        g = cos_greeks_vg(S0, K, T, R, VG, cp=1.0)
+        eps = 0.5
+        up = float(vg_cos_price(S0 + eps, K, T, R, VG, cp=1.0, n_terms=1024))
+        dn = float(vg_cos_price(S0 - eps, K, T, R, VG, cp=1.0, n_terms=1024))
+        mid = float(vg_cos_price(S0, K, T, R, VG, cp=1.0, n_terms=1024))
+        assert abs(float(g["Delta"]) - (up - dn) / (2 * eps)) < 2e-3
+        assert abs(float(g["Gamma"])
+                   - (up - 2 * mid + dn) / eps**2) < 2e-3
+        assert abs(float(g["Price"]) - mid) < 1e-4
+
+    def test_bs_limit_delta(self):
+        from options_model_tpu.pricers.blackscholes import bs_greeks
+        from options_model_tpu.pricers.greeks import cos_greeks_vg
+
+        vg0 = VGParams(sigma=0.2, theta=0.0, nu=1e-4)
+        g = cos_greeks_vg(S0, K, T, R, vg0, cp=1.0)
+        gb = bs_greeks(S0, K, T, R, 0.2, 1.0)
+        assert abs(float(g["Delta"]) - float(gb["Delta"])) < 2e-3
+        assert abs(float(g["Vega"]) - float(gb["Vega"])) < 2e-2
+
+
+class TestVGSurface:
+    def test_surface_matches_grid_point(self):
+        import numpy as np
+        from options_model_tpu.pricers.surface_american import (
+            price_american_surface)
+
+        mc = MCConfig(n_paths=16384, n_steps=16, path_block=2048)
+        strikes = np.array([95.0, 100.0, 105.0], np.float32)
+        mats = np.array([0.25, 0.5], np.float32)
+        surf = price_american_surface(KEY, S0, strikes, mats, R, mc,
+                                      model="vg", vg=VG)
+        assert surf.shape == (2, 3)
+        # monotone in strike for a put and in maturity pointwise
+        assert bool(jnp.all(jnp.diff(surf, axis=1) > 0))
+        assert bool(jnp.all(surf[1] >= surf[0] - 5e-3))
