@@ -282,17 +282,11 @@ def run(args: argparse.Namespace) -> dict:
             out["n_paths"] = int(sum(res.n_per_level)) * 2
             return out
         if (getattr(args, "sampler", "mc") == "sobol"
-                and args.model == "vg"):
-            # VG RQMC has no gamma-bridge construction yet; the plain MC
-            # European is already exact-terminal (models/vg.py).
-            log.info("sobol sampling supports gbm/heston (and jump-family "
-                     "european) only; using mc for vg")
-            args.sampler = "mc"
-        if (getattr(args, "sampler", "mc") == "sobol"
-                and args.model in ("merton", "bates")
+                and args.model in ("merton", "bates", "vg")
                 and args.contract == "asian"):
-            # European merton/bates RQMC is exact (3 dims / bridged+2 dims);
-            # the pathwise Asian average has no jump-bridge construction yet.
+            # European merton/bates/vg RQMC is exact (3 dims / bridged+2
+            # dims / 2 dims); the pathwise Asian average has no jump/gamma-
+            # bridge construction yet.
             log.info("sobol Asian sampling supports gbm/heston only; using "
                      "mc for %s", args.model)
             args.sampler = "mc"
@@ -338,7 +332,7 @@ def run(args: argparse.Namespace) -> dict:
                 from options_model_tpu.pricers.qmc import price_european_qmc
                 price, se, n = price_european_qmc(
                     args.seed, args.model, args.spot, spec, args.t,
-                    heston=heston, merton=merton, bates=bates,
+                    heston=heston, merton=merton, bates=bates, vg=vg,
                     n_paths=max(args.paths // 16, 1 << 10),
                     n_steps=args.steps, replicates=16)
                 out["n_paths"] = int(n)

@@ -83,8 +83,15 @@ def sobol_uniforms(sv, shift, i0, n: int, dtype=jnp.float32) -> jnp.ndarray:
     x = jax.lax.fori_loop(0, _BITS, bit_step,
                           jnp.zeros((n, sv.shape[0]), jnp.uint32))
     x = x ^ shift[None, :]
-    return (x.astype(dtype) + jnp.asarray(0.5, dtype)) * jnp.asarray(
+    u = (x.astype(dtype) + jnp.asarray(0.5, dtype)) * jnp.asarray(
         2.0 ** -_BITS, dtype)
+    # f32 has a 24-bit mantissa, so cell centers in the top 2^-25 sliver
+    # ROUND TO EXACTLY 1.0 (x >= 2^30 (1 - 2^-25) -> u == 1.0f) and ndtri
+    # returns inf — clamp to the largest float below 1. Measure distortion
+    # is confined to that sliver (|z| > 5.4); the low side needs no clamp
+    # (2^-31 is exactly representable).
+    return jnp.minimum(u, jnp.asarray(1.0, dtype)
+                       - jnp.asarray(jnp.finfo(dtype).epsneg, dtype))
 
 
 def sobol_normals(sv, shift, i0, n: int, dtype=jnp.float32) -> jnp.ndarray:

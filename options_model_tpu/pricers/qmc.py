@@ -66,6 +66,36 @@ def _poisson_icdf(u, lam_mean, n_max: int = 24):
     return jnp.sum((u[..., None] > cdf[None, :]).astype(dtype), axis=-1)
 
 
+def _gamma_icdf(u, alpha, n_iter: int = 40):
+    """Gamma(alpha, scale 1) inverse CDF by bisection on the regularized
+    lower incomplete gamma (jax.scipy.special.gammainc) — fully vectorized,
+    fixed trip count (XLA-friendly; no data-dependent loop), monotone in u
+    (the one-dimensional stratification a Sobol coordinate needs survives
+    the transform exactly).
+
+    Bracket: [0, alpha + 12 sqrt(alpha) + 40] covers u <= 1 - 2^-31 (the
+    largest centered-cell f32 Sobol uniform) for any alpha — the small-alpha
+    tail is sub-exponential (quantile <= -ln(1-u) + O(alpha) ~ 21.5) and the
+    large-alpha tail is Gaussian (12 sigma). 40 bisections put the bracket
+    width below f32 resolution of the result."""
+    from jax.scipy.special import gammainc
+
+    dtype = u.dtype
+    alpha = jnp.asarray(alpha, dtype)
+    hi0 = alpha + 12.0 * jnp.sqrt(alpha) + 40.0
+
+    def step(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        below = gammainc(alpha, mid) < u
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(
+        0, n_iter, step,
+        (jnp.zeros_like(u), jnp.broadcast_to(hi0, u.shape)))
+    return 0.5 * (lo + hi)
+
+
 def _pow2(n: int) -> int:
     """Sobol nets are balanced at powers of two — round the budget up."""
     return 1 << max(1, math.ceil(math.log2(max(2, n))))
@@ -150,7 +180,7 @@ def _run_replicates(seed: int, dim: int, replicates: int, jitted_rep):
 
 def price_european_qmc(seed: int, model: str, S0, spec: OptionSpec, T, *,
                        heston: Optional[HestonParams] = None,
-                       merton=None, bates=None,
+                       merton=None, bates=None, vg=None,
                        n_paths: int = 1 << 14, n_steps: int = 64,
                        replicates: int = 16, dtype=jnp.float32
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
@@ -163,7 +193,9 @@ def price_european_qmc(seed: int, model: str, S0, spec: OptionSpec, T, *,
     inverse CDF, aggregated jump-size normal — no time discretization at
     all); model='bates' appends the same (count, size) pair to the bridged
     Heston dims (the compound jump over [0, T] is one Poisson draw,
-    models/bates.py's terminal collapse).
+    models/bates.py's terminal collapse). model='vg' is EXACT in 2 Sobol
+    dims (conditional normal + the gamma time increment via _gamma_icdf —
+    the terminal VG law is one gamma clock draw, models/vg.py).
     """
     n_paths = _pow2(n_paths)
     r = spec.rate
@@ -252,9 +284,31 @@ def price_european_qmc(seed: int, model: str, S0, spec: OptionSpec, T, *,
                                            spec.cp)) * disc
 
         dim = 2 * n_steps + 2
+    elif model == "vg":
+        if vg is None:
+            raise ValueError("vg params required for model='vg'")
+        from jax.scipy.special import ndtri
+        sig = jnp.asarray(vg.sigma, dtype)
+        th = jnp.asarray(vg.theta, dtype)
+        nu = jnp.asarray(vg.nu, dtype)
+        Tf = jnp.asarray(T, dtype)
+        om = jnp.log1p(-th * nu - 0.5 * sig ** 2 * nu) / nu
+
+        @jax.jit
+        def rep_mean(sv, shift):
+            # Exact 2-dim terminal law: conditional normal on dim 0 (the
+            # dominant variance at moderate nu), the gamma clock on dim 1.
+            u = sobol_uniforms(sv, shift, 0, n_paths, dtype)   # (P, 2)
+            G = nu * _gamma_icdf(u[:, 1], Tf / nu)
+            logS = (jnp.log(jnp.asarray(S0, dtype)) + (drift + om) * Tf
+                    + th * G + sig * jnp.sqrt(G) * ndtri(u[:, 0]))
+            return jnp.mean(vanilla_payoff(jnp.exp(logS), spec.strike,
+                                           spec.cp)) * disc
+
+        dim = 2
     else:
-        raise ValueError(f"model must be 'gbm', 'heston', 'merton' or "
-                         f"'bates', got {model!r}")
+        raise ValueError(f"model must be 'gbm', 'heston', 'merton', 'bates' "
+                         f"or 'vg', got {model!r}")
 
     price, stderr = _run_replicates(seed, dim, replicates, rep_mean)
     return price, stderr, replicates * n_paths

@@ -346,3 +346,55 @@ class TestVGSurface:
         # monotone in strike for a put and in maturity pointwise
         assert bool(jnp.all(jnp.diff(surf, axis=1) > 0))
         assert bool(jnp.all(surf[1] >= surf[0] - 5e-3))
+
+
+class TestVGQMC:
+    def test_gamma_icdf_matches_scipy(self):
+        import numpy as np
+        from scipy.stats import gamma as sgamma
+        from options_model_tpu.pricers.qmc import _gamma_icdf
+
+        for a in (0.05, 0.5, 2.86, 50.0):
+            u = np.linspace(1e-6, 0.9999, 801).astype(np.float32)
+            q = np.asarray(_gamma_icdf(jnp.asarray(u), a))
+            ref = sgamma.ppf(u.astype(np.float64), a)
+            rel = np.abs(q - ref) / np.maximum(np.abs(ref), 1e-5)
+            assert rel.max() < 5e-4, (a, rel.max())
+
+    def test_european_rqmc_matches_cos_and_beats_mc(self):
+        from options_model_tpu.pricers.european import (
+            make_terminal_sampler, price_european_mc)
+        from options_model_tpu.pricers.qmc import price_european_qmc
+
+        spec = OptionSpec(strike=K, rate=R, cp=1.0)
+        p, se, _ = price_european_qmc(7, "vg", S0, spec, T, vg=VG,
+                                      n_paths=1 << 12, replicates=8)
+        cos = float(vg_cos_price(S0, K, T, R, VG, cp=1.0, n_terms=4096))
+        assert abs(float(p) - cos) < max(4.0 * float(se), 5e-3)
+        s = make_terminal_sampler("vg", S0, R, T, vg=VG)
+        _, se_m, _ = price_european_mc(
+            jax.random.key(7), s, spec, T,
+            MCConfig(n_paths=8 * (1 << 12), n_steps=1, path_block=4096))
+        # exact 2-dim law: the net's stratification should win big
+        assert float(se) * 5.0 < float(se_m)
+
+
+class TestSobolUniformRange:
+    def test_f32_cell_centers_stay_below_one(self):
+        """f32's 24-bit mantissa rounds cell centers in the top 2^-25
+        sliver to exactly 1.0 (ndtri -> inf) without the clamp — feed the
+        generator indices that land there via an identity net."""
+        import numpy as np
+        from options_model_tpu.core.qmc import sobol_uniforms
+
+        # direction vectors = single-bit columns make point i = bitrev-ish
+        # gray(i); with shift all-ones the FIRST point hits the top cell.
+        sv = np.zeros((1, 30), np.uint32)
+        for k in range(30):
+            sv[0, k] = np.uint32(1) << (29 - k)
+        shift = np.array([(1 << 30) - 1], np.uint32)
+        u = np.asarray(sobol_uniforms(jnp.asarray(sv), jnp.asarray(shift),
+                                      0, 4))
+        assert u.max() < 1.0
+        assert np.isfinite(np.asarray(
+            jax.scipy.special.ndtri(jnp.asarray(u)))).all()
