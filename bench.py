@@ -299,6 +299,25 @@ def main():
         details["bates_american_premium_z"] = round(
             (float(p_ba) - cos_b) / max(float(se_ba), 1e-12), 2)
 
+        # Merton American vs the Fang-Oosterlee Bermudan-COS oracle at
+        # MATCHED exercise dates (pricers/cos_bermudan.py) — the Levy
+        # analogue of heston_american_rel_err_vs_fd, driver-captured.
+        from options_model_tpu.core.config import MertonParams
+        from options_model_tpu.pricers.cos_bermudan import cos_bermudan_price
+        mp_b = MertonParams(sigma=0.2, lam=1.0, mu_j=-0.10, sigma_j=0.15)
+        p_mj, _ = price_american_with_control_variate(
+            jax.random.key(33), 100.0, 0.5,
+            OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=0.2),
+            MCConfig(n_paths=1 << 17 if on_tpu else 1 << 14, n_steps=50,
+                     path_block=4096),
+            LSMConfig(regressor="poly"), model="merton", merton=mp_b,
+            engine="xla")
+        berm_mj = cos_bermudan_price(100.0, 100.0, 0.5, 0.05, "merton",
+                                     merton=mp_b, cp=-1.0, n_dates=50)
+        details["merton_american_rel_err_vs_cos_bermudan"] = round(
+            abs(float(p_mj) - berm_mj) / berm_mj, 6)
+        details["merton_american_cos_bermudan_oracle"] = round(berm_mj, 6)
+
     if on_tpu and not args.quick:
         # The reference's flagship workload: an S0-grid x days-to-expiry
         # American curve sweep (ProcessPoolExecutor fan-out there;

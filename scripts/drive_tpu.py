@@ -252,6 +252,29 @@ def main():
         f"(EU floor {eu_put_vg:.4f})")
     assert float(am_vg) > eu_put_vg - 2 * float(am_se_vg)
 
+    # 8f. Jump-family American anchors: the Fang-Oosterlee Bermudan-COS
+    # oracle (pricers/cos_bermudan.py) prices the SAME 50-date contract the
+    # LSM discretizes — the first external check on American prices under
+    # Merton and VG (the Levy analogue of the Heston ADI gate in leg 5).
+    from options_model_tpu.core.config import MertonParams
+    from options_model_tpu.pricers.cos_bermudan import cos_bermudan_price
+    berm_vg = cos_bermudan_price(S0, K, T, r, "vg", vg=vgp, cp=-1.0,
+                                 n_dates=50)
+    rel_vg = abs(float(am_vg) - berm_vg) / berm_vg
+    log(f"VG AM vs Bermudan-COS oracle {berm_vg:.4f}: rel {rel_vg*100:.3f}%")
+    assert rel_vg < 0.01 or abs(float(am_vg) - berm_vg) < 4 * float(am_se_vg)
+    mp_d = MertonParams(sigma=0.2, lam=1.0, mu_j=-0.10, sigma_j=0.15)
+    am_mj, se_mj = price_american_with_control_variate(
+        key, S0, T, OptionSpec(strike=K, rate=r, cp=-1.0, sigma=0.2),
+        MCConfig(n_paths=131_072, n_steps=50), LSMConfig(), model="merton",
+        merton=mp_d)
+    berm_mj = cos_bermudan_price(S0, K, T, r, "merton", merton=mp_d, cp=-1.0,
+                                 n_dates=50)
+    rel_mj = abs(float(am_mj) - berm_mj) / berm_mj
+    log(f"Merton AM put: LSM+CV {float(am_mj):.4f} vs Bermudan-COS "
+        f"{berm_mj:.4f} rel {rel_mj*100:.3f}%")
+    assert rel_mj < 0.01 or abs(float(am_mj) - berm_mj) < 4 * float(se_mj)
+
     # 9. Validation errors raise cleanly.
     for bad in (lambda: OptionSpec(strike=-5.0, rate=r).validate(),
                 lambda: HestonParams(kappa=2.0, theta=0.04, xi=0.3, rho=-2.0,
