@@ -133,3 +133,33 @@ class TestLSMAnchors:
                                     n_dates=self.MC.n_steps)
         assert abs(float(price) - oracle) < max(0.01 * oracle,
                                                 4.0 * float(se))
+
+
+class TestRichardsonContinuousLimit:
+    """The headline estimator's Richardson step extrapolates the exercise-
+    date bias toward the CONTINUOUS American; until now that claim was only
+    CRR-checkable under GBM. cos_american_price extends the check to the
+    jump families (their first continuous-exercise anchor of any kind)."""
+
+    MC = MCConfig(n_paths=1 << 15, n_steps=50, path_block=4096)
+
+    def _rich(self, model, **kw):
+        from options_model_tpu.pricers.american import price_american
+        spec = OptionSpec(strike=K, rate=R, cp=PUT,
+                          sigma=SIG if model in ("gbm", "merton") else None)
+        return price_american(KEY, S0, T, spec, self.MC,
+                              LSMConfig(richardson=True), model, **kw)
+
+    def test_merton_richardson(self):
+        price, se = self._rich("merton", merton=MP)
+        oracle = cos_american_price(S0, K, T, R, "merton", merton=MP, cp=PUT)
+        assert abs(float(price) - oracle) < max(0.01 * oracle,
+                                                4.0 * float(se)), (
+            float(price), oracle, float(se))
+
+    def test_vg_richardson(self):
+        price, se = self._rich("vg", vg=VG)
+        oracle = cos_american_price(S0, K, T, R, "vg", vg=VG, cp=PUT)
+        assert abs(float(price) - oracle) < max(0.01 * oracle,
+                                                4.0 * float(se)), (
+            float(price), oracle, float(se))
