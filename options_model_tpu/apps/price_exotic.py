@@ -141,6 +141,18 @@ def parse_args(argv=None) -> argparse.Namespace:
     pe.add_argument("--eps", type=float, default=1e-2,
                     help="mlmc target RMS error in price units")
 
+    pam = sub.add_parser(
+        "american",
+        help="American vanilla via LSM+CV; Levy models (gbm/merton/vg) also "
+             "report the deterministic Bermudan-COS oracle at matched "
+             "exercise dates and its continuous-American limit")
+    _add_common(pam)
+    pam.add_argument("--richardson", action="store_true",
+                     help="Common-path Richardson over the exercise grid "
+                          "(targets the CONTINUOUS American)")
+    pam.add_argument("--no-oracle", action="store_true",
+                     help="Skip the host-side Bermudan-COS oracle columns")
+
     pv = sub.add_parser("varswap", help="Variance / volatility swap: "
                                         "closed-form fair strikes (QV and "
                                         "log-contract replication) + the "
@@ -188,8 +200,8 @@ def run(args: argparse.Namespace) -> dict:
     cp = cp_from_str(args.option_type)
     out = {"contract": args.contract, "n_paths": args.paths}
 
-    if args.contract in ("asian", "american-asian", "lookback", "barrier",
-                         "european", "varswap"):
+    if args.contract in ("asian", "american-asian", "american", "lookback",
+                         "barrier", "european", "varswap"):
         spec = OptionSpec(strike=args.strike, rate=args.r, cp=cp,
                           sigma=args.sigma, div_yield=args.q)
         heston = merton = bates = vg = None
@@ -314,6 +326,31 @@ def run(args: argparse.Namespace) -> dict:
                     key, args.spot, args.t, spec, mc, args.model,
                     average=args.average, strike_type=args.strike_type,
                     heston=heston, merton=merton, bates=bates, vg=vg)
+        elif args.contract == "american":
+            if args.model == "sabr":
+                raise SystemExit("american supports gbm/heston/merton/"
+                                 "bates/vg")
+            from options_model_tpu.core.config import LSMConfig
+            from options_model_tpu.pricers.american import price_american
+            price, se = price_american(
+                key, args.spot, args.t, spec, mc,
+                LSMConfig(richardson=args.richardson), args.model,
+                heston=heston, merton=merton, bates=bates, vg=vg)
+            if args.model in ("gbm", "merton", "vg") and not args.no_oracle:
+                # Deterministic Fang-Oosterlee anchors (host f64, no MC
+                # noise): the matched-dates Bermudan is the LSM's own
+                # contract; the Richardson-in-dates limit is the
+                # continuous American (pricers/cos_bermudan.py).
+                from options_model_tpu.pricers.cos_bermudan import (
+                    cos_american_price, cos_bermudan_price)
+                okw = dict(sigma=args.sigma, merton=merton, vg=vg, cp=cp,
+                           q=args.q)
+                out["cos_bermudan_matched_dates"] = cos_bermudan_price(
+                    args.spot, args.strike, args.t, args.r, args.model,
+                    n_dates=args.steps, **okw)
+                out["cos_american"] = cos_american_price(
+                    args.spot, args.strike, args.t, args.r, args.model,
+                    **okw)
         elif args.contract == "lookback":
             from options_model_tpu.pricers.exotics import price_lookback_mc
             price, se = price_lookback_mc(

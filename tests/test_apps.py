@@ -594,6 +594,28 @@ class TestExoticCLI:
             self._run(["basket", "--spots", "100", "95", "--sigmas",
                        "0.2", "0.3", "--corr", "1", "0.4", "0.4"])
 
+    def test_american_cli_with_cos_oracle(self):
+        out = self._run(["american", "--model", "merton", "--option-type",
+                         "put", "--paths", "16384", "--steps", "25",
+                         "--merton", "0.2", "1.0", "-0.1", "0.15"])
+        # Deterministic oracle columns present and consistent: the LSM price
+        # sits near the matched-dates Bermudan, which lies below the
+        # continuous-American limit.
+        berm = out["cos_bermudan_matched_dates"]
+        assert berm <= out["cos_american"] + 1e-9
+        assert abs(out["price"] - berm) < max(0.02 * berm,
+                                              4.0 * out["stderr"])
+
+    def test_american_cli_no_oracle_for_heston(self):
+        out = self._run(["american", "--model", "heston", "--option-type",
+                         "put", "--paths", "16384", "--steps", "25"])
+        assert "cos_bermudan_matched_dates" not in out
+        assert out["price"] > 0
+
+    def test_american_cli_sabr_rejected(self):
+        with pytest.raises(SystemExit):
+            self._run(["american", "--model", "sabr"])
+
     def test_sabr_european_cli(self):
         out = self._run(["european", "--model", "sabr", "--paths", "32768",
                          "--steps", "32", "--t", "0.5"])
