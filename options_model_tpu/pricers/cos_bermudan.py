@@ -81,7 +81,13 @@ def _charfn_increment(model: str, dt: float, r: float, q: float, *,
         if vg is None:
             raise ValueError("model='vg' needs VGParams")
         sig, th, nu = vg.sigma, vg.theta, vg.nu
-        w = math.log(1.0 - th * nu - 0.5 * sig**2 * nu) / nu
+        arg = 1.0 - th * nu - 0.5 * sig**2 * nu
+        if arg <= 0.0:
+            raise ValueError(
+                "VG martingale condition violated: 1 - theta*nu - "
+                f"0.5*sigma^2*nu = {arg:.6g} <= 0 (theta={th}, nu={nu}, "
+                f"sigma={sig}); E[e^{{X_t}}] does not exist for these params")
+        w = math.log(arg) / nu
 
         def phi(u):
             base = 1.0 - 1j * u * th * nu + 0.5 * sig**2 * nu * u**2
@@ -215,30 +221,43 @@ def cos_bermudan_price(S0: float, K: float, T: float, r: float,
         lo, hi = max(0.0, a), b
     else:
         lo, hi = a, min(0.0, b)
+    # Degenerate domain (deep-OTM put with a > 0 / deep-ITM-shifted call with
+    # b < 0): the intrinsic-positive region lies entirely outside [a, b], so
+    # there is no exercise region to scan for — pin the boundary at the
+    # exercise-side endpoint instead of bracketing on a reversed grid.
+    degenerate = hi <= lo
     grid = np.linspace(lo, hi, 257)
 
     for _ in range(n_dates - 1):
         u = half * phi * V
-        f = cont_val(grid, u) - intrinsic(grid)
-        sign = f > 0.0
-        if sign.all():
-            # Continuation dominates everywhere ITM: no exercise region.
-            xs = lo if cp < 0 else hi
-        elif not sign.any():
-            xs = hi if cp < 0 else lo
+        if degenerate:
+            xs = a if cp < 0 else b
         else:
-            # Put: exercise region is the LOW side (f<0 near a); take the
-            # first sign change from the exercise side. Call: mirrored.
-            idx = int(np.argmax(sign)) if cp < 0 else int(np.argmax(~sign))
-            xl, xh = grid[idx - 1], grid[idx]
-            for _ in range(60):
-                xm = 0.5 * (xl + xh)
-                fm = cont_val(xm, u) - intrinsic(xm)
-                if (fm > 0.0) == (cp < 0):
-                    xh = xm
-                else:
-                    xl = xm
-            xs = 0.5 * (xl + xh)
+            f = cont_val(grid, u) - intrinsic(grid)
+            sign = f > 0.0
+            if sign.all():
+                # Continuation dominates everywhere ITM: no exercise region.
+                xs = lo if cp < 0 else hi
+            elif not sign.any():
+                xs = hi if cp < 0 else lo
+            else:
+                # Put: exercise region is the LOW side (f<0 near a); take the
+                # first sign change from the exercise side. Call: mirrored.
+                # max(idx, 1): COS truncation oscillation can in principle put
+                # the flip at grid point 0, where grid[idx-1] would wrap to
+                # grid[-1] and hand bisection a reversed bracket.
+                idx = (int(np.argmax(sign)) if cp < 0
+                       else int(np.argmax(~sign)))
+                idx = max(idx, 1)
+                xl, xh = grid[idx - 1], grid[idx]
+                for _ in range(60):
+                    xm = 0.5 * (xl + xh)
+                    fm = cont_val(xm, u) - intrinsic(xm)
+                    if (fm > 0.0) == (cp < 0):
+                        xh = xm
+                    else:
+                        xl = xm
+                xs = 0.5 * (xl + xh)
 
         if cp > 0:
             Mt = _transfer_matrix(N, a, b, a, xs)
