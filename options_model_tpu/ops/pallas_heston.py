@@ -7,10 +7,16 @@ full-truncation Euler scheme — zero HBM traffic until the final write. This is
 what the reference's memory-capped torch batching (option_model_3_gpu.py:150-248)
 becomes when the whole step loop fuses.
 
-RNG discipline: the PRNG is seeded with (user_seed, tile_index), so every tile's
-stream is a pure function of its GLOBAL tile id — results are independent of
-grid scheduling and, with tiles sharded across chips, of the device count.
-Antithetic pairing mirrors the top half of each tile's rows.
+RNG discipline: the PRNG is seeded with (user_seed, first_tile + tile_index),
+so every tile's stream is a pure function of its GLOBAL tile id — results are
+independent of grid scheduling and, with tiles sharded across chips, of the
+device count. ``first_tile`` is the caller's global tile offset (the kernel
+analogue of the XLA simulators' ``first_block``): a mesh shard covering global
+paths [first_tile*tile, ...) reproduces exactly the tiles a single device
+would have produced there, so path-sharded pricing equals the unsharded run
+draw-for-draw (parallel/batch.py passes it via simulate_paths'
+pallas_global_tiles contract). Antithetic pairing mirrors the top half of each
+tile's rows.
 
 Two variants share one body:
 - terminal-only: returns S_T (n_paths,) — the calibration/European hot path;
@@ -43,6 +49,23 @@ _PATH_ROWS = 32       # 4096 paths/tile for the full-path kernel (22.8 G
                       # the remaining cost, see scripts/exp_paths_kernel.py)
 
 _TWO_PI = 6.283185307179586
+
+# Paths per program instance — the granularity of the global tile ids that
+# seed the on-chip PRNG (and so the unit of ``first_tile``).
+TERMINAL_TILE = _TERM_ROWS * _LANES
+PATH_TILE = _PATH_ROWS * _LANES
+
+
+def _seed_array(seed, first_tile) -> jnp.ndarray:
+    """(1, 2) int32 SMEM payload [seed, first_tile] shared by every kernel."""
+    return jnp.stack([jnp.asarray(seed, jnp.int32).reshape(()),
+                      jnp.asarray(first_tile, jnp.int32).reshape(())]
+                     ).reshape(1, 2)
+
+
+def _tile_seed(seed_ref):
+    """Seed the on-chip PRNG with this program's GLOBAL tile id."""
+    pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] + pl.program_id(0))
 
 
 def _uniform_from_bits(bits):
@@ -105,13 +128,13 @@ def _heston_body(par_ref, rows, n_steps, antithetic, emit):
 
 
 def _terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
-    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    _tile_seed(seed_ref)
     logS, _ = _heston_body(par_ref, _TERM_ROWS, n_steps, antithetic, emit=None)
     out_ref[:] = jnp.exp(logS)
 
 
 def _paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
-    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
 
     # Store RELATIVE logS per step; one bulk exp over the whole VMEM block
@@ -132,7 +155,7 @@ def _paths_v_kernel(seed_ref, par_ref, s_ref, v_ref, *, n_steps, antithetic):
     variance-augmented LSM basis (the continuation value under Heston depends
     on the state (S, v); regressing on S alone biases the exercise policy
     ~0.7% low vs the ADI oracle, pricers/fd_heston.py)."""
-    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
     v0 = par_ref[0, 8]
 
@@ -163,17 +186,17 @@ def _round_up(n, m):
                                              "interpret"))
 def heston_terminal_pallas(seed, S0, r, T, params: HestonParams,
                            n_paths: int, n_steps: int, antithetic: bool = True,
-                           interpret: bool = False):
+                           interpret: bool = False, first_tile=0):
     """Terminal prices S_T (n_paths_rounded,) from the fused kernel.
 
-    ``seed`` is an int32 scalar; tile ids extend it on-chip. n_paths rounds up
-    to whole tiles of _TERM_ROWS * 128 paths.
+    ``seed`` is an int32 scalar; global tile ids (first_tile + local tile)
+    extend it on-chip. n_paths rounds up to whole TERMINAL_TILE tiles.
     """
     tile = _TERM_ROWS * _LANES
     n_pad = _round_up(n_paths, tile)
     grid = n_pad // tile
     par = _params_array(S0, r, T, params, n_steps)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    seed_arr = _seed_array(seed, first_tile)
 
     kernel = functools.partial(_terminal_kernel, n_steps=n_steps,
                                antithetic=antithetic)
@@ -197,7 +220,7 @@ def heston_terminal_pallas(seed, S0, r, T, params: HestonParams,
 def heston_paths_pallas(seed, S0, r, T, params: HestonParams,
                         n_paths: int, n_steps: int, antithetic: bool = True,
                         interpret: bool = False,
-                        return_variance: bool = False):
+                        return_variance: bool = False, first_tile=0):
     """Full path matrix (n_steps+1, n_paths_rounded) from the fused kernel;
     with ``return_variance`` also the variance matrix (same layout) — the
     variance-augmented LSM basis feed."""
@@ -205,7 +228,7 @@ def heston_paths_pallas(seed, S0, r, T, params: HestonParams,
     n_pad = _round_up(n_paths, tile)
     grid = n_pad // tile
     par = _params_array(S0, r, T, params, n_steps)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    seed_arr = _seed_array(seed, first_tile)
 
     shape = jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
                                  jnp.float32)
@@ -315,14 +338,14 @@ def _qe_body(par_ref, rows, n_steps, antithetic, emit):
 
 
 def _qe_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
-    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
     logS, _ = _qe_body(par_ref, _TERM_ROWS, n_steps, antithetic, emit=None)
     out_ref[:] = jnp.exp(jnp.log(S0) + logS)
 
 
 def _qe_paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
-    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
 
     # relative logS in the loop, one bulk exp after (see _paths_kernel)
@@ -336,7 +359,7 @@ def _qe_paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
 
 def _qe_paths_v_kernel(seed_ref, par_ref, s_ref, v_ref, *, n_steps,
                        antithetic):
-    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
     v0 = par_ref[0, 8]
 
@@ -373,13 +396,14 @@ def _qe_params_array(S0, r, T, params: HestonParams, n_steps) -> jnp.ndarray:
                                              "interpret"))
 def heston_terminal_qe_pallas(seed, S0, r, T, params: HestonParams,
                               n_paths: int, n_steps: int,
-                              antithetic: bool = True, interpret: bool = False):
+                              antithetic: bool = True, interpret: bool = False,
+                              first_tile=0):
     """Terminal prices under the fused QE-M kernel (n_paths_rounded,)."""
     tile = _TERM_ROWS * _LANES
     n_pad = _round_up(n_paths, tile)
     grid = n_pad // tile
     par = _qe_params_array(S0, r, T, params, n_steps)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    seed_arr = _seed_array(seed, first_tile)
 
     kernel = functools.partial(_qe_terminal_kernel, n_steps=n_steps,
                                antithetic=antithetic)
@@ -403,7 +427,7 @@ def heston_terminal_qe_pallas(seed, S0, r, T, params: HestonParams,
 def heston_paths_qe_pallas(seed, S0, r, T, params: HestonParams,
                            n_paths: int, n_steps: int, antithetic: bool = True,
                            interpret: bool = False,
-                           return_variance: bool = False):
+                           return_variance: bool = False, first_tile=0):
     """Full path matrix (n_steps+1, n_paths_rounded) under the fused QE-M
     kernel — the LSM/surface feed at QE accuracy (16 QE dates match 50+ Euler
     dates, so the backward pass shrinks accordingly). ``return_variance``
@@ -412,7 +436,7 @@ def heston_paths_qe_pallas(seed, S0, r, T, params: HestonParams,
     n_pad = _round_up(n_paths, tile)
     grid = n_pad // tile
     par = _qe_params_array(S0, r, T, params, n_steps)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    seed_arr = _seed_array(seed, first_tile)
 
     shape = jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
                                  jnp.float32)
