@@ -23,12 +23,24 @@ def pallas_available() -> bool:
 
 
 def resolve_engine(engine: str) -> str:
-    """'auto' -> 'pallas' on TPU-like backends else 'xla'."""
+    """'auto' -> 'pallas' on TPU-like backends else 'xla'.
+
+    'pallas-interpret' runs the kernels through the Pallas TPU interpreter —
+    kernel STRUCTURE (tiling, seeding plumbing, shard wiring) on any backend;
+    note the interpreter's hardware PRNG emits zero bits, so dynamics
+    degenerate to their deterministic drift (tests/test_pallas_kernels.py).
+    """
     if engine == "auto":
         return "pallas" if pallas_available() else "xla"
-    if engine not in ("xla", "pallas"):
-        raise ValueError(f"engine must be 'auto', 'xla' or 'pallas', got {engine!r}")
+    if engine not in ("xla", "pallas", "pallas-interpret"):
+        raise ValueError("engine must be 'auto', 'xla', 'pallas' or "
+                         f"'pallas-interpret', got {engine!r}")
     return engine
+
+
+def is_pallas(engine_resolved: str) -> bool:
+    """True for both the hardware and interpreter Pallas engines."""
+    return engine_resolved in ("pallas", "pallas-interpret")
 
 
 def seed_from_key(key: jax.Array) -> jnp.ndarray:

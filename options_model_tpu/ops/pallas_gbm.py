@@ -21,6 +21,8 @@ from options_model_tpu.ops.pallas_heston import (
     _TERM_ROWS,
     _box_muller,
     _round_up,
+    _seed_array,
+    _tile_seed,
 )
 
 
@@ -40,7 +42,7 @@ def _gbm_step_normals(rows, antithetic):
 
 
 def _gbm_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
-    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
     drift = par_ref[0, 1]      # (r - sigma^2/2) dt
     diffusion = par_ref[0, 2]  # sigma sqrt(dt)
@@ -55,7 +57,7 @@ def _gbm_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
 
 
 def _gbm_paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
-    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
     drift = par_ref[0, 1]
     diffusion = par_ref[0, 2]
@@ -83,12 +85,14 @@ def _gbm_params(S0, r, sigma, T, n_steps):
 @functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
                                              "interpret"))
 def gbm_terminal_pallas(seed, S0, r, sigma, T, n_paths: int, n_steps: int,
-                        antithetic: bool = True, interpret: bool = False):
-    """Terminal prices S_T (n_paths_rounded,)."""
+                        antithetic: bool = True, interpret: bool = False,
+                        first_tile=0):
+    """Terminal prices S_T (n_paths_rounded,). ``first_tile`` offsets the
+    global tile ids that seed the on-chip PRNG (pallas_heston module note)."""
     tile = _TERM_ROWS * _LANES
     n_pad = _round_up(n_paths, tile)
     grid = n_pad // tile
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    seed_arr = _seed_array(seed, first_tile)
     kernel = functools.partial(_gbm_terminal_kernel, n_steps=n_steps,
                                antithetic=antithetic)
     out = pl.pallas_call(
@@ -107,12 +111,14 @@ def gbm_terminal_pallas(seed, S0, r, sigma, T, n_paths: int, n_steps: int,
 @functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
                                              "interpret"))
 def gbm_paths_pallas(seed, S0, r, sigma, T, n_paths: int, n_steps: int,
-                     antithetic: bool = True, interpret: bool = False):
-    """Full path matrix (n_steps+1, n_paths_rounded)."""
+                     antithetic: bool = True, interpret: bool = False,
+                     first_tile=0):
+    """Full path matrix (n_steps+1, n_paths_rounded). ``first_tile`` offsets
+    the global tile ids that seed the on-chip PRNG."""
     tile = _PATH_ROWS * _LANES
     n_pad = _round_up(n_paths, tile)
     grid = n_pad // tile
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    seed_arr = _seed_array(seed, first_tile)
     kernel = functools.partial(_gbm_paths_kernel, n_steps=n_steps,
                                antithetic=antithetic)
     out = pl.pallas_call(

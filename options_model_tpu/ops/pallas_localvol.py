@@ -22,13 +22,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from options_model_tpu.ops.pallas_gbm import _gbm_step_normals
-from options_model_tpu.ops.pallas_heston import _LANES, _TERM_ROWS, _round_up
+from options_model_tpu.ops.pallas_heston import (_LANES, _TERM_ROWS,
+                                                 _round_up, _seed_array,
+                                                 _tile_seed)
 from options_model_tpu.surface.cheb import LocalVolTable
 
 
 def _localvol_terminal_kernel(seed_ref, par_ref, coef_ref, out_ref, *,
                               n_steps, degree, antithetic):
-    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
     r = par_ref[0, 1]
     dt = par_ref[0, 2]
@@ -59,7 +61,8 @@ def _localvol_terminal_kernel(seed_ref, par_ref, coef_ref, out_ref, *,
                                              "interpret"))
 def localvol_terminal_pallas(seed, S0, r, T, table: LocalVolTable,
                              n_paths: int, n_steps: int,
-                             antithetic: bool = True, interpret: bool = False):
+                             antithetic: bool = True, interpret: bool = False,
+                             first_tile=0):
     """Terminal prices S_T (n_paths_rounded,) under the compiled local-vol
     surface. ``table.coeffs`` must have at least n_steps rows."""
     if table.coeffs.shape[0] < n_steps:
@@ -76,7 +79,7 @@ def localvol_terminal_pallas(seed, S0, r, T, table: LocalVolTable,
     par = jnp.array([[S0, r, dt, jnp.log(jnp.float32(table.K)),
                       table.m_center, 1.0 / table.m_half, 0.0, 0.0]],
                     jnp.float32)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    seed_arr = _seed_array(seed, first_tile)
 
     kernel = functools.partial(_localvol_terminal_kernel, n_steps=n_steps,
                                degree=degree, antithetic=antithetic)
@@ -100,7 +103,7 @@ def _localvol_paths_kernel(seed_ref, par_ref, coef_ref, out_ref, *,
                            n_steps, degree, antithetic):
     from options_model_tpu.ops.pallas_heston import _PATH_ROWS
 
-    pltpu.prng_seed(seed_ref[0, 0], pl.program_id(0))
+    _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
     r = par_ref[0, 1]
     dt = par_ref[0, 2]
@@ -136,7 +139,8 @@ def _localvol_paths_kernel(seed_ref, par_ref, coef_ref, out_ref, *,
                                              "interpret"))
 def localvol_paths_pallas(seed, S0, r, T, table: LocalVolTable,
                           n_paths: int, n_steps: int,
-                          antithetic: bool = True, interpret: bool = False):
+                          antithetic: bool = True, interpret: bool = False,
+                          first_tile=0):
     """Full path matrix (n_steps+1, n_paths_rounded) under the compiled
     local-vol surface — the American/LSM feed at fused-kernel speed."""
     from options_model_tpu.ops.pallas_heston import _PATH_ROWS
@@ -154,7 +158,7 @@ def localvol_paths_pallas(seed, S0, r, T, table: LocalVolTable,
     par = jnp.array([[S0, r, dt, jnp.log(jnp.float32(table.K)),
                       table.m_center, 1.0 / table.m_half, 0.0, 0.0]],
                     jnp.float32)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    seed_arr = _seed_array(seed, first_tile)
 
     kernel = functools.partial(_localvol_paths_kernel, n_steps=n_steps,
                                degree=degree, antithetic=antithetic)

@@ -54,11 +54,12 @@ from options_model_tpu.models.localvol import simulate_local_vol
 
 def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
                    rate=0.0, heston: Optional[HestonParams] = None,
-                   merton=None, bates=None, vg=None, sigma_fn=None,
+                   merton=None, bates=None, vg=None, sabr=None, sigma_fn=None,
                    first_block=0, engine: str = "auto",
                    heston_scheme: str = "euler",
                    localvol_table=None, div_yield=0.0,
-                   return_variance: bool = False) -> jnp.ndarray:
+                   return_variance: bool = False,
+                   pallas_global_tiles: bool = False) -> jnp.ndarray:
     """Full path matrix (n_steps+1, n_paths) under the chosen dynamics.
 
     engine='auto' picks the fused Pallas kernel on TPU backends (gbm/heston,
@@ -74,37 +75,69 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
     the feed for the variance-augmented LSM basis (the continuation value is
     a function of the state (S, v); S-only regression prices ~0.7% below the
     ADI oracle, tests/test_fd_heston.py).
+
+    ``pallas_global_tiles``: opt-in contract for path-sharded/chunked Pallas
+    runs. The caller guarantees ``first_block * cfg.path_block`` is a whole
+    number of kernel tiles (ops.pallas_heston.PATH_TILE) and ``cfg.n_paths``
+    a whole number of tiles too; the kernels are then seeded with GLOBAL tile
+    ids (first_tile + local tile) on the UN-folded key — so a mesh shard
+    reproduces exactly the tiles an unsharded run would produce at its global
+    offset, and path-sharded prices are device-count invariant (the kernel
+    analogue of the XLA simulators' global-block-index streams). Without it
+    (default), Pallas chunks fold ``first_block`` into the seed: disjoint but
+    scheduling-dependent streams (european.py chunking notes).
     """
-    from options_model_tpu.ops.engine import resolve_engine, seed_from_key
+    from options_model_tpu.ops.engine import (is_pallas, resolve_engine,
+                                              seed_from_key)
 
     if model in ("heston", "bates") and heston_scheme not in ("euler", "qe"):
         raise ValueError(f"heston_scheme must be 'euler' or 'qe', got "
                          f"{heston_scheme!r}")
-    if return_variance and model not in ("heston", "bates"):
-        raise ValueError("return_variance is a Heston/Bates feature (the "
-                         "other dynamics carry no variance state)")
+    if return_variance and model not in ("heston", "bates", "sabr"):
+        raise ValueError("return_variance is a Heston/Bates/SABR feature "
+                         "(the other dynamics carry no second state; SABR "
+                         "returns its alpha paths — the (S, alpha) LSM "
+                         "basis feed)")
     rate = rate - div_yield  # risk-neutral growth under a dividend yield
+
+    def _pallas_stream(k, interp):
+        """(seed, first_tile, interpret-kwargs) under the active contract."""
+        from options_model_tpu.ops.pallas_heston import PATH_TILE
+        if pallas_global_tiles:
+            # Global-tile seeding: exact by the caller's alignment guarantee
+            # (first_block * path_block ≡ 0 mod PATH_TILE — enforced
+            # statically by parallel/batch.py's geometry derivation). The
+            # gcd reduction keeps the traced product inside int32 (path_block
+            # is typically PATH_TILE itself, making ft == first_block).
+            import math as _math
+            g = _math.gcd(cfg.path_block, PATH_TILE)
+            ft = (first_block * (cfg.path_block // g)) // (PATH_TILE // g)
+            return seed_from_key(k), ft, {"interpret": interp}
+        return (seed_from_key(jax.random.fold_in(k, first_block)), 0,
+                {"interpret": interp})
+
     if model == "localvol" and localvol_table is not None:
         eng = resolve_engine(engine)
-        if eng == "pallas":
+        if is_pallas(eng):
             from options_model_tpu.models.blocks import paths_rounded
             from options_model_tpu.ops.pallas_localvol import (
                 localvol_paths_pallas)
-            seed = seed_from_key(jax.random.fold_in(key, first_block))
+            seed, ft, kw = _pallas_stream(key, eng == "pallas-interpret")
             return localvol_paths_pallas(seed, S0, rate, T, localvol_table,
                                          paths_rounded(cfg), cfg.n_steps,
-                                         cfg.antithetic)
+                                         cfg.antithetic, first_tile=ft, **kw)
         if sigma_fn is None:
             from options_model_tpu.surface.cheb import table_sigma_fn
             sigma_fn = table_sigma_fn(localvol_table, T)
     eng = resolve_engine(engine) if model in ("gbm", "heston", "bates") else "xla"
-    if eng == "pallas":
+    if is_pallas(eng):
         from options_model_tpu.models.blocks import paths_rounded
         from options_model_tpu.ops.pallas_gbm import gbm_paths_pallas
         from options_model_tpu.ops.pallas_heston import (
             heston_paths_pallas, heston_paths_qe_pallas)
 
         n_paths = paths_rounded(cfg)
+        interp = eng == "pallas-interpret"
         if model == "bates":
             # Fused Heston kernel x independent jump overlay (models/bates.py:
             # the compound-Poisson component is independent of both Brownian
@@ -114,41 +147,51 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
             from options_model_tpu.models.bates import (
                 jump_overlay_for, split_bates_keys)
             kh, kj = split_bates_keys(key)
-            seed = seed_from_key(jax.random.fold_in(kh, first_block))
+            seed, ft, kw = _pallas_stream(kh, interp)
             kern = (heston_paths_qe_pallas if heston_scheme == "qe"
                     else heston_paths_pallas)
             out = kern(seed, S0, rate, T, bates.heston, n_paths, cfg.n_steps,
-                       cfg.antithetic, return_variance=return_variance)
-            # The kernel rounds n_paths up to ITS tile; build the overlay at
-            # the kernel's actual width (jump_overlay_for's contract), keyed
-            # per CALL like the kernel's own stream (fold first_block into
-            # the key, local block ids): the tile-rounded cover can exceed
-            # the chunk's global block range, and global-block keying would
-            # then reuse jump blocks across chunked calls.
+                       cfg.antithetic, return_variance=return_variance,
+                       first_tile=ft, **kw)
             n_out = (out[0] if return_variance else out).shape[-1]
-            fac = jump_overlay_for(jax.random.fold_in(kj, first_block), T,
-                                   bates.lam, bates.mu_j,
-                                   bates.sigma_j, cfg, n_out,
-                                   return_paths=True, first_block=0)
+            if pallas_global_tiles:
+                # Tile alignment makes n_out == local n_paths exactly, so the
+                # overlay can key its jump blocks GLOBALLY like the XLA
+                # simulators — preserving device-count invariance end to end.
+                fac = jump_overlay_for(kj, T, bates.lam, bates.mu_j,
+                                       bates.sigma_j, cfg, n_out,
+                                       return_paths=True,
+                                       first_block=first_block)
+            else:
+                # The kernel rounds n_paths up to ITS tile; build the overlay
+                # at the kernel's actual width (jump_overlay_for's contract),
+                # keyed per CALL like the kernel's own stream (fold
+                # first_block into the key, local block ids): the
+                # tile-rounded cover can exceed the chunk's global block
+                # range, and global-block keying would then reuse jump blocks
+                # across chunked calls.
+                fac = jump_overlay_for(jax.random.fold_in(kj, first_block), T,
+                                       bates.lam, bates.mu_j,
+                                       bates.sigma_j, cfg, n_out,
+                                       return_paths=True, first_block=0)
             if return_variance:
                 S, v = out
                 return S * fac, v
             return out * fac
-        # Pallas tiles are numbered from 0 per call; folding first_block into
-        # the seed keeps chunked calls on disjoint streams (they are NOT the
-        # same stream a global-index XLA run would produce — see european.py
-        # chunking notes).
-        seed = seed_from_key(jax.random.fold_in(key, first_block))
+        seed, ft, kw = _pallas_stream(key, interp)
         if model == "gbm":
             return gbm_paths_pallas(seed, S0, rate, sigma, T, n_paths,
-                                    cfg.n_steps, cfg.antithetic)
+                                    cfg.n_steps, cfg.antithetic,
+                                    first_tile=ft, **kw)
         if heston_scheme == "qe":
             return heston_paths_qe_pallas(seed, S0, rate, T, heston, n_paths,
                                           cfg.n_steps, cfg.antithetic,
-                                          return_variance=return_variance)
+                                          return_variance=return_variance,
+                                          first_tile=ft, **kw)
         return heston_paths_pallas(seed, S0, rate, T, heston, n_paths,
                                    cfg.n_steps, cfg.antithetic,
-                                   return_variance=return_variance)
+                                   return_variance=return_variance,
+                                   first_tile=ft, **kw)
     if model == "gbm":
         return simulate_gbm(key, S0, rate, sigma, T, cfg, return_paths=True,
                             first_block=first_block)
@@ -178,6 +221,28 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
         from options_model_tpu.models.vg import simulate_vg
         return simulate_vg(key, S0, rate, T, vg, cfg,
                            return_paths=True, first_block=first_block)
+    if model == "sabr":
+        # SABR models the T-forward F (a martingale); the AMERICAN exercise
+        # payoff acts on the spot, so convert each date's forward back:
+        # S_t = F_t e^{-drift (T - t)} with F_0 = S0 e^{drift T}
+        # (models/sabr.py simulator; drift = rate here, already net of q).
+        # ``return_variance`` yields the alpha paths — the (S, alpha) LSM
+        # basis feed (the variance-basis pattern; the continuation value
+        # under SABR is a function of the state (F, alpha)).
+        if sabr is None:
+            raise ValueError("sabr params required for model='sabr'")
+        from options_model_tpu.models.sabr import simulate_sabr
+        dtype = cfg.dtype
+        Tf = jnp.asarray(T, dtype)
+        mu = jnp.asarray(rate, dtype)
+        F0 = jnp.asarray(S0, dtype) * jnp.exp(mu * Tf)
+        out = simulate_sabr(key, F0, T, sabr, cfg, return_paths=True,
+                            return_alpha=return_variance,
+                            first_block=first_block)
+        F_paths, a_paths = out if return_variance else (out, None)
+        t_grid = jnp.linspace(jnp.asarray(0.0, dtype), Tf, cfg.n_steps + 1)
+        S_paths = F_paths * jnp.exp(mu * (t_grid - Tf))[:, None]
+        return (S_paths, a_paths) if return_variance else S_paths
     raise ValueError(f"unknown model {model!r}")
 
 
@@ -251,11 +316,11 @@ def _pair_block(mc: MCConfig, model: str, engine: str,
     mc.path_block. The out-of-sample split must respect whichever applies.
     ``has_table``: localvol backed by a compiled Chebyshev table also runs
     the Pallas kernel (simulate_paths' dispatch rule)."""
-    from options_model_tpu.ops.engine import resolve_engine
+    from options_model_tpu.ops.engine import is_pallas, resolve_engine
 
     kernel_model = (model in ("gbm", "heston", "bates")
                     or (model == "localvol" and has_table))
-    if kernel_model and resolve_engine(engine) == "pallas":
+    if kernel_model and is_pallas(resolve_engine(engine)):
         import math
 
         from options_model_tpu.ops.pallas_heston import _LANES, _PATH_ROWS
@@ -696,15 +761,15 @@ def _vol_params(heston, bates):
 def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                        lsm: LSMConfig, model: str = "gbm", *,
                        heston: Optional[HestonParams] = None, merton=None,
-                       bates=None, vg=None, sigma_fn=None,
+                       bates=None, vg=None, sabr=None, sigma_fn=None,
                        axis_name: Optional[str] = None,
                        return_paths_stats: bool = False, engine: str = "auto"):
     """Simulate + LSM backward induction. Returns (price, stderr[, S_paths])."""
     sim_key, fit_key = jax.random.split(key)
-    want_v = model in ("heston", "bates") and lsm.variance_basis
+    want_v = model in ("heston", "bates", "sabr") and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         bates=bates, vg=vg, sigma_fn=sigma_fn,
+                         bates=bates, vg=vg, sabr=sabr, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
@@ -731,7 +796,7 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
 def price_american_with_control_variate(
         key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig, lsm: LSMConfig,
         model: str = "gbm", *, heston: Optional[HestonParams] = None,
-        merton=None, bates=None, vg=None,
+        merton=None, bates=None, vg=None, sabr=None,
         sigma_fn=None, axis_name: Optional[str] = None, engine: str = "auto"):
     """American price with the European control variate (beta = 1):
 
@@ -753,10 +818,14 @@ def price_american_with_control_variate(
                 or (model == "bates" and bates is not None)
                 or (model == "vg" and vg is not None))
     if not analytic:
-        # No closed-form European leg: fall back to the plain price.
+        # No closed-form European leg: fall back to the plain price. SABR
+        # lands here by design — Hagan's expansion is only O(T)-accurate,
+        # and a beta=1 variate anchored on an approximate mean injects that
+        # approximation error straight into the price (the _cv_adjustment
+        # matched-dynamics rule).
         return price_american_lsm(key, S0, T, spec, mc, lsm, model,
                                   heston=heston, merton=merton, bates=bates,
-                                  vg=vg,
+                                  vg=vg, sabr=sabr,
                                   sigma_fn=sigma_fn,
                                   axis_name=axis_name, engine=engine)
     sim_key, fit_key = jax.random.split(key)
@@ -792,7 +861,7 @@ def price_american_with_control_variate(
 def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                    lsm: LSMConfig, model: str = "gbm", *,
                    heston: Optional[HestonParams] = None, merton=None,
-                   bates=None, vg=None, sigma_fn=None,
+                   bates=None, vg=None, sabr=None, sigma_fn=None,
                    axis_name: Optional[str] = None, engine: str = "auto"):
     """Dispatcher mirroring price_american_option
     (options_model_3/options_model_3.py:679-695): European approximation when
@@ -804,7 +873,8 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         # to the Pallas sampler (different RNG stream than requested).
         sampler = make_terminal_sampler(model, S0, spec.rate, T, sigma=spec.sigma,
                                         heston=heston, merton=merton,
-                                        bates=bates, vg=vg, sigma_fn=sigma_fn,
+                                        bates=bates, vg=vg, sabr=sabr,
+                                        sigma_fn=sigma_fn,
                                         engine=engine,
                                         div_yield=spec.div_yield)
         price, stderr, _ = price_european_mc(key, sampler, spec, T, mc)
@@ -812,7 +882,8 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     if lsm.richardson:
         return price_american_richardson(key, S0, T, spec, mc, lsm, model,
                                          heston=heston, merton=merton,
-                                         bates=bates, vg=vg, sigma_fn=sigma_fn,
+                                         bates=bates, vg=vg, sabr=sabr,
+                                         sigma_fn=sigma_fn,
                                          engine=engine)
     cv_leg = ((spec.sigma is not None and model == "gbm")
               or (model == "heston" and heston is not None)
@@ -822,10 +893,10 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     if lsm.use_control_variate and cv_leg:
         return price_american_with_control_variate(
             key, S0, T, spec, mc, lsm, model, heston=heston, merton=merton,
-            bates=bates, vg=vg, sigma_fn=sigma_fn,
+            bates=bates, vg=vg, sabr=sabr, sigma_fn=sigma_fn,
             axis_name=axis_name, engine=engine)
     return price_american_lsm(key, S0, T, spec, mc, lsm, model, heston=heston,
-                              merton=merton, bates=bates, vg=vg,
+                              merton=merton, bates=bates, vg=vg, sabr=sabr,
                               sigma_fn=sigma_fn, axis_name=axis_name,
                               engine=engine)
 
@@ -870,7 +941,7 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
 def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
                               mc: MCConfig, lsm: LSMConfig, model: str = "gbm",
                               *, heston: Optional[HestonParams] = None,
-                              merton=None, bates=None, vg=None,
+                              merton=None, bates=None, vg=None, sabr=None,
                               sigma_fn=None, engine: str = "auto"):
     """Richardson-extrapolated continuous-exercise American price.
 
@@ -890,10 +961,10 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
     """
     sim_key, fit_key = jax.random.split(key)
     pb = _pair_block(mc, model, engine)
-    want_v = model in ("heston", "bates") and lsm.variance_basis
+    want_v = model in ("heston", "bates", "sabr") and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         bates=bates, vg=vg, sigma_fn=sigma_fn,
+                         bates=bates, vg=vg, sabr=sabr, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)

@@ -36,10 +36,11 @@ TerminalSampler = Callable[[jax.Array, jnp.ndarray, MCConfig], jnp.ndarray]
 
 def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
                           heston: Optional[HestonParams] = None,
-                          merton=None, bates=None, vg=None,
+                          merton=None, bates=None, vg=None, sabr=None,
                           sigma_fn=None, engine: str = "auto",
                           heston_scheme: str = "euler",
-                          localvol_table=None, div_yield=0.0) -> TerminalSampler:
+                          localvol_table=None, div_yield=0.0,
+                          global_tiles: bool = False) -> TerminalSampler:
     """Terminal-price sampler for one of the three dynamics families.
 
     engine='auto' uses the fused Pallas terminal kernels on TPU backends for
@@ -50,10 +51,27 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
 
     ``div_yield``: continuous dividend yield q — the sampler's drift is
     (r - q); the pricer still discounts payoffs at ``r``.
+
+    ``global_tiles``: the Pallas samplers seed by GLOBAL tile id
+    (fb * path_block / TERMINAL_TILE + local tile) on the un-folded key —
+    device-count-invariant path sharding, under the caller's guarantee that
+    every (fb * path_block, chunk n_paths) is TERMINAL_TILE-aligned (see
+    simulate_paths' pallas_global_tiles contract; parallel/batch.py derives
+    aligned geometry). Default: per-call fb-folded seeds.
     """
-    from options_model_tpu.ops.engine import resolve_engine, seed_from_key
+    from options_model_tpu.ops.engine import (is_pallas, resolve_engine,
+                                              seed_from_key)
     r = r - div_yield  # simulators are q-agnostic: their r IS the drift
     eng = resolve_engine(engine) if model in ("gbm", "heston", "bates") else "xla"
+
+    def _tiles(fb, c):
+        """(seed_key_transform, first_tile) under the active contract."""
+        from options_model_tpu.ops.pallas_heston import TERMINAL_TILE
+        if global_tiles:
+            g = math.gcd(c.path_block, TERMINAL_TILE)
+            return (lambda k: k), (fb * (c.path_block // g)) // (
+                TERMINAL_TILE // g)
+        return (lambda k: jax.random.fold_in(k, fb)), 0
     if model == "bates":
         # Fused Heston terminal kernel (or the XLA scan) x the independent
         # terminal jump factor (models/bates.py) — the overlay's full-width
@@ -65,7 +83,8 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
         base = make_terminal_sampler("heston", S0, r + div_yield, T,
                                      heston=bates.heston, engine=engine,
                                      heston_scheme=heston_scheme,
-                                     div_yield=div_yield)
+                                     div_yield=div_yield,
+                                     global_tiles=global_tiles)
 
         def fn(key, fb, c):
             kh, kj = split_bates_keys(key)
@@ -79,8 +98,10 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
             # spill past the chunk's own block range and REUSE jump blocks
             # across chunks (correlated payoffs, understated stderr). XLA
             # bases are path_block-exact, so global keying stays (and keeps
-            # the sharded-equality property).
-            if eng == "pallas":
+            # the sharded-equality property); under the global_tiles contract
+            # the cover equals the aligned chunk exactly, so global keying
+            # stays there too.
+            if is_pallas(eng) and not global_tiles:
                 kj, fb = jax.random.fold_in(kj, fb), 0
             fac = jump_overlay_for(kj, T, bates.lam, bates.mu_j,
                                    bates.sigma_j, c, ST.shape[0],
@@ -91,14 +112,19 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
         return fn
     if model == "localvol" and localvol_table is not None:
         eng = resolve_engine(engine)
-        if eng == "pallas":
+        if is_pallas(eng):
             from options_model_tpu.models.blocks import paths_rounded
             from options_model_tpu.ops.pallas_localvol import (
                 localvol_terminal_pallas)
 
-            fn = lambda key, fb, c: localvol_terminal_pallas(
-                seed_from_key(jax.random.fold_in(key, fb)), S0, r, T,
-                localvol_table, paths_rounded(c), c.n_steps, c.antithetic)
+            interp = eng == "pallas-interpret"
+
+            def fn(key, fb, c):
+                kfn, ft = _tiles(fb, c)
+                return localvol_terminal_pallas(
+                    seed_from_key(kfn(key)), S0, r, T, localvol_table,
+                    paths_rounded(c), c.n_steps, c.antithetic,
+                    interpret=interp, first_tile=ft)
             from options_model_tpu.ops.pallas_heston import _LANES, _TERM_ROWS
             fn.pair_block = lambda c, _t=_TERM_ROWS * _LANES: _t
             return fn
@@ -107,32 +133,44 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
             # behaves consistently on every backend.
             from options_model_tpu.surface.cheb import table_sigma_fn
             sigma_fn = table_sigma_fn(localvol_table, T)
-    if eng == "pallas":
+    if is_pallas(eng):
         from options_model_tpu.models.blocks import paths_rounded
         from options_model_tpu.ops.pallas_gbm import gbm_terminal_pallas
         from options_model_tpu.ops.pallas_heston import heston_terminal_pallas
 
         from options_model_tpu.ops.pallas_heston import _LANES, _TERM_ROWS
         tile = _TERM_ROWS * _LANES
+        interp = eng == "pallas-interpret"
 
         if model == "gbm":
             if sigma is None:
                 raise ValueError("sigma is required for model='gbm'")
-            fn = lambda key, fb, c: gbm_terminal_pallas(
-                seed_from_key(jax.random.fold_in(key, fb)), S0, r, sigma, T,
-                paths_rounded(c), c.n_steps, c.antithetic)
+
+            def fn(key, fb, c):
+                kfn, ft = _tiles(fb, c)
+                return gbm_terminal_pallas(
+                    seed_from_key(kfn(key)), S0, r, sigma, T,
+                    paths_rounded(c), c.n_steps, c.antithetic,
+                    interpret=interp, first_tile=ft)
         elif heston is None:
             raise ValueError("heston params required for model='heston'")
         elif heston_scheme == "qe":
             from options_model_tpu.ops.pallas_heston import (
                 heston_terminal_qe_pallas)
-            fn = lambda key, fb, c: heston_terminal_qe_pallas(
-                seed_from_key(jax.random.fold_in(key, fb)), S0, r, T, heston,
-                paths_rounded(c), c.n_steps, c.antithetic)
+
+            def fn(key, fb, c):
+                kfn, ft = _tiles(fb, c)
+                return heston_terminal_qe_pallas(
+                    seed_from_key(kfn(key)), S0, r, T, heston,
+                    paths_rounded(c), c.n_steps, c.antithetic,
+                    interpret=interp, first_tile=ft)
         else:
-            fn = lambda key, fb, c: heston_terminal_pallas(
-                seed_from_key(jax.random.fold_in(key, fb)), S0, r, T, heston,
-                paths_rounded(c), c.n_steps, c.antithetic)
+            def fn(key, fb, c):
+                kfn, ft = _tiles(fb, c)
+                return heston_terminal_pallas(
+                    seed_from_key(kfn(key)), S0, r, T, heston,
+                    paths_rounded(c), c.n_steps, c.antithetic,
+                    interpret=interp, first_tile=ft)
         # antithetic mirror granularity of the kernel output (stats correction)
         fn.pair_block = lambda c: tile
         return fn
@@ -167,6 +205,18 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
         from options_model_tpu.models.vg import vg_terminal_exact
         fn = lambda key, fb, c: vg_terminal_exact(key, S0, r, T, vg, c,
                                                   first_block=fb)
+    elif model == "sabr":
+        if sabr is None:
+            raise ValueError("sabr params required for model='sabr'")
+        # SABR models the T-forward (martingale); at expiry S_T = F_T, so
+        # the terminal sampler is the forward simulator started at
+        # F_0 = S0 e^{drift T} (models/sabr.py; drift = r here, net of q).
+        from options_model_tpu.models.sabr import simulate_sabr
+
+        def fn(key, fb, c):
+            F0 = jnp.asarray(S0, c.dtype) * jnp.exp(
+                jnp.asarray(r, c.dtype) * jnp.asarray(T, c.dtype))
+            return simulate_sabr(key, F0, T, sabr, c, first_block=fb)
     else:
         raise ValueError(f"unknown model {model!r}")
     fn.pair_block = lambda c: c.path_block

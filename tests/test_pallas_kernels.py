@@ -101,13 +101,80 @@ class TestOnChipStatistics:
         assert skew(np.log(Sn / 100.0)) < skew(np.log(Sp / 100.0))
 
 
+@on_tpu
+class TestGlobalTileOffsets:
+    """first_tile seeds by GLOBAL tile id: a call covering tiles [k, k+m)
+    reproduces bitwise the tiles a full run produces there — the property
+    path-sharded meshes rely on (parallel/batch.py, tests/
+    test_pallas_sharding.py docstring)."""
+
+    def test_gbm_terminal_chunk_equality(self):
+        from options_model_tpu.ops.pallas_heston import TERMINAL_TILE
+        full = np.asarray(gbm_terminal_pallas(3, 100.0, 0.05, 0.2, 1.0,
+                                              2 * TERMINAL_TILE, 8))
+        lo = np.asarray(gbm_terminal_pallas(3, 100.0, 0.05, 0.2, 1.0,
+                                            TERMINAL_TILE, 8, first_tile=0))
+        hi = np.asarray(gbm_terminal_pallas(3, 100.0, 0.05, 0.2, 1.0,
+                                            TERMINAL_TILE, 8, first_tile=1))
+        np.testing.assert_array_equal(full, np.concatenate([lo, hi]))
+        assert not np.allclose(lo, hi)   # offset actually changes the stream
+
+    def test_gbm_paths_chunk_equality(self):
+        from options_model_tpu.ops.pallas_heston import PATH_TILE
+        full = np.asarray(gbm_paths_pallas(5, 100.0, 0.05, 0.2, 1.0,
+                                           2 * PATH_TILE, 6))
+        lo = np.asarray(gbm_paths_pallas(5, 100.0, 0.05, 0.2, 1.0,
+                                         PATH_TILE, 6, first_tile=0))
+        hi = np.asarray(gbm_paths_pallas(5, 100.0, 0.05, 0.2, 1.0,
+                                         PATH_TILE, 6, first_tile=1))
+        np.testing.assert_array_equal(full, np.concatenate([lo, hi], axis=1))
+
+    def test_heston_paths_chunk_equality(self):
+        from options_model_tpu.ops.pallas_heston import PATH_TILE
+        full = np.asarray(heston_paths_pallas(7, 100.0, 0.05, 1.0, HESTON,
+                                              2 * PATH_TILE, 6))
+        hi = np.asarray(heston_paths_pallas(7, 100.0, 0.05, 1.0, HESTON,
+                                            PATH_TILE, 6, first_tile=1))
+        np.testing.assert_array_equal(full[:, PATH_TILE:], hi)
+
+    def test_qe_terminal_chunk_equality(self):
+        from options_model_tpu.ops.pallas_heston import (
+            TERMINAL_TILE, heston_terminal_qe_pallas)
+        full = np.asarray(heston_terminal_qe_pallas(11, 100.0, 0.05, 1.0,
+                                                    HESTON,
+                                                    2 * TERMINAL_TILE, 8))
+        hi = np.asarray(heston_terminal_qe_pallas(11, 100.0, 0.05, 1.0,
+                                                  HESTON, TERMINAL_TILE, 8,
+                                                  first_tile=1))
+        np.testing.assert_array_equal(full[TERMINAL_TILE:], hi)
+
+    def test_localvol_terminal_chunk_equality(self):
+        from options_model_tpu.ops.pallas_heston import TERMINAL_TILE
+        from options_model_tpu.ops.pallas_localvol import (
+            localvol_terminal_pallas)
+        from options_model_tpu.surface.cheb import compile_localvol_table
+        table = compile_localvol_table(
+            lambda m, t: 0.2 + 0.1 * m * m, K=100.0, T=1.0, n_steps=8,
+            S0=100.0)
+        full = np.asarray(localvol_terminal_pallas(13, 100.0, 0.05, 1.0,
+                                                   table, 2 * TERMINAL_TILE,
+                                                   8))
+        hi = np.asarray(localvol_terminal_pallas(13, 100.0, 0.05, 1.0, table,
+                                                 TERMINAL_TILE, 8,
+                                                 first_tile=1))
+        np.testing.assert_array_equal(full[TERMINAL_TILE:], hi)
+
+
 class TestEngineSelection:
     def test_resolve(self):
-        from options_model_tpu.ops.engine import resolve_engine
+        from options_model_tpu.ops.engine import is_pallas, resolve_engine
 
         assert resolve_engine("xla") == "xla"
         assert resolve_engine("pallas") == "pallas"
+        assert resolve_engine("pallas-interpret") == "pallas-interpret"
         assert resolve_engine("auto") in ("xla", "pallas")
+        assert is_pallas("pallas") and is_pallas("pallas-interpret")
+        assert not is_pallas("xla")
         with pytest.raises(ValueError):
             resolve_engine("cuda")
 
