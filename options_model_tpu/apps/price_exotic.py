@@ -60,8 +60,11 @@ def _add_common(p, multi=False):
         p.add_argument("--model", type=str, default="gbm",
                        choices=["gbm", "heston", "merton", "bates", "sabr",
                                 "vg"],
-                       help="sabr is european-only (the forward-measure "
-                            "simulator prices terminal payoffs)")
+                       help="sabr covers the european and american "
+                            "contracts (forward-measure simulator; the "
+                            "american leg regresses on the (S, alpha) "
+                            "state and is anchored by the ADI oracle, "
+                            "pricers/fd_sabr.py)")
         p.add_argument("--sabr", type=float, nargs=4, default=None,
                        metavar=("ALPHA", "BETA", "RHO", "NU"),
                        help="SABR parameters (default: alpha=0.2 beta=1 "
@@ -249,10 +252,7 @@ def run(args: argparse.Namespace) -> dict:
                 out["pv_per_var_notional"] = varswap_pv(
                     out["var_strike"], args.var_strike, args.t, args.r)
             return out
-        if getattr(args, "model", "gbm") == "sabr":
-            if args.contract != "european":
-                raise SystemExit("--model sabr supports the european "
-                                 "contract only (forward-measure simulator)")
+        if getattr(args, "model", "gbm") == "sabr" and args.contract == "european":
             from options_model_tpu.core.config import SABRParams
             from options_model_tpu.models.sabr import (sabr_bs_price,
                                                        sabr_european_mc)
@@ -269,6 +269,10 @@ def run(args: argparse.Namespace) -> dict:
             out["price"] = float(price)
             out["stderr"] = float(se)
             return out
+        if (getattr(args, "model", "gbm") == "sabr"
+                and args.contract not in ("european", "american")):
+            raise SystemExit("--model sabr supports the european and "
+                             "american contracts")
         if getattr(args, "sampler", "mc") == "mlmc":
             if args.model not in ("gbm", "heston"):
                 raise SystemExit("--sampler mlmc supports gbm/heston only "
@@ -327,15 +331,26 @@ def run(args: argparse.Namespace) -> dict:
                     average=args.average, strike_type=args.strike_type,
                     heston=heston, merton=merton, bates=bates, vg=vg)
         elif args.contract == "american":
-            if args.model == "sabr":
-                raise SystemExit("american supports gbm/heston/merton/"
-                                 "bates/vg")
             from options_model_tpu.core.config import LSMConfig
             from options_model_tpu.pricers.american import price_american
+            sabr = None
+            if args.model == "sabr":
+                from options_model_tpu.core.config import SABRParams
+                sp = args.sabr or (0.2, 1.0, -0.4, 0.6)
+                sabr = SABRParams(alpha=sp[0], beta=sp[1], rho=sp[2],
+                                  nu=sp[3]).validate()
             price, se = price_american(
                 key, args.spot, args.t, spec, mc,
                 LSMConfig(richardson=args.richardson), args.model,
-                heston=heston, merton=merton, bates=bates, vg=vg)
+                heston=heston, merton=merton, bates=bates, vg=vg, sabr=sabr)
+            if args.model == "sabr" and not args.no_oracle:
+                # Deterministic ADI anchor on the (F, alpha) PDE with the
+                # spot-payoff projection (pricers/fd_sabr.py) — the SABR
+                # analogue of the Heston leg's fd_heston oracle.
+                from options_model_tpu.pricers.fd_sabr import sabr_fd_price
+                out["sabr_fd_oracle"] = sabr_fd_price(
+                    args.spot, args.strike, args.t, args.r, sabr, cp=cp,
+                    q=args.q)
             if args.model in ("gbm", "merton", "vg") and not args.no_oracle:
                 # Deterministic Fang-Oosterlee anchors (host f64, no MC
                 # noise): the matched-dates Bermudan is the LSM's own

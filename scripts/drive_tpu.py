@@ -79,6 +79,32 @@ def main():
         f"(z vs Bermudan {z_p:+.2f})")
     assert abs(z_p) < 4 and rel_p < 0.005
 
+    # 3b. The SAME Pallas kernels through the path-sharded mesh entry
+    # (parallel/batch.py engine='pallas', global-tile seeding). On the
+    # single chip the 1-device mesh must reproduce an unsharded
+    # global-tiles LSM run up to psum Gram reduction order — the per-chip
+    # slice of the multi-chip path (VERDICT r3 next #1).
+    from options_model_tpu.parallel import make_mesh
+    from options_model_tpu.parallel.batch import price_american_sharded_paths
+    from options_model_tpu.pricers.american import (_pair_block,
+                                                    lsm_poly_backward,
+                                                    simulate_paths)
+    mc_s = MCConfig(n_paths=131_072, n_steps=50)
+    mesh1 = make_mesh(("paths",), devices=jax.devices()[:1])
+    p_sh, _ = price_american_sharded_paths(key, S0, T, put, mc_s, mesh1,
+                                           engine="pallas")
+    Sp = simulate_paths(key, S0, T, mc_s, "gbm", sigma=sig, rate=r,
+                        engine="pallas", pallas_global_tiles=True)
+    p_un, _ = lsm_poly_backward(Sp, put, T,
+                                stat_pair_block=_pair_block(mc_s, "gbm",
+                                                            "pallas"))
+    rel_sh = abs(float(p_sh) - float(p_un)) / float(p_un)
+    rel_sh_crr = abs(float(p_sh) - oracle) / oracle
+    log(f"AM pallas sharded(1-dev mesh): {float(p_sh):.4f} vs unsharded "
+        f"{float(p_un):.4f} rel {rel_sh*100:.4f}% (vs CRR "
+        f"{rel_sh_crr*100:.3f}%)")
+    assert rel_sh < 2e-3 and rel_sh_crr < 0.005
+
     # 4. Matrix-free replay LSM agrees with the stored-matrix price.
     from options_model_tpu.pricers.replay import price_american_lsm_gbm_replay
     mc_r = MCConfig(n_paths=131_072, n_steps=50)
@@ -224,6 +250,23 @@ def main():
     log(f"SABR EU: mc {float(p_sabr):.4f} +- {float(se_sabr):.4f} vs "
         f"Hagan {hagan:.4f}")
     assert abs(float(p_sabr) - hagan) < 4 * float(se_sabr) + 3e-3 * hagan
+
+    # 8d-ii. SABR American through the flagship dispatcher: forward
+    # simulation + spot conversion + (S, alpha) basis + Richardson, anchored
+    # by the (F, alpha) Douglas-ADI oracle (pricers/fd_sabr.py; measured MC
+    # gap ~0.3-0.5% low at these sizes — policy suboptimality + grid error).
+    from options_model_tpu.pricers.fd_sabr import sabr_fd_price
+    p_sam, se_sam = price_american(
+        key, S0, T, OptionSpec(strike=K, rate=r, cp=PUT, sigma=None),
+        MCConfig(n_paths=131_072, n_steps=50),
+        LSMConfig(regressor="poly", richardson=True), model="sabr",
+        sabr=sabr)
+    fd_s = sabr_fd_price(S0, K, T, r, sabr, cp=-1.0, n_f=450, n_a=180,
+                         n_t=450)
+    rel_sam = abs(float(p_sam) - fd_s) / fd_s
+    log(f"SABR AM put: LSM(S,a)+Richardson {float(p_sam):.4f} +- "
+        f"{float(se_sam):.4f} vs ADI {fd_s:.4f} rel {rel_sam*100:.3f}%")
+    assert rel_sam < 0.015
 
     # 8e. Variance Gamma: exact-terminal European MC vs the COS closed form,
     # and the American LSM+CV sits above the European floor.

@@ -157,3 +157,112 @@ class TestCalibration:
             SABRParams(alpha=0.2, beta=1.5, rho=0.0, nu=0.1).validate()
         with pytest.raises(ValueError):
             SABRParams(alpha=0.2, beta=1.0, rho=-1.0, nu=0.1).validate()
+
+
+class TestFDOracle:
+    """The (F, alpha) Douglas-ADI solver (pricers/fd_sabr.py) — the
+    American-under-SABR anchor (the role fd_heston plays for Heston)."""
+
+    def test_european_nu_zero_is_black(self):
+        from options_model_tpu.pricers.fd_sabr import sabr_fd_price
+        p0 = SABRParams(alpha=0.2, beta=1.0, rho=-0.4, nu=1e-4)
+        fd = sabr_fd_price(100.0, 100.0, T, R, p0, cp=-1.0, american=False)
+        ref = float(bs_price(100.0, 100.0, T, R, 0.2, -1.0))
+        assert abs(fd - ref) / ref < 2e-3   # grid error at default sizing
+
+    def test_american_nu_zero_is_crr(self):
+        from options_model_tpu.pricers.binomial import crr_american
+        from options_model_tpu.pricers.fd_sabr import sabr_fd_price
+        p0 = SABRParams(alpha=0.2, beta=1.0, rho=-0.4, nu=1e-4)
+        fd = sabr_fd_price(100.0, 100.0, T, R, p0, cp=-1.0, american=True)
+        crr = crr_american(100.0, 100.0, T, R, 0.2, cp=-1.0, n_steps=4096)
+        assert abs(fd - crr) / crr < 3e-3
+
+    def test_american_dominates_european_and_intrinsic(self):
+        from options_model_tpu.pricers.fd_sabr import sabr_fd_price
+        am = sabr_fd_price(100.0, 105.0, T, R, P, cp=-1.0)
+        eu = sabr_fd_price(100.0, 105.0, T, R, P, cp=-1.0, american=False)
+        assert am >= eu - 1e-6
+        assert am >= 5.0 - 1e-6            # intrinsic K - S0
+
+    def test_vol_of_vol_raises_put_value(self):
+        from options_model_tpu.pricers.fd_sabr import sabr_fd_price
+        p_hi = sabr_fd_price(100.0, 100.0, T, R, P, cp=-1.0)
+        p0 = SABRParams(alpha=0.2, beta=1.0, rho=-0.4, nu=1e-4)
+        p_lo = sabr_fd_price(100.0, 100.0, T, R, p0, cp=-1.0)
+        assert p_hi > p_lo                 # ATM convexity in vol
+
+    def test_rejects_cev_backbone(self):
+        from options_model_tpu.pricers.fd_sabr import sabr_fd_price
+        with pytest.raises(ValueError):
+            sabr_fd_price(100.0, 100.0, T, R,
+                          SABRParams(alpha=0.2, beta=0.7, rho=0.0, nu=0.3))
+
+
+class TestAmericanLSM:
+    """model='sabr' through the flagship dispatcher: forward simulation,
+    spot conversion, (S, alpha) regression basis (VERDICT r3 next #8)."""
+
+    def _price(self, key, params, n_paths=1 << 15, **lsm_kw):
+        from options_model_tpu.core.config import LSMConfig, OptionSpec, PUT
+        from options_model_tpu.pricers.american import price_american
+        spec = OptionSpec(strike=100.0, rate=R, cp=PUT, sigma=None)
+        mc = MCConfig(n_paths=n_paths, n_steps=50, path_block=4096)
+        return price_american(key, 100.0, T, spec, mc,
+                              LSMConfig(regressor="poly", richardson=True,
+                                        **lsm_kw),
+                              model="sabr", sabr=params)
+
+    @pytest.mark.slow
+    def test_lognormal_limit_matches_crr(self, key):
+        from options_model_tpu.pricers.binomial import crr_american
+        p0 = SABRParams(alpha=0.2, beta=1.0, rho=-0.4, nu=1e-4)
+        price, se = self._price(key, p0)
+        crr = crr_american(100.0, 100.0, T, R, 0.2, cp=-1.0, n_steps=4096)
+        assert abs(float(price) - crr) / crr < max(0.01,
+                                                   4 * float(se) / crr)
+
+    @pytest.mark.slow
+    def test_matches_adi_oracle(self, key):
+        from options_model_tpu.pricers.fd_sabr import sabr_fd_price
+        price, se = self._price(key, P, n_paths=1 << 16)
+        fd = sabr_fd_price(100.0, 100.0, T, R, P, cp=-1.0,
+                           n_f=450, n_a=180, n_t=450)
+        # LSM policy suboptimality + remaining ADI grid error: the measured
+        # gap is ~0.3-0.5% low at these sizes (scripts-level probe) — gate
+        # at 1.5% so only real regressions (e.g. losing the alpha basis,
+        # which costs ~2.4%) trip it.
+        assert abs(float(price) - fd) / fd < 0.015
+
+    @pytest.mark.slow
+    def test_alpha_basis_is_load_bearing(self, key):
+        """S-only regression under vol-of-vol must price BELOW the (S,
+        alpha) policy (a strictly worse exercise rule) — the measured gap is
+        ~2%; tripping this means the alpha columns silently fell out."""
+        p_sv, _ = self._price(key, P)
+        p_s, _ = self._price(key, P, variance_basis=False)
+        assert float(p_sv) > float(p_s) + 0.02
+
+    def test_spot_conversion_terminal_equals_forward(self, key):
+        """At expiry the spot IS the forward; at t=0 the path starts at S0
+        (the e^{-drift*(T-t)} conversion in simulate_paths)."""
+        from options_model_tpu.pricers.american import simulate_paths
+        mc = MCConfig(n_paths=4096, n_steps=10, path_block=1024)
+        S = simulate_paths(key, 100.0, T, mc, "sabr", rate=R, sabr=P)
+        np.testing.assert_allclose(np.asarray(S[0]), 100.0, rtol=1e-5)
+        # forward martingale => E[S_T] = S0 e^{rT}
+        m = float(pair_mean_reduce(S[-1], 1024).mean())
+        assert abs(m - 100.0 * np.exp(R * T)) < 1.5
+
+    def test_european_sampler_dispatch(self, key):
+        from options_model_tpu.core.config import OptionSpec, PUT
+        from options_model_tpu.pricers.european import (make_terminal_sampler,
+                                                        price_european_mc)
+        spec = OptionSpec(strike=100.0, rate=R, cp=PUT, sigma=None)
+        mc = MCConfig(n_paths=1 << 15, n_steps=50, path_block=4096)
+        sampler = make_terminal_sampler("sabr", 100.0, R, T, sabr=P)
+        price, se, n = price_european_mc(key, sampler, spec, T, mc)
+        mc_ref, se_ref = sabr_european_mc(key, 100.0, 100.0, R, T, P, mc,
+                                          cp=-1.0, control_variate=False)
+        assert abs(float(price) - float(mc_ref)) < 4 * (float(se)
+                                                        + float(se_ref))
