@@ -171,6 +171,19 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--interactive", action="store_true",
                    help="Prompt for each parameter (v3-style wizard); "
                         "entered values override the flags")
+    # Multi-host (DCN) launch: one CLI process per host joins a single
+    # jax.distributed runtime; every mesh then spans all hosts' devices
+    # (parallel/mesh.init_multihost; scripts/multihost_worker.py is the
+    # minimal pod-launch template, tests/test_multihost.py the 2-process
+    # proof). On TPU pods the coordinator/count/id auto-detect from the
+    # environment — pass --multihost alone.
+    p.add_argument("--multihost", action="store_true",
+                   help="Join a multi-process jax.distributed runtime "
+                        "before any device use (process-spanning meshes)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 (auto-detected on pods)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args(argv)
 
 
