@@ -470,6 +470,9 @@ class HestonCalibrator:
     def calibrate(self, surface: MarketSurface,
                   diagnostics_dir: Optional[str] = None) -> HestonParams:
         cfg = self.config
+        # Remembered for get_calibration_summary: which IV regime picked the
+        # bounds/guess (tests assert detection across low/normal/high levels).
+        self.last_regime = surface.regime
         f, f_and_g, bounds = self._make_objective(surface)
         x0 = self._x0(surface)
         if cfg.verbose:
@@ -632,6 +635,7 @@ class HestonCalibrator:
             "error": self.best_error,
             "feller_condition": p.feller_condition(),
             "n_calibrations": len(self.calibration_history),
+            "regime": getattr(self, "last_regime", None),
         }
 
 

@@ -296,6 +296,98 @@ class TestCalibration:
         assert violating > 100.0  # dominated by the Feller penalty
 
 
+class TestNoisyCalibration:
+    """Recovery under quote noise — the operating condition live chains
+    actually present (VERDICT r3 next #5). Facts these pin (measured across
+    seeds in scripts-level probes):
+
+    - the weighted IV RMSE bottoms out AT the noise level (the objective
+      cannot beat the data);
+    - theta/v0/xi/rho stay identified (few-% recovery), while kappa is the
+      classic weakly-identified direction under noise (term-structure
+      trade-off vs theta/v0) and may wander tens of percent — asserting it
+      tightly would pin noise, not skill;
+    - the regime detector drives the bounds on noisy surfaces too (summary
+      carries the detected regime).
+    """
+
+    def _x64_or_skip(self):
+        from options_model_tpu.calibration.calibrator import (
+            _try_enable_explicit_x64)
+        if not _try_enable_explicit_x64():
+            pytest.skip("explicit x64 dtypes unavailable")
+
+    @pytest.mark.slow
+    def test_half_volpoint_noise_recovery(self):
+        self._x64_or_skip()
+        K, T, iv = create_synthetic_heston_surface(TRUE, noise_std=0.005,
+                                                   seed=4, dtype=np.float64)
+        cfg = CalibrationConfig(optimization_methods=("L-BFGS-B",),
+                                verbose=False)
+        params, summary = calibrate_heston_to_data(K, T, iv, S0=S0,
+                                                   config=cfg)
+        assert summary["regime"] == "normal_vol"
+        # noise floor: within 50% above the injected stddev, and not
+        # implausibly below it (overfit guard)
+        assert 0.002 < summary["error"] < 0.0075
+        assert abs(params.theta - TRUE.theta) < 0.01
+        assert abs(params.v0 - TRUE.v0) < 0.01
+        assert abs(params.rho - TRUE.rho) < 0.15
+        assert abs(params.xi / TRUE.xi - 1.0) < 0.3
+
+    @pytest.mark.slow
+    def test_sparse_two_expiry_chain(self):
+        """A 2-expiry chain (30/90d) with noise — the realistic thin-market
+        shape; the variance levels must still come back."""
+        self._x64_or_skip()
+        K, T, iv = create_synthetic_heston_surface(
+            TRUE, noise_std=0.005, seed=7, dtype=np.float64,
+            expiries_days=(30, 90))
+        cfg = CalibrationConfig(optimization_methods=("L-BFGS-B",),
+                                verbose=False)
+        params, summary = calibrate_heston_to_data(K, T, iv, S0=S0,
+                                                   config=cfg)
+        assert summary["error"] < 0.0075
+        assert abs(params.theta - TRUE.theta) < 0.01
+        assert abs(params.v0 - TRUE.v0) < 0.01
+
+    @pytest.mark.slow
+    def test_low_vol_regime_bounds_drive_noisy_fit(self):
+        """Mean IV ~11% -> low_vol bounds; theta/v0 ~0.012 sit BELOW the
+        normal_vol floor rescued in r2 (0.02), so recovery here proves the
+        regime actually switched the box."""
+        self._x64_or_skip()
+        low = HestonParams(kappa=3.0, theta=0.012, xi=0.15, rho=-0.3,
+                           v0=0.012)
+        K, T, iv = create_synthetic_heston_surface(low, noise_std=0.003,
+                                                   seed=9, dtype=np.float64)
+        cfg = CalibrationConfig(optimization_methods=("L-BFGS-B",),
+                                verbose=False)
+        params, summary = calibrate_heston_to_data(K, T, iv, S0=S0,
+                                                   config=cfg)
+        assert summary["regime"] == "low_vol"
+        assert summary["error"] < 0.005
+        assert abs(params.theta - low.theta) < 0.005
+        assert abs(params.v0 - low.v0) < 0.005
+
+    def test_regime_detection_drives_summary(self):
+        """Detection across the three IV levels reaches the summary (cheap:
+        no optimizer run needed to check the surface->regime wiring)."""
+        from options_model_tpu.calibration.calibrator import (
+            HestonCalibrator, MarketSurface)
+        for level, want in ((0.10, "low_vol"), (0.22, "normal_vol"),
+                            (0.45, "high_vol")):
+            surf = MarketSurface(strikes=np.full(8, 100.0),
+                                 expiries=np.linspace(0.1, 1.0, 8),
+                                 ivs=np.full(8, level), S0=100.0, rate=0.05)
+            assert surf.regime == want
+            cal = HestonCalibrator()
+            cal.last_regime = surf.regime
+            cal.best_params = TRUE
+            cal.best_error = 0.0
+            assert cal.get_calibration_summary()["regime"] == want
+
+
 class TestSyntheticSurface:
     def test_smile_shape(self):
         K, T, iv = create_synthetic_heston_surface(TRUE)
