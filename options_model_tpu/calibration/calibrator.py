@@ -139,10 +139,27 @@ def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
     note in _make_objective); float32 leaves an ~1e-3 floor that stalls
     gradient line searches near good fits.
     """
-    x = jnp.asarray(x, dtype)
+    prices, gap = _model_prices_and_gap(
+        x, strikes, expiries, S0, rate, n_terms, cos_L, div_yield, dtype,
+        model)
     strikes = jnp.asarray(strikes, dtype)
     expiries = jnp.asarray(expiries, dtype)
     market_ivs = jnp.asarray(market_ivs, dtype)
+    S0 = jnp.asarray(S0, dtype)
+    rate = jnp.asarray(rate, dtype)
+    div_yield = jnp.asarray(div_yield, dtype)
+    weighted_rmse = _iv_rmse(prices, strikes, expiries, market_ivs, S0, rate,
+                             div_yield, use_vega_weighting, min_weight)
+    return weighted_rmse + 100.0 * jnp.maximum(gap, 0.0)
+
+
+def _model_prices_and_gap(x, strikes, expiries, S0, rate, n_terms, cos_L,
+                          div_yield, dtype, model):
+    """COS prices under params x, plus the model's constraint gap (Feller
+    for Heston/Bates, martingale-clock for VG; penalized when > 0)."""
+    x = jnp.asarray(x, dtype)
+    strikes = jnp.asarray(strikes, dtype)
+    expiries = jnp.asarray(expiries, dtype)
     S0 = jnp.asarray(S0, dtype)
     rate = jnp.asarray(rate, dtype)
     div_yield = jnp.asarray(div_yield, dtype)
@@ -152,10 +169,8 @@ def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
                               n_terms=n_terms, L=cos_L, q=div_yield,
                               dtype=dtype)
         # joint-constraint penalty replaces the (Heston-only) Feller term
-        mart_gap = x[1] * x[2] + 0.5 * x[0] ** 2 * x[2] - 0.98
-        penalty = 100.0 * jnp.maximum(mart_gap, 0.0)
-        return _iv_rmse(prices, strikes, expiries, market_ivs, S0, rate,
-                        div_yield, use_vega_weighting, min_weight) + penalty
+        gap = x[1] * x[2] + 0.5 * x[0] ** 2 * x[2] - 0.98
+        return prices, gap
     hp = HestonParams(kappa=x[0], theta=x[1], xi=x[2], rho=x[3], v0=x[4])
     if model == "bates":
         params = BatesParams(heston=hp, lam=x[5], mu_j=x[6], sigma_j=x[7])
@@ -166,11 +181,43 @@ def _objective_core(x, strikes, expiries, market_ivs, S0, rate,
         prices = heston_cos_price(S0, strikes, expiries, rate, hp, cp=1.0,
                                   n_terms=n_terms, L=cos_L, q=div_yield,
                                   dtype=dtype)
-    weighted_rmse = _iv_rmse(prices, strikes, expiries, market_ivs, S0, rate,
-                             div_yield, use_vega_weighting, min_weight)
-    feller_gap = x[2] ** 2 - 2.0 * x[0] * x[1]
-    feller_penalty = 100.0 * jnp.maximum(feller_gap, 0.0)
-    return weighted_rmse + feller_penalty
+    return prices, x[2] ** 2 - 2.0 * x[0] * x[1]
+
+
+def _residuals_core(x, strikes, expiries, market_ivs, S0, rate,
+                    n_terms: int = 128, use_vega_weighting: bool = True,
+                    min_weight: float = 0.01, cos_L: float = 12.0,
+                    div_yield: float = 0.0, dtype=jnp.float32,
+                    model: str = "heston"):
+    """Weighted IV residual VECTOR for least-squares solvers: r_i =
+    sqrt(w_i / sum w) * (model_iv_i - market_iv_i), so sum r^2 equals the
+    squared weighted RMSE _objective_core reports, plus one quadratic
+    constraint-penalty residual. Trust-region least squares navigates the
+    kappa-theta ridge (a razor-thin curved valley; measured dRMSE/dtheta ~
+    -280 at points where L-BFGS-B's line search aborts ABNORMAL) far more
+    robustly than quasi-Newton on the scalarized objective."""
+    prices, gap = _model_prices_and_gap(
+        x, strikes, expiries, S0, rate, n_terms, cos_L, div_yield, dtype,
+        model)
+    strikes = jnp.asarray(strikes, dtype)
+    expiries = jnp.asarray(expiries, dtype)
+    market_ivs = jnp.asarray(market_ivs, dtype)
+    S0 = jnp.asarray(S0, dtype)
+    rate = jnp.asarray(rate, dtype)
+    div_yield = jnp.asarray(div_yield, dtype)
+    intrinsic = jnp.maximum(S0 * jnp.exp(-div_yield * expiries)
+                            - strikes * jnp.exp(-rate * expiries), 0.0)
+    prices = jnp.maximum(prices, intrinsic + 1e-6)
+    model_ivs = implied_vol(prices, S0, strikes, expiries, rate, cp=1.0,
+                            q=div_yield)
+    if use_vega_weighting:
+        vega = bs_vega(S0, strikes, expiries, rate, market_ivs, q=div_yield)
+        w = jnp.maximum(vega / 100.0, min_weight)
+    else:
+        w = jnp.ones_like(market_ivs)
+    resid = jnp.sqrt(w / jnp.sum(w)) * (model_ivs - market_ivs)
+    pen = 10.0 * jnp.maximum(gap, 0.0)  # squared by the solver -> 100*gap^2
+    return jnp.concatenate([resid, pen[None]])
 
 
 def _iv_rmse(prices, strikes, expiries, market_ivs, S0, rate, div_yield,
@@ -381,6 +428,8 @@ class HestonCalibrator:
                     val_and_grad = _eval
                     self._objective_dtype = np.dtype(
                         np.float64 if dtype == jnp.float64 else np.float32)
+                    self._objective_jax_dtype = dtype
+                    self._objective_device = dev
                     if dtype == jnp.float32 and dev is None \
                             and jax.default_backend() != "cpu":
                         # The diagnosed-broken combination (see the root-cause
@@ -412,6 +461,84 @@ class HestonCalibrator:
             return v, g
 
         return f, f_and_g, bounds
+
+    def _least_squares_polish(self, surface: MarketSurface, x_start,
+                              bounds, f):
+        """Trust-region least-squares refinement from a quasi-Newton terminal
+        point. On noisy market chains L-BFGS-B routinely aborts its line
+        search mid-descent inside the kappa-theta ridge (scipy status
+        ABNORMAL with |grad| still O(100); measured on the recorded-chain
+        fixture: stuck at 1.8x the reachable objective). scipy's TRF on the
+        weighted residual vector (_residuals_core) with an AD Jacobian
+        follows the curved valley to its floor. Returns (x, f(x)) — caller
+        accepts on true-objective improvement only."""
+        from scipy.optimize import least_squares
+
+        cfg = self.config
+        dtype = getattr(self, "_objective_jax_dtype", jnp.float32)
+        dev = getattr(self, "_objective_device", None)
+        n_terms = max(cfg.cos_n, 2048) if self.model == "vg" else cfg.cos_n
+        with (_explicit_x64_scope() if dtype == jnp.float64
+              else _nullcontext()):
+            K = jnp.asarray(surface.strikes, dtype)
+            T = jnp.asarray(surface.expiries, dtype)
+            iv = jnp.asarray(surface.ivs, dtype)
+
+        def core(x):
+            return _residuals_core(
+                x, K, T, iv, surface.S0, surface.rate, n_terms=n_terms,
+                use_vega_weighting=cfg.use_vega_weighting,
+                min_weight=cfg.min_vega_weight, cos_L=cfg.cos_L,
+                div_yield=surface.div_yield, dtype=dtype, model=self.model)
+
+        resid_jit = jax.jit(core)
+        np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+
+        def _call(x):
+            xa = np.asarray(x, np_dtype)
+            ctx = (_explicit_x64_scope() if dtype == jnp.float64
+                   else _nullcontext())
+            with ctx:
+                if dev is not None:
+                    with jax.default_device(dev):
+                        return np.asarray(resid_jit(jax.device_put(xa, dev)),
+                                          np.float64)
+                return np.asarray(resid_jit(jnp.asarray(xa)), np.float64)
+
+        lo = np.array([b[0] for b in bounds])
+        hi = np.array([b[1] for b in bounds])
+        x0 = np.clip(np.asarray(x_start, np.float64), lo, hi)
+        # Jacobian by 2-point differences, not AD: jacrev through the COS
+        # custom_vjp + implicit-IV chain measured 20 s PER CALL on CPU,
+        # while 4 extra residual evals per Jacobian cost milliseconds.
+        # diff_step is load-bearing: scipy's default sqrt(eps)~1.5e-8
+        # relative step sits INSIDE the f64 COS chain's evaluation wobble, so
+        # the FD Jacobian picks up noise, the trust region collapses, and the
+        # solve xtol-terminates mid-valley (measured on the recorded chain:
+        # stuck at rmse 0.0092 where 1e-5 steps reach 0.00513 in ~45 nfev —
+        # and default-step success varies RUN TO RUN with ulp-level codegen
+        # differences). 1e-5 relative steps clear the noise by ~3 orders
+        # while the O(h^2) truncation stays ~1e-8. The f32 fallback's ~1e-6
+        # residual noise needs proportionally larger steps.
+        res = least_squares(
+            _call, x0, jac="2-point",
+            diff_step=1e-5 if dtype == jnp.float64 else 1e-3,
+            bounds=(lo, hi), method="trf", x_scale="jac",
+            ftol=1e-14, xtol=1e-14, gtol=1e-14, max_nfev=400)
+        # One fresh-trust-region restart while it keeps paying: the first
+        # solve occasionally xtol-terminates on a ridge shoulder.
+        for _ in range(2):
+            prev = res.cost
+            res2 = least_squares(
+                _call, res.x, jac="2-point",
+                diff_step=1e-5 if dtype == jnp.float64 else 1e-3,
+                bounds=(lo, hi), method="trf", x_scale="jac",
+                ftol=1e-14, xtol=1e-14, gtol=1e-14, max_nfev=400)
+            if res2.cost < prev:
+                res = res2
+            if res2.cost >= prev * (1.0 - 1e-6):
+                break
+        return res.x, f(res.x)
 
     def _x0(self, surface: MarketSurface) -> np.ndarray:
         if self.model == "vg":
@@ -540,6 +667,19 @@ class HestonCalibrator:
                             ok, x, fun = res.success, res.x, res.fun
                         if fun < 1e-7:  # already at the f64 floor
                             break
+                    if fun > 1e-7:
+                        # Noisy data leaves the quasi-Newton terminal mid-
+                        # valley (ABNORMAL line search, see
+                        # _least_squares_polish); TRF rides the ridge to the
+                        # floor. Accepted on true-objective improvement only.
+                        try:
+                            x_ls, f_ls = self._least_squares_polish(
+                                surface, x, bounds, f)
+                            if f_ls < fun:
+                                ok, x, fun = True, x_ls, f_ls
+                        except Exception as e:
+                            if cfg.verbose:
+                                print(f"  least-squares polish failed: {e}")
                 elif method == "differential_evolution":
                     res = differential_evolution(
                         f, bounds, maxiter=min(cfg.max_iterations // 10, 200),

@@ -14,6 +14,7 @@ Rho per 1% move (/100).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict
 
 import jax
@@ -129,9 +130,23 @@ def implied_vol(price, S, K, T, r, cp=1.0, q=0.0, n_iter: int = 64,
 
     The differentiable IV solver the reference lacked (its calibration objective
     used a log price-ratio proxy instead, heston_calibration.py:440-447).
-    """
-    price = jnp.asarray(price)
 
+    Differentiated IMPLICITLY (custom_jvp below), not through the iterations:
+    AD through the clipped Newton steps carries the solver's truncation into
+    the gradient (measured 1-3% off finite differences on a noisy market
+    chain — enough to abort L-BFGS-B line searches mid-valley, leaving
+    calibration stuck at ~2x the achievable objective). The implicit-function
+    rule dIV/dx = (dprice - dP/dx|_sigma) / vega is exact wherever the solve
+    converged, and is zeroed where sigma sits on the [lo, hi] clamp (there the
+    true derivative is 0; the raw formula would divide ~0 vega into a finite
+    price tangent and explode).
+    """
+    return _implied_vol(jnp.asarray(price), S, K, T, r, cp, q,
+                        n_iter, lo, hi)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(7, 8, 9))
+def _implied_vol(price, S, K, T, r, cp, q, n_iter, lo, hi):
     def bisect_body(_, bounds):
         lo_, hi_ = bounds
         mid = 0.5 * (lo_ + hi_)
@@ -151,3 +166,19 @@ def implied_vol(price, S, K, T, r, cp=1.0, q=0.0, n_iter: int = 64,
         return jnp.clip(sig - step, lo, hi)
 
     return jax.lax.fori_loop(0, 8, newton_body, sigma)
+
+
+@_implied_vol.defjvp
+def _implied_vol_jvp(n_iter, lo, hi, primals, tangents):
+    price, S, K, T, r, cp, q = primals
+    dprice, dS, dK, dT, dr, _dcp, dq = tangents
+    sigma = _implied_vol(price, S, K, T, r, cp, q, n_iter, lo, hi)
+    # Implicit function theorem on bs_price(S,K,T,r,sigma;cp,q) == price:
+    # the price tangent at FIXED sigma, then divide the residual by vega.
+    _, dP = jax.jvp(
+        lambda S_, K_, T_, r_, q_: bs_price(S_, K_, T_, r_, sigma, cp, q_),
+        (S, K, T, r, q), (dS, dK, dT, dr, dq))
+    vega = jnp.maximum(bs_vega(S, K, T, r, sigma, q), 1e-10)
+    interior = (sigma > lo) & (sigma < hi)
+    dsigma = jnp.where(interior, (dprice - dP) / vega, 0.0)
+    return sigma, jnp.broadcast_to(dsigma, sigma.shape).astype(sigma.dtype)

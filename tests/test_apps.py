@@ -612,9 +612,21 @@ class TestExoticCLI:
         assert "cos_bermudan_matched_dates" not in out
         assert out["price"] > 0
 
-    def test_american_cli_sabr_rejected(self):
-        with pytest.raises(SystemExit):
-            self._run(["american", "--model", "sabr"])
+    def test_american_cli_sabr(self):
+        # SABR American through the dispatcher (round 4): the (S, alpha)
+        # LSM basis rides the variance-basis plumbing; anchored offline by
+        # the fd_sabr ADI oracle in tests/test_sabr.py — here just the CLI
+        # wiring and the early-exercise ordering vs the European contract.
+        out = self._run(["american", "--model", "sabr", "--option-type",
+                         "put", "--paths", "16384", "--steps", "25",
+                         "--t", "0.5", "--sabr", "0.2", "1.0", "-0.4", "0.6"])
+        eu = self._run(["european", "--model", "sabr", "--option-type",
+                        "put", "--paths", "16384", "--steps", "25",
+                        "--t", "0.5", "--sabr", "0.2", "1.0", "-0.4", "0.6"])
+        assert out["price"] > 0 and out["stderr"] > 0
+        # American put >= European put (up to MC noise on both legs)
+        assert out["price"] >= eu["price"] - 4.0 * (out["stderr"]
+                                                    + eu["stderr"])
 
     def test_sabr_european_cli(self):
         out = self._run(["european", "--model", "sabr", "--paths", "32768",
