@@ -59,16 +59,22 @@ def _add_common(p, multi=False):
         p.add_argument("--sigma", type=float, default=0.2)
         p.add_argument("--model", type=str, default="gbm",
                        choices=["gbm", "heston", "merton", "bates", "sabr",
-                                "vg"],
-                       help="sabr covers the european and american "
-                            "contracts (forward-measure simulator; the "
-                            "american leg regresses on the (S, alpha) "
-                            "state and is anchored by the ADI oracle, "
-                            "pricers/fd_sabr.py)")
+                                "vg", "rbergomi"],
+                       help="sabr/rbergomi cover the european and american "
+                            "contracts (the american legs regress on the "
+                            "(S, alpha) / (S, v) state; anchored by the "
+                            "ADI oracle pricers/fd_sabr.py — for rbergomi "
+                            "the rough-vol policy is a documented "
+                            "Markovian-projection lower bound, "
+                            "models/rbergomi.py)")
         p.add_argument("--sabr", type=float, nargs=4, default=None,
                        metavar=("ALPHA", "BETA", "RHO", "NU"),
                        help="SABR parameters (default: alpha=0.2 beta=1 "
                             "rho=-0.4 nu=0.6)")
+        p.add_argument("--rbergomi", type=float, nargs=4, default=None,
+                       metavar=("H", "ETA", "RHO", "XI0"),
+                       help="rough-Bergomi parameters (default: H=0.1 "
+                            "eta=1.5 rho=-0.7 xi0=0.04)")
         p.add_argument("--heston", type=float, nargs=5, default=None,
                        metavar=("KAPPA", "THETA", "XI", "RHO", "V0"))
         p.add_argument("--merton", type=float, nargs=4, default=None,
@@ -273,6 +279,23 @@ def run(args: argparse.Namespace) -> dict:
                 and args.contract not in ("european", "american")):
             raise SystemExit("--model sabr supports the european and "
                              "american contracts")
+        if getattr(args, "model", "gbm") == "rbergomi":
+            if args.contract not in ("european", "american"):
+                raise SystemExit("--model rbergomi supports the european "
+                                 "and american contracts")
+            if args.contract == "european":
+                from options_model_tpu.core.config import RBergomiParams
+                from options_model_tpu.models.rbergomi import (
+                    rbergomi_european_mc)
+                rp = args.rbergomi or (0.1, 1.5, -0.7, 0.04)
+                rbp = RBergomiParams(H=rp[0], eta=rp[1], rho=rp[2],
+                                     xi0=rp[3]).validate()
+                price, se = rbergomi_european_mc(
+                    key, args.spot, args.strike, args.r, args.t, rbp, mc,
+                    cp=cp)
+                out["price"] = float(price)
+                out["stderr"] = float(se)
+                return out
         if getattr(args, "sampler", "mc") == "mlmc":
             if args.model not in ("gbm", "heston"):
                 raise SystemExit("--sampler mlmc supports gbm/heston only "
@@ -339,10 +362,17 @@ def run(args: argparse.Namespace) -> dict:
                 sp = args.sabr or (0.2, 1.0, -0.4, 0.6)
                 sabr = SABRParams(alpha=sp[0], beta=sp[1], rho=sp[2],
                                   nu=sp[3]).validate()
+            rbergomi = None
+            if args.model == "rbergomi":
+                from options_model_tpu.core.config import RBergomiParams
+                rp = args.rbergomi or (0.1, 1.5, -0.7, 0.04)
+                rbergomi = RBergomiParams(H=rp[0], eta=rp[1], rho=rp[2],
+                                          xi0=rp[3]).validate()
             price, se = price_american(
                 key, args.spot, args.t, spec, mc,
                 LSMConfig(richardson=args.richardson), args.model,
-                heston=heston, merton=merton, bates=bates, vg=vg, sabr=sabr)
+                heston=heston, merton=merton, bates=bates, vg=vg, sabr=sabr,
+                rbergomi=rbergomi)
             if args.model == "sabr" and not args.no_oracle:
                 # Deterministic ADI anchor on the (F, alpha) PDE with the
                 # spot-payoff projection (pricers/fd_sabr.py) — the SABR

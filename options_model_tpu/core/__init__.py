@@ -10,6 +10,7 @@ from options_model_tpu.core.config import (
     HestonParams,
     MertonParams,
     VGParams,
+    RBergomiParams,
     SABRParams,
     BatesParams,
     LSMConfig,
@@ -40,6 +41,7 @@ __all__ = [
     "HestonParams",
     "MertonParams",
     "VGParams",
+    "RBergomiParams",
     "SABRParams",
     "BatesParams",
     "LSMConfig",

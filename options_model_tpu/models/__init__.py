@@ -30,6 +30,11 @@ from options_model_tpu.models.sabr import (
     sabr_european_mc,
     simulate_sabr,
 )
+from options_model_tpu.models.rbergomi import (
+    rbergomi_european_mc,
+    rbergomi_exact_chol,
+    simulate_rbergomi,
+)
 from options_model_tpu.models.multiasset import (
     correlation_cholesky,
     gbm_basket_terminal_exact,
@@ -48,6 +53,9 @@ __all__ = [
     "simulate_bates",
     "simulate_local_vol",
     "simulate_sabr",
+    "simulate_rbergomi",
+    "rbergomi_european_mc",
+    "rbergomi_exact_chol",
     "sabr_european_mc",
     "sabr_bs_price",
     "hagan_lognormal_iv",

@@ -54,7 +54,7 @@ from options_model_tpu.models.localvol import simulate_local_vol
 
 def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
                    rate=0.0, heston: Optional[HestonParams] = None,
-                   merton=None, bates=None, vg=None, sabr=None, sigma_fn=None,
+                   merton=None, bates=None, vg=None, sabr=None, rbergomi=None, sigma_fn=None,
                    first_block=0, engine: str = "auto",
                    heston_scheme: str = "euler",
                    localvol_table=None, div_yield=0.0,
@@ -93,11 +93,13 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
     if model in ("heston", "bates") and heston_scheme not in ("euler", "qe"):
         raise ValueError(f"heston_scheme must be 'euler' or 'qe', got "
                          f"{heston_scheme!r}")
-    if return_variance and model not in ("heston", "bates", "sabr"):
-        raise ValueError("return_variance is a Heston/Bates/SABR feature "
-                         "(the other dynamics carry no second state; SABR "
-                         "returns its alpha paths — the (S, alpha) LSM "
-                         "basis feed)")
+    if return_variance and model not in ("heston", "bates", "sabr",
+                                         "rbergomi"):
+        raise ValueError("return_variance is a Heston/Bates/SABR/rBergomi "
+                         "feature (the other dynamics carry no second "
+                         "state; SABR returns its alpha paths, rBergomi its "
+                         "instantaneous variance — the two-state LSM basis "
+                         "feed)")
     rate = rate - div_yield  # risk-neutral growth under a dividend yield
 
     def _pallas_stream(k, interp):
@@ -243,6 +245,20 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
         t_grid = jnp.linspace(jnp.asarray(0.0, dtype), Tf, cfg.n_steps + 1)
         S_paths = F_paths * jnp.exp(mu * (t_grid - Tf))[:, None]
         return (S_paths, a_paths) if return_variance else S_paths
+    if model == "rbergomi":
+        # Rough Bergomi (models/rbergomi.py): spot dynamics with drift
+        # ``rate`` directly (no forward conversion needed). The returned
+        # variance matrix feeds the (S, v) LSM basis — under rough vol
+        # (H < 1/2) that pair is NOT a sufficient statistic, so the
+        # regressed exercise policy is a documented Markovian-projection
+        # LOWER bound (still feasible; the Rogers dual brackets it).
+        if rbergomi is None:
+            raise ValueError("rbergomi params required for model='rbergomi'")
+        from options_model_tpu.models.rbergomi import simulate_rbergomi
+        return simulate_rbergomi(key, S0, T, rbergomi, cfg, rate=rate,
+                                 return_paths=True,
+                                 return_variance=return_variance,
+                                 first_block=first_block)
     raise ValueError(f"unknown model {model!r}")
 
 
@@ -761,15 +777,15 @@ def _vol_params(heston, bates):
 def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                        lsm: LSMConfig, model: str = "gbm", *,
                        heston: Optional[HestonParams] = None, merton=None,
-                       bates=None, vg=None, sabr=None, sigma_fn=None,
+                       bates=None, vg=None, sabr=None, rbergomi=None, sigma_fn=None,
                        axis_name: Optional[str] = None,
                        return_paths_stats: bool = False, engine: str = "auto"):
     """Simulate + LSM backward induction. Returns (price, stderr[, S_paths])."""
     sim_key, fit_key = jax.random.split(key)
-    want_v = model in ("heston", "bates", "sabr") and lsm.variance_basis
+    want_v = model in ("heston", "bates", "sabr", "rbergomi") and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         bates=bates, vg=vg, sabr=sabr, sigma_fn=sigma_fn,
+                         bates=bates, vg=vg, sabr=sabr, rbergomi=rbergomi, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)
@@ -796,7 +812,7 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
 def price_american_with_control_variate(
         key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig, lsm: LSMConfig,
         model: str = "gbm", *, heston: Optional[HestonParams] = None,
-        merton=None, bates=None, vg=None, sabr=None,
+        merton=None, bates=None, vg=None, sabr=None, rbergomi=None,
         sigma_fn=None, axis_name: Optional[str] = None, engine: str = "auto"):
     """American price with the European control variate (beta = 1):
 
@@ -825,7 +841,7 @@ def price_american_with_control_variate(
         # matched-dynamics rule).
         return price_american_lsm(key, S0, T, spec, mc, lsm, model,
                                   heston=heston, merton=merton, bates=bates,
-                                  vg=vg, sabr=sabr,
+                                  vg=vg, sabr=sabr, rbergomi=rbergomi,
                                   sigma_fn=sigma_fn,
                                   axis_name=axis_name, engine=engine)
     sim_key, fit_key = jax.random.split(key)
@@ -861,7 +877,7 @@ def price_american_with_control_variate(
 def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                    lsm: LSMConfig, model: str = "gbm", *,
                    heston: Optional[HestonParams] = None, merton=None,
-                   bates=None, vg=None, sabr=None, sigma_fn=None,
+                   bates=None, vg=None, sabr=None, rbergomi=None, sigma_fn=None,
                    axis_name: Optional[str] = None, engine: str = "auto"):
     """Dispatcher mirroring price_american_option
     (options_model_3/options_model_3.py:679-695): European approximation when
@@ -873,7 +889,7 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
         # to the Pallas sampler (different RNG stream than requested).
         sampler = make_terminal_sampler(model, S0, spec.rate, T, sigma=spec.sigma,
                                         heston=heston, merton=merton,
-                                        bates=bates, vg=vg, sabr=sabr,
+                                        bates=bates, vg=vg, sabr=sabr, rbergomi=rbergomi,
                                         sigma_fn=sigma_fn,
                                         engine=engine,
                                         div_yield=spec.div_yield)
@@ -882,7 +898,7 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     if lsm.richardson:
         return price_american_richardson(key, S0, T, spec, mc, lsm, model,
                                          heston=heston, merton=merton,
-                                         bates=bates, vg=vg, sabr=sabr,
+                                         bates=bates, vg=vg, sabr=sabr, rbergomi=rbergomi,
                                          sigma_fn=sigma_fn,
                                          engine=engine)
     cv_leg = ((spec.sigma is not None and model == "gbm")
@@ -893,10 +909,10 @@ def price_american(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     if lsm.use_control_variate and cv_leg:
         return price_american_with_control_variate(
             key, S0, T, spec, mc, lsm, model, heston=heston, merton=merton,
-            bates=bates, vg=vg, sabr=sabr, sigma_fn=sigma_fn,
+            bates=bates, vg=vg, sabr=sabr, rbergomi=rbergomi, sigma_fn=sigma_fn,
             axis_name=axis_name, engine=engine)
     return price_american_lsm(key, S0, T, spec, mc, lsm, model, heston=heston,
-                              merton=merton, bates=bates, vg=vg, sabr=sabr,
+                              merton=merton, bates=bates, vg=vg, sabr=sabr, rbergomi=rbergomi,
                               sigma_fn=sigma_fn, axis_name=axis_name,
                               engine=engine)
 
@@ -941,7 +957,7 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
 def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
                               mc: MCConfig, lsm: LSMConfig, model: str = "gbm",
                               *, heston: Optional[HestonParams] = None,
-                              merton=None, bates=None, vg=None, sabr=None,
+                              merton=None, bates=None, vg=None, sabr=None, rbergomi=None,
                               sigma_fn=None, engine: str = "auto"):
     """Richardson-extrapolated continuous-exercise American price.
 
@@ -961,10 +977,10 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
     """
     sim_key, fit_key = jax.random.split(key)
     pb = _pair_block(mc, model, engine)
-    want_v = model in ("heston", "bates", "sabr") and lsm.variance_basis
+    want_v = model in ("heston", "bates", "sabr", "rbergomi") and lsm.variance_basis
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
-                         bates=bates, vg=vg, sabr=sabr, sigma_fn=sigma_fn,
+                         bates=bates, vg=vg, sabr=sabr, rbergomi=rbergomi, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
                          return_variance=want_v)
     S_paths, v_paths = out if want_v else (out, None)

@@ -37,6 +37,7 @@ TerminalSampler = Callable[[jax.Array, jnp.ndarray, MCConfig], jnp.ndarray]
 def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
                           heston: Optional[HestonParams] = None,
                           merton=None, bates=None, vg=None, sabr=None,
+                          rbergomi=None,
                           sigma_fn=None, engine: str = "auto",
                           heston_scheme: str = "euler",
                           localvol_table=None, div_yield=0.0,
@@ -217,6 +218,15 @@ def make_terminal_sampler(model: str, S0, r, T, *, sigma=None,
             F0 = jnp.asarray(S0, c.dtype) * jnp.exp(
                 jnp.asarray(r, c.dtype) * jnp.asarray(T, c.dtype))
             return simulate_sabr(key, F0, T, sabr, c, first_block=fb)
+    elif model == "rbergomi":
+        if rbergomi is None:
+            raise ValueError("rbergomi params required for model='rbergomi'")
+        # Rough Bergomi spot dynamics (models/rbergomi.py) — the Volterra
+        # convolution runs per chunk with the same global-block RNG contract
+        # as every XLA sampler.
+        from options_model_tpu.models.rbergomi import simulate_rbergomi
+        fn = lambda key, fb, c: simulate_rbergomi(key, S0, T, rbergomi, c,
+                                                  rate=r, first_block=fb)
     else:
         raise ValueError(f"unknown model {model!r}")
     fn.pair_block = lambda c: c.path_block

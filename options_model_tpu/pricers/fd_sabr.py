@@ -33,7 +33,8 @@ def sabr_fd_price(S0: float, K: float, T: float, r: float,
                   params: SABRParams, cp: float = -1.0, q: float = 0.0,
                   american: bool = True, n_f: int = 300, n_a: int = 120,
                   n_t: int = 300, f_max_mult: float = 4.0,
-                  a_max_sigmas: float = 4.0) -> float:
+                  a_max_sigmas: float = 4.0,
+                  alpha_drift: float = 0.0) -> float:
     """Price one option by ADI finite differences. Returns a float.
 
     beta must be 1 (the simulator's log-Euler backbone; CEV backbones would
@@ -41,6 +42,14 @@ def sabr_fd_price(S0: float, K: float, T: float, r: float,
     uniform; alpha in [0, alpha0*exp(a_max_sigmas*nu*sqrt(T)) + a pad]
     uniform (the lognormal vol's quantile cover). Bilinear interpolation at
     (F0, alpha0).
+
+    ``alpha_drift``: deterministic per-unit drift c in d alpha = c alpha dt
+    + nu alpha dW2 (default 0 = classic driftless SABR). Discretized upwind
+    (M-matrix: off-diagonals stay non-negative where diffusion vanishes at
+    small alpha). This is what makes the solver double as the H=1/2
+    rough-Bergomi oracle: there v is lognormal (dv = eta v dW), so the vol
+    alpha = sqrt(v) follows d alpha = alpha (eta/2 dW - eta^2/8 dt) — SABR
+    (beta=1, nu=eta/2) with c = -eta^2/8 (models/rbergomi.py).
     """
     if abs(float(params.beta) - 1.0) > 1e-12:
         raise ValueError("sabr_fd_price covers the beta=1 backbone "
@@ -74,13 +83,19 @@ def sabr_fd_price(S0: float, K: float, T: float, r: float,
     a1_diag = -2.0 * alpha_f - 0.5 * r
     a1_sup = alpha_f.copy()
 
-    # alpha-direction: 1/2 nu^2 alpha^2 V_aa - 1/2 r V (driftless lognormal)
+    # alpha-direction: 1/2 nu^2 alpha^2 V_aa + c alpha V_a - 1/2 r V.
+    # Drift by upwind one-sided differences (split b = c*alpha into its
+    # positive/negative parts) so the tridiagonal stays an M-matrix even
+    # where the alpha^2 diffusion vanishes.
     agT = a[None, :]
     alpha_a = 0.5 * nu**2 * agT**2 / da**2
-    a2_sub = np.broadcast_to(alpha_a, (n_f + 1, n_a + 1)).copy()
-    a2_diag = np.broadcast_to(-2.0 * alpha_a - 0.5 * r,
+    b_a = alpha_drift * agT
+    a2_sub = np.broadcast_to(alpha_a + np.maximum(-b_a, 0.0) / da,
+                             (n_f + 1, n_a + 1)).copy()
+    a2_diag = np.broadcast_to(-2.0 * alpha_a - np.abs(b_a) / da - 0.5 * r,
                               (n_f + 1, n_a + 1)).copy()
-    a2_sup = a2_sub.copy()
+    a2_sup = np.broadcast_to(alpha_a + np.maximum(b_a, 0.0) / da,
+                             (n_f + 1, n_a + 1)).copy()
     # alpha = 0: the vol process is absorbed (nu^2 a^2 -> 0); only the -r/2
     # discount survives in this direction.
     a2_sub[:, 0] = 0.0

@@ -268,6 +268,29 @@ def main():
         f"{float(se_sam):.4f} vs ADI {fd_s:.4f} rel {rel_sam*100:.3f}%")
     assert rel_sam < 0.015
 
+    # 8d2. Rough Bergomi on-chip: the hybrid scheme (Volterra convolution on
+    # the MXU) vs the host-side exact-covariance Cholesky oracle at the SAME
+    # grid, plus the American (S, v) ordering above the European.
+    from options_model_tpu.core.config import RBergomiParams
+    from options_model_tpu.models.rbergomi import (rbergomi_european_mc,
+                                                   rbergomi_exact_chol)
+    rbp = RBergomiParams(H=0.1, eta=1.5, rho=-0.7, xi0=0.04).validate()
+    mc_rb = MCConfig(n_paths=65_536, n_steps=50)
+    p_rb, se_rb = rbergomi_european_mc(key, S0, K, r, T, rbp, mc_rb, cp=-1.0)
+    p_rc, se_rc, _ = rbergomi_exact_chol(7, S0, K, r, T, rbp, n_steps=50,
+                                         n_paths=32_768, cp=-1.0)
+    z_rb = (float(p_rb) - p_rc) / float(np.hypot(float(se_rb), se_rc))
+    log(f"rBergomi EU (H=0.1): hybrid {float(p_rb):.4f} +- "
+        f"{float(se_rb):.4f} vs Cholesky-exact {p_rc:.4f} |z|={abs(z_rb):.2f}")
+    assert abs(z_rb) < 4.0
+    p_ram, se_ram = price_american(
+        key, S0, T, OptionSpec(strike=K, rate=r, cp=PUT, sigma=None),
+        MCConfig(n_paths=65_536, n_steps=50), LSMConfig(regressor="poly"),
+        model="rbergomi", rbergomi=rbp)
+    log(f"rBergomi AM put: LSM(S,v) {float(p_ram):.4f} +- "
+        f"{float(se_ram):.4f} (EU floor {float(p_rb):.4f})")
+    assert float(p_ram) >= float(p_rb) - 4 * (float(se_ram) + float(se_rb))
+
     # 8e. Variance Gamma: exact-terminal European MC vs the COS closed form,
     # and the American LSM+CV sits above the European floor.
     from options_model_tpu.core.config import VGParams

@@ -628,6 +628,21 @@ class TestExoticCLI:
         assert out["price"] >= eu["price"] - 4.0 * (out["stderr"]
                                                     + eu["stderr"])
 
+    def test_american_cli_rbergomi(self):
+        # rough-Bergomi through the dispatcher: (S, v) LSM on the hybrid
+        # scheme (a documented Markovian-projection lower bound, validated
+        # against the Cholesky-exact and H=1/2 ADI oracles in
+        # tests/test_rbergomi.py) — here the CLI wiring + exercise ordering.
+        args = ["--option-type", "put", "--paths", "16384", "--steps", "25",
+                "--t", "0.5", "--rbergomi", "0.1", "1.5", "-0.7", "0.04"]
+        out = self._run(["american", "--model", "rbergomi"] + args)
+        eu = self._run(["european", "--model", "rbergomi"] + args)
+        assert out["price"] > 0 and out["stderr"] > 0
+        assert out["price"] >= eu["price"] - 4.0 * (out["stderr"]
+                                                    + eu["stderr"])
+        with pytest.raises(SystemExit):  # european/american-only family
+            self._run(["asian", "--model", "rbergomi", "--paths", "8192"])
+
     def test_sabr_european_cli(self):
         out = self._run(["european", "--model", "sabr", "--paths", "32768",
                          "--steps", "32", "--t", "0.5"])
