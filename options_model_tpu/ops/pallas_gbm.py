@@ -20,7 +20,11 @@ from options_model_tpu.ops.pallas_heston import (
     _PATH_ROWS,
     _TERM_ROWS,
     _box_muller,
+    _paths_emit,
+    _paths_out,
+    _pick_unroll,
     _round_up,
+    _row0,
     _seed_array,
     _tile_seed,
 )
@@ -56,23 +60,32 @@ def _gbm_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
     out_ref[:] = S0 * jnp.exp(drift * n_steps + diffusion * acc)
 
 
-def _gbm_paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
+def _gbm_paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic,
+                      unroll=1, blocked=False):
     _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
     drift = par_ref[0, 1]
     diffusion = par_ref[0, 2]
 
-    out_ref[0] = jnp.zeros((_PATH_ROWS, _LANES), jnp.float32)
+    _row0(out_ref, jnp.zeros((_PATH_ROWS, _LANES), jnp.float32), blocked)
+    emit = _paths_emit(out_ref, unroll, blocked)
+    assert n_steps % unroll == 0, (n_steps, unroll)
 
     # relative logS in the loop; one bulk exp over the VMEM block after —
     # hoisting the per-step exp is a measured +34% on the Heston path kernel
-    # (ops/pallas_heston._paths_kernel, scripts/exp_paths_kernel.py).
-    def body(t, logS):
-        logS = logS + drift + diffusion * _gbm_step_normals(_PATH_ROWS, antithetic)
-        out_ref[t + 1] = logS
+    # (ops/pallas_heston._paths_kernel, scripts/exp_paths_kernel.py); per-
+    # chunk slab stores per _pick_unroll.
+    def body(c, logS):
+        outs = []
+        for _ in range(unroll):
+            logS = logS + drift + diffusion * _gbm_step_normals(_PATH_ROWS,
+                                                                antithetic)
+            outs.append(logS)
+        emit(c * unroll, jnp.stack(outs), None)
         return logS
 
-    jax.lax.fori_loop(0, n_steps, body, jnp.zeros((_PATH_ROWS, _LANES), jnp.float32))
+    jax.lax.fori_loop(0, n_steps // unroll, body,
+                      jnp.zeros((_PATH_ROWS, _LANES), jnp.float32))
     out_ref[:] = S0 * jnp.exp(out_ref[:])
 
 
@@ -109,27 +122,30 @@ def gbm_terminal_pallas(seed, S0, r, sigma, T, n_paths: int, n_steps: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
-                                             "interpret"))
+                                             "interpret", "layout"))
 def gbm_paths_pallas(seed, S0, r, sigma, T, n_paths: int, n_steps: int,
                      antithetic: bool = True, interpret: bool = False,
-                     first_tile=0):
+                     first_tile=0, layout: str = "flat"):
     """Full path matrix (n_steps+1, n_paths_rounded). ``first_tile`` offsets
-    the global tile ids that seed the on-chip PRNG."""
+    the global tile ids that seed the on-chip PRNG; ``layout`` as in
+    heston_paths_pallas ("blocked" = contiguous per-tile slabs, ~1.8x the
+    HBM-write throughput, same values/date order)."""
     tile = _PATH_ROWS * _LANES
     n_pad = _round_up(n_paths, tile)
     grid = n_pad // tile
     seed_arr = _seed_array(seed, first_tile)
+    shape, spec, unflat = _paths_out(grid, n_steps, layout)
     kernel = functools.partial(_gbm_paths_kernel, n_steps=n_steps,
-                               antithetic=antithetic)
+                               antithetic=antithetic,
+                               unroll=_pick_unroll(n_steps),
+                               blocked=layout == "blocked")
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
-                               lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
-                                       jnp.float32),
+        out_specs=spec,
+        out_shape=shape,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, _gbm_params(S0, r, sigma, T, n_steps))
-    return out.reshape(n_steps + 1, -1)
+    return unflat(out)

@@ -23,6 +23,22 @@ Two variants share one body:
   never materializes a path matrix (compute-bound, ~zero bytes moved).
 - full paths:    returns S (n_steps+1, n_paths) for the LSM backward pass
   (HBM-write-bound; layout (T, P/128, 128) so each step's store is tiled).
+
+Full-path output layouts (``layout=`` on the paths entries):
+- "flat" (default): (n_steps+1, n_paths) — the natural per-date matrix, but
+  each program's copy-out is a STRIDED DMA of (n_steps+1) chunks of
+  _PATH_ROWS*512 bytes. Measured on v5e at (2^20, 100): ~20e9 path-steps/s,
+  ~80 GB/s effective HBM write — the r4 regression's root cause (the write
+  pattern, not libtpu: an A/B at identical seeding confirms layout alone
+  moves it).
+- "blocked": (n_tiles, n_steps+1, _PATH_ROWS, 128) — each program's copy-out
+  is ONE contiguous slab. Measured ~36e9 path-steps/s, ~145 GB/s write
+  (storeless compute bound: ~50e9). The per-date path vector
+  ``blocked[:, t].reshape(-1)`` is ELEMENT-FOR-ELEMENT IDENTICAL to the flat
+  matrix's row ``flat[t]`` (same tile-major path order), so LSM consumers
+  index per date with zero transpose cost (ops/layout.py accessors) and the
+  two layouts are interchangeable: blocked.transpose(1,0,2,3).reshape ==
+  flat, bitwise (tested in tests/test_pallas_kernels.py).
 """
 
 from __future__ import annotations
@@ -42,11 +58,14 @@ from options_model_tpu.core.config import HestonParams
 # underfill the VPU pipeline, larger ones blow up compile time.
 _LANES = 128
 _TERM_ROWS = 128      # 16384 paths/tile for the terminal kernel
-_PATH_ROWS = 32       # 4096 paths/tile for the full-path kernel (22.8 G
-                      # path-steps/s with the hoisted bulk exp vs 22.2 at 64
-                      # rows, 14.7 at 16; the no-store terminal body runs
-                      # 41.9 at the same rows — the per-step VMEM stores are
-                      # the remaining cost, see scripts/exp_paths_kernel.py)
+_PATH_ROWS = 32       # 4096 paths/tile for the full-path kernel. In the
+                      # blocked layout: ~36e9 path-steps/s at (2^20, 100) on
+                      # v5e (rows=64 measured the same within noise but
+                      # halves the max n_steps the 16MB scoped-VMEM double
+                      # buffer admits); the flat layout's strided copy-out
+                      # runs ~20e9 at any row count (32/64/128 measured
+                      # 19-22), and the storeless body ~50e9 — see
+                      # scripts/exp_fullpath_layout.py
 
 _TWO_PI = 6.283185307179586
 
@@ -95,8 +114,19 @@ def _step_normals(rows, antithetic):
     return z1, z2
 
 
-def _heston_body(par_ref, rows, n_steps, antithetic, emit):
-    """Shared step loop. ``emit(t, logS, v)`` stores per-step output (or None)."""
+def _pick_unroll(n_steps: int) -> int:
+    """Steps per chunked store: the largest candidate dividing n_steps.
+    Batching u consecutive (rows, 128) stores into one (u, rows, 128) slab
+    is a measured ~+8% on the blocked full-path kernel (33.5 -> 36e9 at
+    u=4..10, scripts/exp_fullpath_layout.py) — per-store overhead, not VMEM
+    bandwidth. RNG stream is unchanged (same draw order)."""
+    return next(u for u in (8, 5, 4, 3, 2, 1) if n_steps % u == 0)
+
+
+def _heston_body(par_ref, rows, n_steps, antithetic, emit, unroll: int = 1):
+    """Shared step loop. ``emit(t0, logS_chunk, v_chunk)`` stores a chunk of
+    ``unroll`` consecutive steps — (unroll, rows, 128) stacks whose first step
+    is t0 (0-based) — or None for terminal-only use."""
     S0 = par_ref[0, 0]
     r = par_ref[0, 1]
     dt = par_ref[0, 2]
@@ -108,22 +138,37 @@ def _heston_body(par_ref, rows, n_steps, antithetic, emit):
     v0 = par_ref[0, 8]
     sqrt_dt = jnp.sqrt(dt)
 
-    logS = jnp.zeros((rows, _LANES), jnp.float32)
-    v = jnp.full((rows, _LANES), v0, jnp.float32)
-
-    def body(t, carry):
-        logS, v = carry
+    def step(logS, v):
         z1, z2 = _step_normals(rows, antithetic)
         w2 = rho * z1 + rho_bar * z2
         v_plus = jnp.maximum(v, 0.0)
         sq = jnp.sqrt(v_plus) * sqrt_dt
         v_new = jnp.maximum(v_plus + kappa * (theta - v_plus) * dt + xi * sq * w2, 0.0)
         logS_new = logS + (r - 0.5 * v_plus) * dt + sq * z1
-        if emit is not None:
-            emit(t, logS_new, v_new)
         return logS_new, v_new
 
-    logS, v = jax.lax.fori_loop(0, n_steps, body, (logS, v))
+    logS = jnp.zeros((rows, _LANES), jnp.float32)
+    v = jnp.full((rows, _LANES), v0, jnp.float32)
+
+    if emit is None:
+        def body(t, carry):
+            return step(*carry)
+
+        logS, v = jax.lax.fori_loop(0, n_steps, body, (logS, v))
+    else:
+        assert n_steps % unroll == 0, (n_steps, unroll)
+
+        def body(c, carry):
+            logS, v = carry
+            s_out, v_out = [], []
+            for _ in range(unroll):
+                logS, v = step(logS, v)
+                s_out.append(logS)
+                v_out.append(v)
+            emit(c * unroll, jnp.stack(s_out), jnp.stack(v_out))
+            return logS, v
+
+        logS, v = jax.lax.fori_loop(0, n_steps // unroll, body, (logS, v))
     return jnp.log(S0) + logS, v
 
 
@@ -133,7 +178,41 @@ def _terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
     out_ref[:] = jnp.exp(logS)
 
 
-def _paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
+def _paths_emit(out_ref, unroll, blocked):
+    """Chunked-store emit writing logS slabs into a full-path output ref.
+    ``blocked``: out_ref is the (1, n_steps+1, rows, 128) slab of the
+    blocked layout (leading tile axis) instead of (n_steps+1, rows, 128)."""
+    if blocked:
+        def emit(t0, s_chunk, v_chunk):
+            out_ref[0, pl.ds(t0 + 1, unroll)] = s_chunk
+    else:
+        def emit(t0, s_chunk, v_chunk):
+            out_ref[pl.ds(t0 + 1, unroll)] = s_chunk
+    return emit
+
+
+def _paths_sv_emit(s_ref, v_ref, unroll, blocked):
+    """As _paths_emit, also storing the variance chunk."""
+    if blocked:
+        def emit(t0, s_chunk, v_chunk):
+            s_ref[0, pl.ds(t0 + 1, unroll)] = s_chunk
+            v_ref[0, pl.ds(t0 + 1, unroll)] = v_chunk
+    else:
+        def emit(t0, s_chunk, v_chunk):
+            s_ref[pl.ds(t0 + 1, unroll)] = s_chunk
+            v_ref[pl.ds(t0 + 1, unroll)] = v_chunk
+    return emit
+
+
+def _row0(ref, value, blocked):
+    if blocked:
+        ref[0, 0] = value
+    else:
+        ref[0] = value
+
+
+def _paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic,
+                  unroll=1, blocked=False):
     _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
 
@@ -142,15 +221,14 @@ def _paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
     # into every loop iteration — hoisting it is a measured 17.0 -> 22.8
     # G path-steps/s on v5e (scripts/exp_paths_kernel.py; the no-exp upper
     # bound is 23.6, so the bulk pass costs ~3%).
-    def emit(t, logS, v):
-        out_ref[t + 1] = logS
-
-    out_ref[0] = jnp.zeros((_PATH_ROWS, _LANES), jnp.float32)
-    _heston_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
+    _row0(out_ref, jnp.zeros((_PATH_ROWS, _LANES), jnp.float32), blocked)
+    _heston_body(par_ref, _PATH_ROWS, n_steps, antithetic,
+                 emit=_paths_emit(out_ref, unroll, blocked), unroll=unroll)
     out_ref[:] = jnp.exp(jnp.log(S0) + out_ref[:])
 
 
-def _paths_v_kernel(seed_ref, par_ref, s_ref, v_ref, *, n_steps, antithetic):
+def _paths_v_kernel(seed_ref, par_ref, s_ref, v_ref, *, n_steps, antithetic,
+                    unroll=1, blocked=False):
     """Full-path kernel that also stores the variance path — the feed for the
     variance-augmented LSM basis (the continuation value under Heston depends
     on the state (S, v); regressing on S alone biases the exercise policy
@@ -160,13 +238,11 @@ def _paths_v_kernel(seed_ref, par_ref, s_ref, v_ref, *, n_steps, antithetic):
     v0 = par_ref[0, 8]
 
     # relative logS in the loop, one bulk exp after (see _paths_kernel)
-    def emit(t, logS, v):
-        s_ref[t + 1] = logS
-        v_ref[t + 1] = v
-
-    s_ref[0] = jnp.zeros((_PATH_ROWS, _LANES), jnp.float32)
-    v_ref[0] = jnp.full((_PATH_ROWS, _LANES), v0, jnp.float32)
-    _heston_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
+    _row0(s_ref, jnp.zeros((_PATH_ROWS, _LANES), jnp.float32), blocked)
+    _row0(v_ref, jnp.full((_PATH_ROWS, _LANES), v0, jnp.float32), blocked)
+    _heston_body(par_ref, _PATH_ROWS, n_steps, antithetic,
+                 emit=_paths_sv_emit(s_ref, v_ref, unroll, blocked),
+                 unroll=unroll)
     s_ref[:] = jnp.exp(jnp.log(S0) + s_ref[:])
 
 
@@ -215,28 +291,54 @@ def heston_terminal_pallas(seed, S0, r, T, params: HestonParams,
     return out.reshape(-1)
 
 
+def _paths_out(grid, n_steps, layout):
+    """(out_shape, out_spec, unflatten) for a full-path output under either
+    layout. "flat": (n_steps+1, n_paths) — per-program copy-out is a strided
+    DMA (~80 GB/s effective on v5e, the r4 regression). "blocked":
+    (n_tiles, n_steps+1, _PATH_ROWS, 128) — one contiguous slab per program
+    (~145 GB/s, ~1.8x the kernel rate); per-date vectors are identical to the
+    flat rows (module docstring), so consumers pay nothing to index dates."""
+    if layout == "blocked":
+        shape = jax.ShapeDtypeStruct((grid, n_steps + 1, _PATH_ROWS, _LANES),
+                                     jnp.float32)
+        spec = pl.BlockSpec((1, n_steps + 1, _PATH_ROWS, _LANES),
+                            lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        return shape, spec, lambda out: out
+    if layout != "flat":
+        raise ValueError(f"layout must be 'flat' or 'blocked', got {layout!r}")
+    shape = jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
+                                 jnp.float32)
+    spec = pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
+                        lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    return shape, spec, lambda out: out.reshape(n_steps + 1, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
-                                             "interpret", "return_variance"))
+                                             "interpret", "return_variance",
+                                             "layout"))
 def heston_paths_pallas(seed, S0, r, T, params: HestonParams,
                         n_paths: int, n_steps: int, antithetic: bool = True,
                         interpret: bool = False,
-                        return_variance: bool = False, first_tile=0):
-    """Full path matrix (n_steps+1, n_paths_rounded) from the fused kernel;
-    with ``return_variance`` also the variance matrix (same layout) — the
-    variance-augmented LSM basis feed."""
+                        return_variance: bool = False, first_tile=0,
+                        layout: str = "flat"):
+    """Full path matrix from the fused kernel; with ``return_variance`` also
+    the variance matrix (same layout) — the variance-augmented LSM basis
+    feed. ``layout``: "flat" (n_steps+1, n_paths_rounded) or "blocked"
+    (n_tiles, n_steps+1, _PATH_ROWS, 128) — same values, same per-date path
+    order, ~1.8x the HBM-write throughput (module docstring)."""
     tile = _PATH_ROWS * _LANES
     n_pad = _round_up(n_paths, tile)
     grid = n_pad // tile
     par = _params_array(S0, r, T, params, n_steps)
     seed_arr = _seed_array(seed, first_tile)
 
-    shape = jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
-                                 jnp.float32)
-    spec = pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
-                        lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    shape, spec, unflat = _paths_out(grid, n_steps, layout)
+    unroll = _pick_unroll(n_steps)
+    blocked = layout == "blocked"
     if return_variance:
         kernel = functools.partial(_paths_v_kernel, n_steps=n_steps,
-                                   antithetic=antithetic)
+                                   antithetic=antithetic, unroll=unroll,
+                                   blocked=blocked)
         S, V = pl.pallas_call(
             kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -244,9 +346,10 @@ def heston_paths_pallas(seed, S0, r, T, params: HestonParams,
             out_specs=(spec, spec), out_shape=(shape, shape),
             interpret=pltpu.InterpretParams() if interpret else False,
         )(seed_arr, par)
-        return S.reshape(n_steps + 1, -1), V.reshape(n_steps + 1, -1)
+        return unflat(S), unflat(V)
     kernel = functools.partial(_paths_kernel, n_steps=n_steps,
-                               antithetic=antithetic)
+                               antithetic=antithetic, unroll=unroll,
+                               blocked=blocked)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -258,17 +361,18 @@ def heston_paths_pallas(seed, S0, r, T, params: HestonParams,
         out_shape=shape,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, par)
-    return out.reshape(n_steps + 1, -1)
+    return unflat(out)
 
 
 # --- Andersen QE-M variant -----------------------------------------------
 
-def _qe_body(par_ref, rows, n_steps, antithetic, emit):
+def _qe_body(par_ref, rows, n_steps, antithetic, emit, unroll: int = 1):
     """Shared QE-M step loop (scheme of models/heston._simulate_heston_qe).
     Per step: one Box-Muller pair (z_v, z_s) + one raw uniform for the
     exponential-mixture branch — the hardware PRNG supplies the uniform
     directly, no ndtr needed. Constants are precomputed host-side and read
-    from SMEM. ``emit(t, logS, v)`` stores per-step output (or None)."""
+    from SMEM. ``emit(t0, logS_chunk, v_chunk)`` stores a chunk of ``unroll``
+    consecutive steps (the _heston_body contract), or None."""
     r = par_ref[0, 1]
     dt = par_ref[0, 2]
     theta = par_ref[0, 4]
@@ -286,8 +390,7 @@ def _qe_body(par_ref, rows, n_steps, antithetic, emit):
     logS = jnp.zeros((rows, _LANES), jnp.float32)
     v = jnp.full((rows, _LANES), v0, jnp.float32)
 
-    def body(t, carry):
-        logS, v = carry
+    def step(logS, v):
         if antithetic:
             z_vh, z_sh = _box_muller((half, _LANES))
             z_v = jnp.concatenate([z_vh, -z_vh], axis=0)
@@ -330,11 +433,26 @@ def _qe_body(par_ref, rows, n_steps, antithetic, emit):
 
         logS_new = (logS + r * dt + K0_star + K1 * v + K2 * v_new
                     + jnp.sqrt(jnp.maximum(K3 * v + K4 * v_new, 0.0)) * z_s)
-        if emit is not None:
-            emit(t, logS_new, v_new)
         return logS_new, v_new
 
-    return jax.lax.fori_loop(0, n_steps, body, (logS, v))
+    if emit is None:
+        def body(t, carry):
+            return step(*carry)
+
+        return jax.lax.fori_loop(0, n_steps, body, (logS, v))
+    assert n_steps % unroll == 0, (n_steps, unroll)
+
+    def body(c, carry):
+        logS, v = carry
+        s_out, v_out = [], []
+        for _ in range(unroll):
+            logS, v = step(logS, v)
+            s_out.append(logS)
+            v_out.append(v)
+        emit(c * unroll, jnp.stack(s_out), jnp.stack(v_out))
+        return logS, v
+
+    return jax.lax.fori_loop(0, n_steps // unroll, body, (logS, v))
 
 
 def _qe_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
@@ -344,33 +462,30 @@ def _qe_terminal_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
     out_ref[:] = jnp.exp(jnp.log(S0) + logS)
 
 
-def _qe_paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic):
+def _qe_paths_kernel(seed_ref, par_ref, out_ref, *, n_steps, antithetic,
+                     unroll=1, blocked=False):
     _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
 
     # relative logS in the loop, one bulk exp after (see _paths_kernel)
-    def emit(t, logS, v):
-        out_ref[t + 1] = logS
-
-    out_ref[0] = jnp.zeros((_PATH_ROWS, _LANES), jnp.float32)
-    _qe_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
+    _row0(out_ref, jnp.zeros((_PATH_ROWS, _LANES), jnp.float32), blocked)
+    _qe_body(par_ref, _PATH_ROWS, n_steps, antithetic,
+             emit=_paths_emit(out_ref, unroll, blocked), unroll=unroll)
     out_ref[:] = jnp.exp(jnp.log(S0) + out_ref[:])
 
 
 def _qe_paths_v_kernel(seed_ref, par_ref, s_ref, v_ref, *, n_steps,
-                       antithetic):
+                       antithetic, unroll=1, blocked=False):
     _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
     v0 = par_ref[0, 8]
 
     # relative logS in the loop, one bulk exp after (see _paths_kernel)
-    def emit(t, logS, v):
-        s_ref[t + 1] = logS
-        v_ref[t + 1] = v
-
-    s_ref[0] = jnp.zeros((_PATH_ROWS, _LANES), jnp.float32)
-    v_ref[0] = jnp.full((_PATH_ROWS, _LANES), v0, jnp.float32)
-    _qe_body(par_ref, _PATH_ROWS, n_steps, antithetic, emit=emit)
+    _row0(s_ref, jnp.zeros((_PATH_ROWS, _LANES), jnp.float32), blocked)
+    _row0(v_ref, jnp.full((_PATH_ROWS, _LANES), v0, jnp.float32), blocked)
+    _qe_body(par_ref, _PATH_ROWS, n_steps, antithetic,
+             emit=_paths_sv_emit(s_ref, v_ref, unroll, blocked),
+             unroll=unroll)
     s_ref[:] = jnp.exp(jnp.log(S0) + s_ref[:])
 
 
@@ -423,28 +538,30 @@ def heston_terminal_qe_pallas(seed, S0, r, T, params: HestonParams,
 
 
 @functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
-                                             "interpret", "return_variance"))
+                                             "interpret", "return_variance",
+                                             "layout"))
 def heston_paths_qe_pallas(seed, S0, r, T, params: HestonParams,
                            n_paths: int, n_steps: int, antithetic: bool = True,
                            interpret: bool = False,
-                           return_variance: bool = False, first_tile=0):
-    """Full path matrix (n_steps+1, n_paths_rounded) under the fused QE-M
-    kernel — the LSM/surface feed at QE accuracy (16 QE dates match 50+ Euler
-    dates, so the backward pass shrinks accordingly). ``return_variance``
-    also emits the variance matrix."""
+                           return_variance: bool = False, first_tile=0,
+                           layout: str = "flat"):
+    """Full path matrix under the fused QE-M kernel — the LSM/surface feed at
+    QE accuracy (16 QE dates match 50+ Euler dates, so the backward pass
+    shrinks accordingly). ``return_variance`` also emits the variance matrix;
+    ``layout`` as in heston_paths_pallas."""
     tile = _PATH_ROWS * _LANES
     n_pad = _round_up(n_paths, tile)
     grid = n_pad // tile
     par = _qe_params_array(S0, r, T, params, n_steps)
     seed_arr = _seed_array(seed, first_tile)
 
-    shape = jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
-                                 jnp.float32)
-    spec = pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
-                        lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    shape, spec, unflat = _paths_out(grid, n_steps, layout)
+    unroll = _pick_unroll(n_steps)
+    blocked = layout == "blocked"
     if return_variance:
         kernel = functools.partial(_qe_paths_v_kernel, n_steps=n_steps,
-                                   antithetic=antithetic)
+                                   antithetic=antithetic, unroll=unroll,
+                                   blocked=blocked)
         S, V = pl.pallas_call(
             kernel, grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -452,9 +569,10 @@ def heston_paths_qe_pallas(seed, S0, r, T, params: HestonParams,
             out_specs=(spec, spec), out_shape=(shape, shape),
             interpret=pltpu.InterpretParams() if interpret else False,
         )(seed_arr, par)
-        return S.reshape(n_steps + 1, -1), V.reshape(n_steps + 1, -1)
+        return unflat(S), unflat(V)
     kernel = functools.partial(_qe_paths_kernel, n_steps=n_steps,
-                               antithetic=antithetic)
+                               antithetic=antithetic, unroll=unroll,
+                               blocked=blocked)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -466,4 +584,4 @@ def heston_paths_qe_pallas(seed, S0, r, T, params: HestonParams,
         out_shape=shape,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, par)
-    return out.reshape(n_steps + 1, -1)
+    return unflat(out)

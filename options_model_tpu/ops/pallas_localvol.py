@@ -100,8 +100,10 @@ def localvol_terminal_pallas(seed, S0, r, T, table: LocalVolTable,
 
 
 def _localvol_paths_kernel(seed_ref, par_ref, coef_ref, out_ref, *,
-                           n_steps, degree, antithetic):
-    from options_model_tpu.ops.pallas_heston import _PATH_ROWS
+                           n_steps, degree, antithetic, unroll=1,
+                           blocked=False):
+    from options_model_tpu.ops.pallas_heston import (_PATH_ROWS, _paths_emit,
+                                                     _row0)
 
     _tile_seed(seed_ref)
     S0 = par_ref[0, 0]
@@ -113,37 +115,46 @@ def _localvol_paths_kernel(seed_ref, par_ref, coef_ref, out_ref, *,
     sqrt_dt = jnp.sqrt(dt)
     rows = _PATH_ROWS
 
-    out_ref[0] = jnp.full((rows, _LANES), jnp.log(S0), jnp.float32)
+    _row0(out_ref, jnp.full((rows, _LANES), jnp.log(S0), jnp.float32), blocked)
+    emit = _paths_emit(out_ref, unroll, blocked)
+    assert n_steps % unroll == 0, (n_steps, unroll)
 
     # absolute logS in the loop (the Chebyshev moneyness lookup needs it);
     # one bulk exp over the VMEM block after — hoisting the per-step exp is
-    # a measured +34% on the Heston path kernel (scripts/exp_paths_kernel.py).
-    def body(t, logS):
-        z = _gbm_step_normals(rows, antithetic)
-        u = jnp.clip(((logK - logS) - m_center) * inv_m_half, -1.0, 1.0)
-        b1 = jnp.zeros((rows, _LANES), jnp.float32)
-        b2 = jnp.zeros((rows, _LANES), jnp.float32)
-        for k in range(degree, 0, -1):
-            b1, b2 = coef_ref[t, k] + 2.0 * u * b1 - b2, b1
-        sig = jnp.maximum(coef_ref[t, 0] + u * b1 - b2, 1e-6)
-        logS = logS + (r - 0.5 * sig * sig) * dt + sig * sqrt_dt * z
-        out_ref[t + 1] = logS
+    # a measured +34% on the Heston path kernel (scripts/exp_paths_kernel.py);
+    # per-chunk slab stores per _pick_unroll.
+    def body(c, logS):
+        outs = []
+        for j in range(unroll):
+            t = c * unroll + j
+            z = _gbm_step_normals(rows, antithetic)
+            u = jnp.clip(((logK - logS) - m_center) * inv_m_half, -1.0, 1.0)
+            b1 = jnp.zeros((rows, _LANES), jnp.float32)
+            b2 = jnp.zeros((rows, _LANES), jnp.float32)
+            for k in range(degree, 0, -1):
+                b1, b2 = coef_ref[t, k] + 2.0 * u * b1 - b2, b1
+            sig = jnp.maximum(coef_ref[t, 0] + u * b1 - b2, 1e-6)
+            logS = logS + (r - 0.5 * sig * sig) * dt + sig * sqrt_dt * z
+            outs.append(logS)
+        emit(c * unroll, jnp.stack(outs), None)
         return logS
 
-    jax.lax.fori_loop(0, n_steps, body,
+    jax.lax.fori_loop(0, n_steps // unroll, body,
                       jnp.full((rows, _LANES), jnp.log(S0), jnp.float32))
     out_ref[:] = jnp.exp(out_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "antithetic",
-                                             "interpret"))
+                                             "interpret", "layout"))
 def localvol_paths_pallas(seed, S0, r, T, table: LocalVolTable,
                           n_paths: int, n_steps: int,
                           antithetic: bool = True, interpret: bool = False,
-                          first_tile=0):
-    """Full path matrix (n_steps+1, n_paths_rounded) under the compiled
-    local-vol surface — the American/LSM feed at fused-kernel speed."""
-    from options_model_tpu.ops.pallas_heston import _PATH_ROWS
+                          first_tile=0, layout: str = "flat"):
+    """Full path matrix under the compiled local-vol surface — the
+    American/LSM feed at fused-kernel speed. ``layout`` as in
+    heston_paths_pallas ("blocked" = contiguous per-tile slabs)."""
+    from options_model_tpu.ops.pallas_heston import (_PATH_ROWS, _paths_out,
+                                                     _pick_unroll)
 
     if table.coeffs.shape[0] < n_steps:
         raise ValueError(
@@ -160,8 +171,11 @@ def localvol_paths_pallas(seed, S0, r, T, table: LocalVolTable,
                     jnp.float32)
     seed_arr = _seed_array(seed, first_tile)
 
+    shape, spec, unflat = _paths_out(grid, n_steps, layout)
     kernel = functools.partial(_localvol_paths_kernel, n_steps=n_steps,
-                               degree=degree, antithetic=antithetic)
+                               degree=degree, antithetic=antithetic,
+                               unroll=_pick_unroll(n_steps),
+                               blocked=layout == "blocked")
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -170,10 +184,8 @@ def localvol_paths_pallas(seed, S0, r, T, table: LocalVolTable,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((n_steps + 1, _PATH_ROWS, _LANES),
-                               lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_steps + 1, grid * _PATH_ROWS, _LANES),
-                                       jnp.float32),
+        out_specs=spec,
+        out_shape=shape,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, par, table.coeffs)
-    return out.reshape(n_steps + 1, -1)
+    return unflat(out)

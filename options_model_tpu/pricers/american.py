@@ -59,12 +59,23 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
                    heston_scheme: str = "euler",
                    localvol_table=None, div_yield=0.0,
                    return_variance: bool = False,
-                   pallas_global_tiles: bool = False) -> jnp.ndarray:
+                   pallas_global_tiles: bool = False,
+                   layout: str = "flat") -> jnp.ndarray:
     """Full path matrix (n_steps+1, n_paths) under the chosen dynamics.
 
     engine='auto' picks the fused Pallas kernel on TPU backends (gbm/heston,
     and localvol when a compiled Chebyshev ``localvol_table`` is supplied);
     otherwise localvol runs the exact surface network inside the XLA scan.
+
+    ``layout="blocked"``: REQUEST the Pallas kernels' contiguous-slab output
+    (n_tiles, n_steps+1, rows, 128) — ~1.8x the full-path kernel throughput
+    (ops/pallas_heston.py module docstring); per-date vectors are identical
+    to the flat rows, so ops/layout.py accessors make consumers
+    layout-agnostic. Best-effort: the XLA simulators, the Bates jump overlay
+    (its (dates, paths) factor matrix would need a transpose the layout
+    exists to avoid) and the models without kernels always return flat —
+    consumers MUST dispatch on ndim (ops.layout.is_blocked), never on the
+    request.
 
     ``div_yield``: continuous dividend yield q — the risk-neutral drift every
     simulator sees is (rate - q); discounting (the pricers' job) stays at
@@ -127,7 +138,8 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
             seed, ft, kw = _pallas_stream(key, eng == "pallas-interpret")
             return localvol_paths_pallas(seed, S0, rate, T, localvol_table,
                                          paths_rounded(cfg), cfg.n_steps,
-                                         cfg.antithetic, first_tile=ft, **kw)
+                                         cfg.antithetic, first_tile=ft,
+                                         layout=layout, **kw)
         if sigma_fn is None:
             from options_model_tpu.surface.cheb import table_sigma_fn
             sigma_fn = table_sigma_fn(localvol_table, T)
@@ -184,16 +196,16 @@ def simulate_paths(key, S0, T, cfg: MCConfig, model: str = "gbm", *, sigma=None,
         if model == "gbm":
             return gbm_paths_pallas(seed, S0, rate, sigma, T, n_paths,
                                     cfg.n_steps, cfg.antithetic,
-                                    first_tile=ft, **kw)
+                                    first_tile=ft, layout=layout, **kw)
         if heston_scheme == "qe":
             return heston_paths_qe_pallas(seed, S0, rate, T, heston, n_paths,
                                           cfg.n_steps, cfg.antithetic,
                                           return_variance=return_variance,
-                                          first_tile=ft, **kw)
+                                          first_tile=ft, layout=layout, **kw)
         return heston_paths_pallas(seed, S0, rate, T, heston, n_paths,
                                    cfg.n_steps, cfg.antithetic,
                                    return_variance=return_variance,
-                                   first_tile=ft, **kw)
+                                   first_tile=ft, layout=layout, **kw)
     if model == "gbm":
         return simulate_gbm(key, S0, rate, sigma, T, cfg, return_paths=True,
                             first_block=first_block)
@@ -273,39 +285,43 @@ def _cv_adjustment(S_paths, spec: OptionSpec, T,
     merely whether the spec happens to carry a constant sigma: a BS leg under
     Heston paths has E[BS - EU_heston] != 0 and silently biases the price by
     that gap (observed: a ~130% shift behind an unchanged tiny stderr)."""
+    from options_model_tpu.ops.layout import initial_scalar, terminal_slice
+
     dtype = S_paths.dtype
+    S_init = initial_scalar(S_paths)
     discount = jnp.exp(-jnp.asarray(spec.rate, dtype) * jnp.asarray(T, dtype))
-    pay_T = vanilla_payoff(S_paths[-1], spec.strike, spec.cp) * discount
+    pay_T = vanilla_payoff(terminal_slice(S_paths), spec.strike,
+                           spec.cp) * discount
     if model == "heston":
         if heston is None:
             raise ValueError("model='heston' control variate needs heston "
                              "params for the COS leg")
         from options_model_tpu.calibration.charfn import heston_cos_price
-        eu = heston_cos_price(S_paths[0][0], spec.strike, T, spec.rate,
+        eu = heston_cos_price(S_init, spec.strike, T, spec.rate,
                               heston, cp=spec.cp, q=spec.div_yield)
     elif model == "merton":
         if merton is None:
             raise ValueError("model='merton' control variate needs merton "
                              "params for the jump-series leg")
         from options_model_tpu.models.merton import merton_price
-        eu = merton_price(S_paths[0][0], spec.strike, T, spec.rate, merton,
+        eu = merton_price(S_init, spec.strike, T, spec.rate, merton,
                           cp=spec.cp, q=spec.div_yield, dtype=dtype)
     elif model == "bates":
         if bates is None:
             raise ValueError("model='bates' control variate needs bates "
                              "params for the COS leg")
         from options_model_tpu.calibration.charfn import bates_cos_price
-        eu = bates_cos_price(S_paths[0][0], spec.strike, T, spec.rate, bates,
+        eu = bates_cos_price(S_init, spec.strike, T, spec.rate, bates,
                              cp=spec.cp, q=spec.div_yield)
     elif model == "vg":
         if vg is None:
             raise ValueError("model='vg' control variate needs vg params "
                              "for the COS leg")
         from options_model_tpu.calibration.charfn import vg_cos_price
-        eu = vg_cos_price(S_paths[0][0], spec.strike, T, spec.rate, vg,
+        eu = vg_cos_price(S_init, spec.strike, T, spec.rate, vg,
                           cp=spec.cp, q=spec.div_yield)
     else:
-        eu = bs_price(S_paths[0][0], spec.strike, T, spec.rate, spec.sigma,
+        eu = bs_price(S_init, spec.strike, T, spec.rate, spec.sigma,
                       spec.cp, q=spec.div_yield)
     return eu - pay_T
 
@@ -428,16 +444,24 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
     (the classic Longstaff-Schwartz low-biased estimator). ``pair_block``
     (the simulator's path_block / kernel tile size) is REQUIRED then: the
     split must respect antithetic pairing (see oos_masks).
+
+    Accepts flat (n_steps+1, n_paths) OR blocked kernel-layout matrices for
+    both S_paths and v_paths (ops/layout.py): the blocked per-date vectors
+    are identical to the flat rows, so every regression/decision below is
+    bit-identical across layouts.
     """
-    n_steps = S_paths.shape[0] - 1
+    from options_model_tpu.ops.layout import (date_slice, num_paths,
+                                              num_steps, terminal_slice)
+
+    n_steps = num_steps(S_paths)
     dtype = S_paths.dtype
     dt = jnp.asarray(T, dtype) / n_steps
     disc = jnp.exp(-jnp.asarray(spec.rate, dtype) * dt)
     K = jnp.asarray(spec.strike, dtype)
 
-    cash = vanilla_payoff(S_paths[-1], K, spec.cp)  # value at t = n_steps
+    cash = vanilla_payoff(terminal_slice(S_paths), K, spec.cp)  # t = n_steps
 
-    n_paths = S_paths.shape[1]
+    n_paths = num_paths(S_paths)
     if out_of_sample:
         if pair_block is None:
             raise ValueError(
@@ -457,8 +481,8 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
 
     def step(cash, t):
         cash = cash * disc  # roll value back one step to date t
-        S_t = S_paths[t]
-        v_t = v_paths[t] if v_paths is not None else None
+        S_t = date_slice(S_paths, t)
+        v_t = date_slice(v_paths, t) if v_paths is not None else None
 
         def regress_and_exercise(cash):
             immediate = vanilla_payoff(S_t, K, spec.cp)
@@ -783,11 +807,15 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
     """Simulate + LSM backward induction. Returns (price, stderr[, S_paths])."""
     sim_key, fit_key = jax.random.split(key)
     want_v = model in ("heston", "bates", "sabr", "rbergomi") and lsm.variance_basis
+    # The poly backward is layout-agnostic (ops/layout.py accessors), so ask
+    # the Pallas kernels for their fast contiguous-slab output; the NN
+    # backward builds dense (dates, paths) feature matrices and keeps flat.
     out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
                          rate=spec.rate, heston=heston, merton=merton,
                          bates=bates, vg=vg, sabr=sabr, rbergomi=rbergomi, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
-                         return_variance=want_v)
+                         return_variance=want_v,
+                         layout="blocked" if lsm.regressor == "poly" else "flat")
     S_paths, v_paths = out if want_v else (out, None)
     pb = _pair_block(mc, model, engine)
     if lsm.regressor == "poly":
@@ -805,7 +833,8 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                                         pair_block=pb,
                                         heston=_vol_params(heston, bates))
     if return_paths_stats:
-        return price, stderr, S_paths
+        from options_model_tpu.ops.layout import to_flat
+        return price, stderr, to_flat(S_paths)
     return price, stderr
 
 
@@ -850,7 +879,8 @@ def price_american_with_control_variate(
                          rate=spec.rate, heston=heston, merton=merton,
                          bates=bates, vg=vg, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
-                         return_variance=want_v)
+                         return_variance=want_v,
+                         layout="blocked" if lsm.regressor == "poly" else "flat")
     S_paths, v_paths = out if want_v else (out, None)
     pb = _pair_block(mc, model, engine)
     if lsm.regressor == "poly":
@@ -934,7 +964,8 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
                          rate=spec.rate, heston=heston, merton=merton,
                          bates=bates, vg=vg, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
-                         return_variance=want_v)
+                         return_variance=want_v,
+                         layout="blocked" if lsm.regressor == "poly" else "flat")
     S_paths, v_paths = out if want_v else (out, None)
     pb = _pair_block(mc, model, engine)
     if lsm.regressor == "poly":
@@ -982,7 +1013,8 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
                          rate=spec.rate, heston=heston, merton=merton,
                          bates=bates, vg=vg, sabr=sabr, rbergomi=rbergomi, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
-                         return_variance=want_v)
+                         return_variance=want_v,
+                         layout="blocked" if lsm.regressor == "poly" else "flat")
     S_paths, v_paths = out if want_v else (out, None)
     if lsm.regressor == "poly":
         stat, mask = richardson_cv_stat(S_paths, v_paths, spec, T, lsm,

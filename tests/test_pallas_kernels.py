@@ -165,6 +165,91 @@ class TestGlobalTileOffsets:
         np.testing.assert_array_equal(full[TERMINAL_TILE:], hi)
 
 
+class TestBlockedLayout:
+    """layout="blocked" is a pure relabeling of the flat output: each kernel
+    program's copy-out becomes one contiguous HBM slab (~1.8x throughput on
+    v5e) while blocked.transpose(1,0,2,3).reshape == flat holds BITWISE (the
+    per-date path order is unchanged). Interpret mode proves the plumbing on
+    any backend; the TPU class below proves it on the real PRNG stream."""
+
+    def test_layout_accessors_flat_vs_blocked(self):
+        from options_model_tpu.ops.layout import (date_slice, initial_scalar,
+                                                  num_paths, num_steps,
+                                                  terminal_slice, to_flat)
+        flat = heston_paths_pallas(3, 100.0, 0.05, 1.0, HESTON, 8192, 6, **I)
+        blk = heston_paths_pallas(3, 100.0, 0.05, 1.0, HESTON, 8192, 6,
+                                  layout="blocked", **I)
+        assert blk.shape == (2, 7, 32, 128)
+        assert num_steps(blk) == num_steps(flat) == 6
+        assert num_paths(blk) == num_paths(flat) == 8192
+        np.testing.assert_array_equal(np.asarray(flat), np.asarray(to_flat(blk)))
+        for t in (0, 3, 6):
+            np.testing.assert_array_equal(np.asarray(flat[t]),
+                                          np.asarray(date_slice(blk, t)))
+        np.testing.assert_array_equal(np.asarray(flat[-1]),
+                                      np.asarray(terminal_slice(blk)))
+        assert float(initial_scalar(blk)) == float(flat[0][0])
+
+    def test_all_path_kernels_emit_blocked(self):
+        from options_model_tpu.ops.layout import to_flat
+        from options_model_tpu.ops.pallas_heston import heston_paths_qe_pallas
+        Sf, Vf = heston_paths_pallas(5, 100.0, 0.05, 1.0, HESTON, 4096, 6,
+                                     return_variance=True, **I)
+        Sb, Vb = heston_paths_pallas(5, 100.0, 0.05, 1.0, HESTON, 4096, 6,
+                                     return_variance=True, layout="blocked",
+                                     **I)
+        np.testing.assert_array_equal(np.asarray(Sf), np.asarray(to_flat(Sb)))
+        np.testing.assert_array_equal(np.asarray(Vf), np.asarray(to_flat(Vb)))
+        qf = heston_paths_qe_pallas(5, 100.0, 0.05, 1.0, HESTON, 4096, 6, **I)
+        qb = heston_paths_qe_pallas(5, 100.0, 0.05, 1.0, HESTON, 4096, 6,
+                                    layout="blocked", **I)
+        np.testing.assert_array_equal(np.asarray(qf), np.asarray(to_flat(qb)))
+        gf = gbm_paths_pallas(5, 100.0, 0.05, 0.2, 1.0, 4096, 6, **I)
+        gb = gbm_paths_pallas(5, 100.0, 0.05, 0.2, 1.0, 4096, 6,
+                              layout="blocked", **I)
+        np.testing.assert_array_equal(np.asarray(gf), np.asarray(to_flat(gb)))
+
+    def test_poly_backward_layout_invariant(self):
+        """The American poly price is IDENTICAL through either layout (the
+        backward pass sees the same per-date vectors element for element)."""
+        from options_model_tpu.core.config import (LSMConfig, MCConfig,
+                                                   OptionSpec, PUT)
+        from options_model_tpu.pricers.american import (_pair_block,
+                                                        lsm_poly_backward,
+                                                        price_american_lsm,
+                                                        simulate_paths)
+        spec = OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=0.2)
+        mc = MCConfig(n_paths=8192, n_steps=6, path_block=4096)
+        p_blk, _ = price_american_lsm(jax.random.key(0), 100.0, 0.5, spec, mc,
+                                      LSMConfig(regressor="poly"),
+                                      engine="pallas-interpret")
+        k1, _ = jax.random.split(jax.random.key(0))
+        Sp = simulate_paths(k1, 100.0, 0.5, mc, "gbm", sigma=0.2, rate=0.05,
+                            engine="pallas-interpret", layout="flat")
+        assert Sp.ndim == 2  # flat honored
+        pb = _pair_block(mc, "gbm", "pallas-interpret")
+        p_flat, _ = lsm_poly_backward(Sp, spec, 0.5, poly_degree=3,
+                                      pair_block=pb, stat_pair_block=pb)
+        assert float(p_blk) == float(p_flat)
+
+
+@on_tpu
+class TestBlockedLayoutOnChip:
+    def test_blocked_equals_flat_bitwise(self):
+        from options_model_tpu.ops.layout import to_flat
+        from options_model_tpu.ops.pallas_heston import heston_paths_qe_pallas
+        flat = np.asarray(heston_paths_pallas(7, 100.0, 0.05, 1.0, HESTON,
+                                              1 << 14, 20))
+        blk = heston_paths_pallas(7, 100.0, 0.05, 1.0, HESTON, 1 << 14, 20,
+                                  layout="blocked")
+        np.testing.assert_array_equal(flat, np.asarray(to_flat(blk)))
+        qf = np.asarray(heston_paths_qe_pallas(7, 100.0, 0.05, 1.0, HESTON,
+                                               1 << 14, 20))
+        qb = heston_paths_qe_pallas(7, 100.0, 0.05, 1.0, HESTON, 1 << 14, 20,
+                                    layout="blocked")
+        np.testing.assert_array_equal(qf, np.asarray(to_flat(qb)))
+
+
 class TestEngineSelection:
     def test_resolve(self):
         from options_model_tpu.ops.engine import is_pallas, resolve_engine
