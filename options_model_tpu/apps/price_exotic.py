@@ -161,6 +161,14 @@ def parse_args(argv=None) -> argparse.Namespace:
                           "(targets the CONTINUOUS American)")
     pam.add_argument("--no-oracle", action="store_true",
                      help="Skip the host-side Bermudan-COS oracle columns")
+    pam.add_argument("--bracket", action="store_true",
+                     help="Also print the primal-dual [low, high] bracket "
+                          "(Rogers martingale dual, pricers/dual.py). All "
+                          "models incl. sabr (beta=1) and rbergomi — for "
+                          "rough vol this is the ONLY certification "
+                          "available (no PDE oracle exists for H<1/2; the "
+                          "exact inner law rides the frozen Volterra "
+                          "history)")
 
     pv = sub.add_parser("varswap", help="Variance / volatility swap: "
                                         "closed-form fair strikes (QV and "
@@ -373,6 +381,23 @@ def run(args: argparse.Namespace) -> dict:
                 LSMConfig(richardson=args.richardson), args.model,
                 heston=heston, merton=merton, bates=bates, vg=vg, sabr=sabr,
                 rbergomi=rbergomi)
+            if args.bracket:
+                from options_model_tpu.pricers.dual import (
+                    price_american_bracket)
+                spec_b = spec
+                if args.model in ("heston", "bates", "sabr", "rbergomi"):
+                    # stochastic-vol duals drive the vol from the state;
+                    # spec.sigma must be None there (dual_upper_from_policy)
+                    from dataclasses import replace as _replace
+                    spec_b = _replace(spec, sigma=None)
+                br = price_american_bracket(
+                    jax.random.fold_in(key, 99), args.spot, args.t, spec_b,
+                    mc, model=args.model, heston=heston, merton=merton,
+                    bates=bates, vg=vg, sabr=sabr, rbergomi=rbergomi)
+                out["bracket_low"] = float(br.low)
+                out["bracket_low_stderr"] = float(br.low_stderr)
+                out["bracket_high"] = float(br.high)
+                out["bracket_high_stderr"] = float(br.high_stderr)
             if args.model == "sabr" and not args.no_oracle:
                 # Deterministic ADI anchor on the (F, alpha) PDE with the
                 # spot-payoff projection (pricers/fd_sabr.py) — the SABR

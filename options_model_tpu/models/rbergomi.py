@@ -36,8 +36,10 @@ chain:
     PDE with no Monte Carlo on the oracle side.
 
 Exact-by-construction checks carried in tests/test_rbergomi.py: the
-exponential-martingale normalization E[v_t] = xi0 for ALL t (this pins the
-eta^2/2 t^{2H} drift AND the scheme's variance), the spot martingale
+exponential-martingale normalization E[v_t] = xi0 for ALL t — exact UNDER
+THE DISCRETIZATION, because the compensator uses the scheme's own discrete
+Var(Y_t) rather than the analytic t^{2H} (the two differ by up to ~2% at 50
+steps for H = 0.1) — the spot martingale
 E[e^{-rT} S_T] = S0, and the celebrated ATM-skew power law |skew| ~
 T^{H-1/2}.
 
@@ -65,7 +67,15 @@ from options_model_tpu.models.blocks import block_normals, num_blocks
 
 @lru_cache(maxsize=64)
 def _hybrid_weights(n_steps: int, H: float, dt: float):
-    """(W_mat, c1, c2) for the BLP kappa=1 scheme at this grid, float64.
+    """(W_mat, c1, c2, var) for the BLP kappa=1 scheme at this grid, float64.
+
+    ``var[k]`` (k = 0..n_steps) is the DISCRETE scheme variance
+    Var(Y_{t_k}) = 2H (dt (c1^2 + sum_{j=2..k} w_j^2) + c2^2) — it feeds the
+    exponential-martingale compensator so E[v_t] = xi0 holds EXACTLY under
+    the discretization (the analytic t^{2H} differs from the scheme variance
+    by up to ~2% at 50 steps for H = 0.1, a grid-dependent E[v] bias of
+    ~eta^2/2 x that gap; ADVICE r4). At H = 1/2 the scheme is exact and
+    var[k] == t_k.
 
     gamma = H - 1/2. Y_{t_k} = sqrt(2H) [ Wtil_k + sum_{j>=2} w_j dW_{k-j+1} ]
     where the far terms use the optimal abscissas
@@ -94,21 +104,31 @@ def _hybrid_weights(n_steps: int, H: float, dt: float):
     for lag in range(1, n_steps):           # W_mat[k, k-lag] = w_{lag+1}
         idx = np.arange(lag, n_steps)
         W_mat[idx, idx - lag] = w[lag - 1]
-    return W_mat, float(c1), float(c2)
+    # discrete Var(Y_{t_k}): the singular-interval exact Gaussian plus the
+    # far-term weights accumulated through j = 2..k (w[0] is j=2)
+    far = np.concatenate([[0.0], np.cumsum(w**2)])        # k = 1..n_steps
+    var = 2.0 * H * (dt * (c1**2 + far) + c2**2)
+    var = np.concatenate([[0.0], var])                    # k = 0..n_steps
+    return W_mat, float(c1), float(c2), var
 
 
-def _variance_grid(params: RBergomiParams, Y, t_grid, dtype):
-    """v at the grid times from the Volterra process: the exponential
-    martingale xi0 exp(eta Y - eta^2/2 t^{2H}) (E[v_t] = xi0 exactly)."""
+def _variance_grid(params: RBergomiParams, Y, var_grid, dtype):
+    """v on the grid from the Volterra process: the exponential martingale
+    xi0 exp(eta Y - eta^2/2 Var(Y)) with Var(Y) the DISCRETE scheme variance
+    (_hybrid_weights ``var``) — E[v_t] = xi0 exactly under the
+    discretization, not merely in the continuous limit (ADVICE r4). The
+    exact-covariance Cholesky oracle keeps the analytic t^{2H} (its Y HAS
+    that variance)."""
     eta = jnp.asarray(params.eta, dtype)
     xi0 = jnp.asarray(params.xi0, dtype)
-    comp = 0.5 * eta**2 * jnp.asarray(t_grid, dtype) ** (2.0 * params.H)
+    comp = 0.5 * eta**2 * jnp.asarray(var_grid, dtype)
     return xi0 * jnp.exp(eta * Y - comp[:, None])
 
 
 def simulate_rbergomi(key: jax.Array, S0, T, params: RBergomiParams,
                       cfg: MCConfig, rate=0.0, *, return_paths: bool = False,
-                      return_variance: bool = False, first_block: int = 0):
+                      return_variance: bool = False, first_block: int = 0,
+                      return_dual_state: bool = False):
     """Simulate rBergomi to T on cfg.n_steps left-point intervals.
 
     Returns terminal spots (paths_rounded,), or the (n_steps+1, paths) path
@@ -125,13 +145,26 @@ def simulate_rbergomi(key: jax.Array, S0, T, params: RBergomiParams,
     orthogonal component, the price's orthogonal Brownian), keyed by
     (key, first_block + block, step, draw) — the global-block contract of
     every simulator (sharding/chunking invariance, models/blocks.py).
+
+    ``return_dual_state`` (requires return_paths and return_variance): also
+    return the (n_steps, n_paths) matrix of FROZEN Volterra histories
+    ``hist[t] = sqrt(2H) G_{t+1}`` — the F_t-measurable part of Y_{t+1}
+    (G uses only dW_1..dW_t), so that Y_{t+1} = hist[t] + sqrt(2H)
+    (c1 dW_{t+1} + c2 Z2_{t+1}). With it, one fresh draw of
+    (dW', Z2', Zp') replicates the hybrid scheme's one-step conditional law
+    of (S_{t+1}, v_{t+1}) given F_t EXACTLY — the Rogers dual's inner
+    sampler under rough vol (pricers/dual.py model='rbergomi'), which is
+    what makes the dual a VALID upper bound on the discretized price even
+    though (S, v) alone is not a Markov state.
     """
+    if return_dual_state and not return_paths:
+        raise ValueError("return_dual_state requires return_paths=True")
     dtype = cfg.dtype
     n_steps = cfg.n_steps
     nb = num_blocks(cfg)
     half = cfg.path_block // 2
     dt = float(T) / n_steps
-    W_np, c1, c2 = _hybrid_weights(n_steps, float(params.H), dt)
+    W_np, c1, c2, var_np = _hybrid_weights(n_steps, float(params.H), dt)
     W_mat = jnp.asarray(W_np, dtype)
     sqrt2H = jnp.asarray(np.sqrt(2.0 * params.H), dtype)
     sqrt_dt = jnp.asarray(np.sqrt(dt), dtype)
@@ -139,8 +172,8 @@ def simulate_rbergomi(key: jax.Array, S0, T, params: RBergomiParams,
     rho_bar = jnp.sqrt(1.0 - rho**2)
     r = jnp.asarray(rate, dtype)
     dt_a = jnp.asarray(dt, dtype)
-    # full grid times t_0..t_n (Y_0 = 0 so v_0 == xi0 deterministically)
-    t_grid = np.arange(n_steps + 1, dtype=np.float64) * dt
+    # discrete Var(Y) at t_0..t_n (Y_0 = 0 so v_0 == xi0 deterministically)
+    var_grid = var_np
 
     def sim_block(block_key):
         # (n_steps, path_block) normals; antithetic mirrors ALL THREE draws
@@ -160,7 +193,7 @@ def simulate_rbergomi(key: jax.Array, S0, T, params: RBergomiParams,
         Y = jnp.concatenate(
             [jnp.zeros((1, cfg.path_block), dtype),
              sqrt2H * (G + c1 * dW + c2 * z2)], axis=0)   # (n_steps+1, blk)
-        v = _variance_grid(params, Y, t_grid, dtype)
+        v = _variance_grid(params, Y, var_grid, dtype)
         v_left = v[:-1]
         # left-point log-Euler: exact drift correction per interval
         dlogS = ((r - 0.5 * v_left) * dt_a
@@ -171,6 +204,10 @@ def simulate_rbergomi(key: jax.Array, S0, T, params: RBergomiParams,
                 [jnp.zeros((1, cfg.path_block), dtype),
                  jnp.cumsum(dlogS, axis=0)], axis=0)
             S = jnp.exp(logS)
+            if return_dual_state:
+                # hist[t] = sqrt(2H) G_{t+1}: G's row t uses dW_1..dW_t only
+                # (W_mat is strictly lower triangular; row 0 is all zeros).
+                return S, v, sqrt2H * G
             if return_variance:
                 return S, v
             return S
@@ -212,7 +249,7 @@ def rbergomi_european_mc(key: jax.Array, S0, K, r, T,
     nb = num_blocks(cfg)
     half = cfg.path_block // 2
     dt = float(T) / n_steps
-    W_np, c1, c2 = _hybrid_weights(n_steps, float(params.H), dt)
+    W_np, c1, c2, var_np = _hybrid_weights(n_steps, float(params.H), dt)
     W_mat = jnp.asarray(W_np, dtype)
     sqrt2H = jnp.asarray(np.sqrt(2.0 * params.H), dtype)
     sqrt_dt = jnp.asarray(np.sqrt(dt), dtype)
@@ -220,7 +257,7 @@ def rbergomi_european_mc(key: jax.Array, S0, K, r, T,
     rho_bar = jnp.sqrt(1.0 - rho**2)
     rr = jnp.asarray(r, dtype)
     dt_a = jnp.asarray(dt, dtype)
-    t_left = np.arange(n_steps, dtype=np.float64) * dt
+    var_left = var_np[:-1]
     sig_cv = jnp.sqrt(jnp.asarray(params.xi0, dtype))
 
     def sim_block(block_key):
@@ -233,7 +270,7 @@ def rbergomi_european_mc(key: jax.Array, S0, K, r, T,
         Y_tail = sqrt2H * (G[:-1] + c1 * dW[:-1] + c2 * z2[:-1])
         Y_left = jnp.concatenate(
             [jnp.zeros((1, cfg.path_block), dtype), Y_tail], axis=0)
-        v_left = _variance_grid(params, Y_left, t_left, dtype)
+        v_left = _variance_grid(params, Y_left, var_left, dtype)
         dB = rho * dW + rho_bar * sqrt_dt * zp   # the price Brownian
         dlogS = (rr - 0.5 * v_left) * dt_a + jnp.sqrt(v_left) * dB
         dlogG = (rr - 0.5 * sig_cv**2) * dt_a + sig_cv * dB

@@ -295,6 +295,7 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
                            model: str = "gbm",
                            heston: Optional[HestonParams] = None,
                            merton=None, bates=None, vg=None,
+                           sabr=None, rbergomi=None, rb_hist=None,
                            v_paths: Optional[jnp.ndarray] = None,
                            eval_mask: Optional[jnp.ndarray] = None,
                            stat_pair_block: Optional[int] = None,
@@ -333,6 +334,28 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
     path axis, pass the shard's first global block and the result equals the
     unsharded dual on the same total paths (parallel.batch.
     price_american_bracket_sharded).
+
+    ``model='sabr'`` (beta=1 only, with ``sabr`` params and the alpha paths
+    as ``v_paths``): the inner sampler replicates simulate_sabr's discrete
+    transition exactly — the exact-lognormal alpha step and the spot-
+    converted log-Euler F step (S' = S e^{drift dt} e^{-a^2 dt/2 + a
+    sqrt(dt) z}); the terminal Black step is exact (S' | (S, a) is
+    lognormal). The surrogate's floor vol is alpha itself (Hagan's leading
+    term at beta=1 — tightness only).
+
+    ``model='rbergomi'`` (with ``rbergomi`` params, the variance paths as
+    ``v_paths``, and ``rb_hist`` from simulate_rbergomi(return_dual_state=
+    True)): although (S, v) is NOT a Markov state for H < 1/2, the dual is
+    still EXACT for the discretized process — ``rb_hist[t]`` is the
+    F_t-measurable frozen-Volterra part of Y_{t+1}, so one fresh draw of
+    (dW', Z2', Zp') replicates the hybrid scheme's one-step conditional law
+    of (S_{t+1}, v_{t+1}) given F_t exactly, and the inner average is
+    conditionally unbiased (module docstring's validity argument). This is
+    the only available certification for rough-vol Americans: there is no
+    PDE oracle for H < 1/2, and the (S, v) LSM policy is a documented
+    Markovian-projection LOWER bound (models/rbergomi.py). The surrogate's
+    floor vol sqrt((v_t + xi0)/2) is a tightness-only heuristic (the true
+    forward-variance curve needs the history).
     """
     n_steps = S_paths.shape[0] - 1
     n_dates = n_steps - 1
@@ -342,10 +365,11 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
     if n_inner < 2 or n_inner % 2:
         raise ValueError("n_inner must be an even count >= 2 (antithetic "
                          "inner pairs)")
-    if model not in ("gbm", "heston", "merton", "bates", "vg"):
-        raise ValueError(f"model must be 'gbm', 'heston', 'merton', 'bates' "
-                         f"or 'vg', got {model!r}")
-    use_v = model in ("heston", "bates")
+    if model not in ("gbm", "heston", "merton", "bates", "vg", "sabr",
+                     "rbergomi"):
+        raise ValueError(f"model must be 'gbm', 'heston', 'merton', 'bates', "
+                         f"'vg', 'sabr' or 'rbergomi', got {model!r}")
+    use_v = model in ("heston", "bates", "sabr", "rbergomi")
     if model == "bates":
         if bates is None:
             raise ValueError("model='bates' needs bates params")
@@ -354,8 +378,25 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
         raise ValueError("model='merton' needs merton params")
     if model == "vg" and vg is None:
         raise ValueError("model='vg' needs vg params")
+    if model == "sabr":
+        if sabr is None:
+            raise ValueError("model='sabr' needs sabr params")
+        if float(sabr.beta) != 1.0:
+            raise ValueError("the SABR dual replicates the beta=1 lognormal "
+                             "transition; beta<1 uses the absorbing Euler "
+                             f"step the one-step law can't match (beta="
+                             f"{float(sabr.beta)})")
+    if model == "rbergomi":
+        if rbergomi is None:
+            raise ValueError("model='rbergomi' needs rbergomi params")
+        if rb_hist is None:
+            raise ValueError("model='rbergomi' needs rb_hist (simulate_"
+                             "rbergomi(..., return_dual_state=True)): the "
+                             "frozen Volterra history is what makes the "
+                             "one-step inner law exact under rough vol")
     if use_v:
-        if heston is None or v_paths is None or policy.v_mean is None:
+        if v_paths is None or policy.v_mean is None or (
+                model in ("heston", "bates") and heston is None):
             raise ValueError(f"model={model!r} needs the variance params, "
                              "v_paths, and a policy fitted with v_paths")
         if spec.sigma is not None:
@@ -396,8 +437,129 @@ def dual_upper_from_policy(inner_key: jax.Array, S_paths: jnp.ndarray,
     taus = (jnp.asarray(T, dtype)
             - jnp.arange(1, n_steps, dtype=dtype) * dt)  # (n_dates,)
     half = n_inner // 2
+    sqrt_dt = jnp.sqrt(dt)
 
-    if use_v:
+    if model == "sabr":
+        # Exact replication of simulate_sabr's beta=1 transition in SPOT
+        # units (S_t = F_t e^{-drift (T-t)} per simulate_paths, so the spot
+        # gains an e^{drift dt} factor per step): given (S, a) draw
+        # correlated (z1, z2) and advance both states exactly.
+        nu_s = jnp.asarray(sabr.nu, dtype)
+        rho_s = jnp.asarray(sabr.rho, dtype)
+        rho_bar_s = jnp.sqrt(1.0 - rho_s**2)
+
+        als = v_paths[1:n_steps]                       # alpha at dates
+        w_vals = _vhat(x[1:n_steps], K, cp, taus[:, None], rate, q, als,
+                       policy.betas, policy.x_mean[:, None],
+                       policy.x_rstd[:, None], degree,
+                       v=als, vm_t=policy.v_mean[:, None],
+                       vr_t=policy.v_rstd[:, None])
+
+        def date_ce(carry, inp):
+            i, xp_t, ap_t, tau_t, b_t, m_t, rho_t, vm_t, vr_t = inp
+            dkey = jax.random.fold_in(inner_key, i)
+            z = _inner_normals(dkey, (2, half), xp_t.shape[0], inner_block,
+                               first_block, dtype)
+            z1, z2 = z[0], z[1]
+            w2 = rho_s * z1 + rho_bar_s * z2
+            a_row = ap_t[None, :]
+            mu_row = (drift - 0.5 * a_row**2) * dt
+
+            def w_at(s1, s2):
+                x_in = xp_t[None, :] * jnp.exp(mu_row + a_row * sqrt_dt * s1)
+                a_in = a_row * jnp.exp(nu_s * sqrt_dt * s2
+                                       - 0.5 * nu_s**2 * dt)
+                return _vhat(x_in, K, cp, tau_t, rate, q, a_in, b_t, m_t,
+                             rho_t, degree, v=a_in, vm_t=vm_t, vr_t=vr_t)
+
+            vals = w_at(z1, w2) + w_at(-z1, -w2)
+            return carry, vals.mean(0) * 0.5
+
+        _, ce = jax.lax.scan(
+            date_ce, None,
+            (jnp.arange(n_dates), x[0:n_steps - 1], v_paths[0:n_steps - 1],
+             taus, policy.betas, policy.x_mean, policy.x_rstd,
+             policy.v_mean, policy.v_rstd))            # (n_dates, P)
+
+        # terminal: S' | (S, a) is exactly lognormal with one-step vol
+        # a sqrt(dt) — closed-form Black, no inner noise.
+        a_nm1 = v_paths[n_steps - 1]
+        mu_T = (drift - 0.5 * a_nm1**2) * dt
+        e_h = K * _one_step_black(x[n_steps - 1], mu_T,
+                                  jnp.maximum(a_nm1 * sqrt_dt, 1e-6), spec.cp)
+    elif model == "rbergomi":
+        # The hybrid scheme's one-step law given F_t, replicated exactly via
+        # the frozen Volterra history rb_hist[t] (docstring): fresh
+        # (z1, z2, zp) advance (S, v) with the SAME formulas the simulator
+        # uses (models/rbergomi.simulate_rbergomi), so the inner average is
+        # conditionally unbiased and the dual bounds the discretized price.
+        from options_model_tpu.models.rbergomi import _hybrid_weights
+        import numpy as _np
+        H_r = float(rbergomi.H)
+        dtf = float(T) / n_steps
+        _, c1_r, c2_r, var_np = _hybrid_weights(n_steps, H_r, dtf)
+        sqrt2H = jnp.asarray(_np.sqrt(2.0 * H_r), dtype)
+        c1_r = jnp.asarray(c1_r, dtype)
+        c2_r = jnp.asarray(c2_r, dtype)
+        eta_r = jnp.asarray(rbergomi.eta, dtype)
+        xi0_r = jnp.asarray(rbergomi.xi0, dtype)
+        rho_r = jnp.asarray(rbergomi.rho, dtype)
+        rho_bar_r = jnp.sqrt(1.0 - rho_r**2)
+        # discrete compensator at t_1..t_{n-1}: rows the inner v' lands on
+        comp_next = 0.5 * eta_r**2 * jnp.asarray(var_np[1:n_steps], dtype)
+
+        def _floor_sig(v):
+            # tightness-only heuristic: blend the instantaneous variance
+            # with its long-run level (the true forward-variance curve is
+            # history-dependent; any measurable surrogate is legal).
+            return jnp.sqrt(0.5 * (v + xi0_r))
+
+        vs = v_paths[1:n_steps]
+        w_vals = _vhat(x[1:n_steps], K, cp, taus[:, None], rate, q,
+                       _floor_sig(vs),
+                       policy.betas, policy.x_mean[:, None],
+                       policy.x_rstd[:, None], degree,
+                       v=vs, vm_t=policy.v_mean[:, None],
+                       vr_t=policy.v_rstd[:, None])
+
+        def date_ce(carry, inp):
+            (i, xp_t, vp_t, h_t, comp_t1, tau_t, b_t, m_t, rho_t, vm_t,
+             vr_t) = inp
+            dkey = jax.random.fold_in(inner_key, i)
+            z = _inner_normals(dkey, (3, half), xp_t.shape[0], inner_block,
+                               first_block, dtype)
+            z1, z2, zp = z[0], z[1], z[2]
+            sv = jnp.sqrt(jnp.maximum(vp_t, 0.0))[None, :]
+            mu_row = ((drift - 0.5 * vp_t) * dt)[None, :]
+
+            def w_at(s1, s2, sp):
+                dW = sqrt_dt * s1
+                x_in = xp_t[None, :] * jnp.exp(
+                    mu_row + sv * (rho_r * dW + rho_bar_r * sqrt_dt * sp))
+                Y_in = h_t[None, :] + sqrt2H * (c1_r * dW + c2_r * s2)
+                v_in = xi0_r * jnp.exp(eta_r * Y_in - comp_t1)
+                return _vhat(x_in, K, cp, tau_t, rate, q, _floor_sig(v_in),
+                             b_t, m_t, rho_t, degree,
+                             v=v_in, vm_t=vm_t, vr_t=vr_t)
+
+            # the simulator mirrors all three draws (antithetic contract)
+            vals = w_at(z1, z2, zp) + w_at(-z1, -z2, -zp)
+            return carry, vals.mean(0) * 0.5
+
+        _, ce = jax.lax.scan(
+            date_ce, None,
+            (jnp.arange(n_dates), x[0:n_steps - 1], v_paths[0:n_steps - 1],
+             rb_hist[0:n_steps - 1], comp_next, taus, policy.betas,
+             policy.x_mean, policy.x_rstd, policy.v_mean, policy.v_rstd))
+
+        # terminal: the price increment given v_{n-1} is exactly Gaussian
+        # (left-point construction) — closed-form Black, no inner noise.
+        v_nm1 = jnp.maximum(v_paths[n_steps - 1], 0.0)
+        mu_T = (drift - 0.5 * v_nm1) * dt
+        e_h = K * _one_step_black(
+            x[n_steps - 1], mu_T,
+            jnp.maximum(jnp.sqrt(v_nm1 * dt), 1e-6), spec.cp)
+    elif use_v:
         kappa = jnp.asarray(heston.kappa, dtype)
         theta_h = jnp.asarray(heston.theta, dtype)
         xi = jnp.asarray(heston.xi, dtype)
@@ -818,6 +980,7 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
                            model: str = "gbm",
                            heston: Optional[HestonParams] = None,
                            merton=None, bates=None, vg=None,
+                           sabr=None, rbergomi=None,
                            lsm=None,
                            out_of_sample: bool = True) -> BracketResult:
     """Primal-dual bracket [low, high] for an American option on ONE
@@ -843,11 +1006,11 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
     dual is then only an approximate bound — the policy has seen the eval
     paths).
     """
-    use_v = model in ("heston", "bates")
+    use_v = model in ("heston", "bates", "sabr", "rbergomi")
     use_nn = lsm is not None and getattr(lsm, "regressor", "poly") == "nn"
-    if use_nn and model in ("merton", "bates", "vg"):
+    if use_nn and model in ("merton", "bates", "vg", "sabr", "rbergomi"):
         raise ValueError("the nn-policy dual supports gbm/heston; use the "
-                         "poly policy for the jump families")
+                         "poly policy for the other families")
     if lsm is not None and not use_nn:
         poly_degree = lsm.poly_degree
     if model == "heston" and heston is None:
@@ -858,17 +1021,31 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
         raise ValueError("model='merton' needs merton params")
     if model == "vg" and vg is None:
         raise ValueError("model='vg' needs vg params")
+    if model == "sabr" and sabr is None:
+        raise ValueError("model='sabr' needs sabr params")
+    if model == "rbergomi" and rbergomi is None:
+        raise ValueError("model='rbergomi' needs rbergomi params")
     if model == "gbm" and spec.sigma is None:
         raise ValueError("the one-step dual increments need spec.sigma "
                          "(GBM dynamics)")
     sim_key, inner_key = jax.random.split(key)
     if use_nn:
         train_key, inner_key = jax.random.split(inner_key)
-    out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
-                         rate=spec.rate, heston=heston, merton=merton,
-                         bates=bates, vg=vg, engine=engine,
-                         div_yield=spec.div_yield, return_variance=use_v)
-    S_paths, v_paths = out if use_v else (out, None)
+    rb_hist = None
+    if model == "rbergomi":
+        # same stream as simulate_paths' rbergomi route, plus the frozen
+        # Volterra history the exact inner sampler needs (module docstring).
+        from options_model_tpu.models.rbergomi import simulate_rbergomi
+        S_paths, v_paths, rb_hist = simulate_rbergomi(
+            sim_key, S0, T, rbergomi, mc,
+            rate=spec.rate - spec.div_yield, return_paths=True,
+            return_variance=True, return_dual_state=True)
+    else:
+        out = simulate_paths(sim_key, S0, T, mc, model, sigma=spec.sigma,
+                             rate=spec.rate, heston=heston, merton=merton,
+                             bates=bates, vg=vg, sabr=sabr, engine=engine,
+                             div_yield=spec.div_yield, return_variance=use_v)
+        S_paths, v_paths = out if use_v else (out, None)
     pb = _pair_block(mc, model, engine)
     stat_pb = pb if mc.antithetic else None
     n_paths = S_paths.shape[1]
@@ -901,7 +1078,10 @@ def price_american_bracket(key: jax.Array, S0, T, spec: OptionSpec,
                                                policy, n_inner=n_inner,
                                                model=model, heston=heston,
                                                merton=merton, bates=bates,
-                                               vg=vg, v_paths=v_paths,
+                                               vg=vg, sabr=sabr,
+                                               rbergomi=rbergomi,
+                                               rb_hist=rb_hist,
+                                               v_paths=v_paths,
                                                eval_mask=eval_mask,
                                                stat_pair_block=stat_pb,
                                                inner_block=pb)

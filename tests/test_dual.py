@@ -456,3 +456,97 @@ class TestJumpFamilyBrackets:
                 key, S0, T, OptionSpec(strike=K, rate=R, cp=-1.0, sigma=0.2),
                 MCConfig(n_paths=4096, n_steps=10, path_block=1024),
                 model="merton", merton=mp, lsm=LSMConfig(regressor="nn"))
+
+
+@pytest.mark.slow
+class TestSABRBracket:
+    """SABR (beta=1) primal-dual bracket: the inner sampler replicates
+    simulate_sabr's exact-lognormal alpha step and spot-converted log-Euler
+    F step; anchored by the (F, alpha) Douglas-ADI oracle (fd_sabr.py)."""
+
+    SP = None
+
+    def _sabr(self):
+        from options_model_tpu.core.config import SABRParams
+        return SABRParams(alpha=0.2, beta=1.0, rho=-0.4, nu=0.6)
+
+    def test_contains_fd_oracle(self, key):
+        from options_model_tpu.pricers.fd_sabr import sabr_fd_price
+        mc = MCConfig(n_paths=1 << 15, n_steps=40, path_block=2048)
+        br = price_american_bracket(key, S0, T, H_SPEC, mc, model="sabr",
+                                    sabr=self._sabr(), engine="xla")
+        fd = sabr_fd_price(S0, K, T, R, self._sabr(), cp=-1.0)
+        lo = float(br.low) - 3 * float(br.low_stderr)
+        hi = float(br.high) + 3 * float(br.high_stderr)
+        assert lo <= fd <= hi, (lo, fd, hi)
+        # tightness: same ballpark as the Heston bracket
+        assert (hi - lo) / fd < 0.05
+
+    def test_beta_below_one_rejected(self, key):
+        from options_model_tpu.core.config import SABRParams
+        sp = SABRParams(alpha=0.2, beta=0.7, rho=-0.4, nu=0.6)
+        mc = MCConfig(n_paths=1 << 13, n_steps=10, path_block=2048)
+        with pytest.raises(ValueError, match="beta=1"):
+            price_american_bracket(key, S0, T, H_SPEC, mc, model="sabr",
+                                   sabr=sp, engine="xla")
+
+
+@pytest.mark.slow
+class TestRBergomiBracket:
+    """Rough-Bergomi primal-dual bracket — the ONLY certification available
+    for H < 1/2 (no PDE oracle exists; the LSM policy is a documented
+    Markovian-projection LOWER bound). The inner one-step law is EXACT via
+    the frozen Volterra history (simulate_rbergomi return_dual_state)."""
+
+    def test_markovian_limit_contains_drift_adi(self, key):
+        """H = 1/2: rBergomi is SABR(beta=1, nu=eta/2) with alpha drift
+        -eta^2/8 — the drift-extended ADI (fd_sabr alpha_drift) must land
+        inside the bracket."""
+        from options_model_tpu.core.config import RBergomiParams, SABRParams
+        from options_model_tpu.pricers.fd_sabr import sabr_fd_price
+        rb = RBergomiParams(H=0.5, eta=1.0, rho=-0.5, xi0=0.04)
+        mc = MCConfig(n_paths=1 << 15, n_steps=40, path_block=2048)
+        br = price_american_bracket(key, S0, T, H_SPEC, mc, model="rbergomi",
+                                    rbergomi=rb)
+        sab = SABRParams(alpha=float(np.sqrt(rb.xi0)), beta=1.0, rho=rb.rho,
+                         nu=rb.eta / 2)
+        fd = sabr_fd_price(S0, K, T, R, sab, cp=-1.0,
+                           alpha_drift=-rb.eta**2 / 8)
+        lo = float(br.low) - 3 * float(br.low_stderr)
+        hi = float(br.high) + 3 * float(br.high_stderr)
+        assert lo <= fd <= hi, (lo, fd, hi)
+        assert (hi - lo) / fd < 0.05
+
+    def test_rough_bracket_ordered_and_finite(self, key):
+        """H = 0.1: no oracle exists — the bracket itself is the evidence.
+        It is VALID (exact inner law) but honestly wide: the (S, v)
+        surrogate cannot track the history-dependent value process."""
+        from options_model_tpu.core.config import RBergomiParams
+        rb = RBergomiParams(H=0.1, eta=1.5, rho=-0.7, xi0=0.04)
+        mc = MCConfig(n_paths=1 << 14, n_steps=30, path_block=2048)
+        br = price_american_bracket(key, S0, T, H_SPEC, mc, model="rbergomi",
+                                    rbergomi=rb)
+        lo, hi = float(br.low), float(br.high)
+        assert np.isfinite([lo, hi]).all()
+        assert lo < hi
+        # the low estimate must at least clear the European (exercise at T
+        # is feasible), and the bracket must not be vacuous
+        from options_model_tpu.models.rbergomi import rbergomi_european_mc
+        eu, eu_se = rbergomi_european_mc(jax.random.fold_in(key, 3), S0, K,
+                                         R, T, rb, mc, cp=-1.0)
+        assert hi + 3 * float(br.high_stderr) > float(eu)
+        assert (hi - lo) / lo < 0.5
+
+    def test_missing_hist_rejected(self, key):
+        from options_model_tpu.core.config import RBergomiParams
+        from options_model_tpu.models.rbergomi import simulate_rbergomi
+        from options_model_tpu.pricers.dual import (dual_upper_from_policy,
+                                                    fit_lsm_policy)
+        rb = RBergomiParams(H=0.3, eta=1.0, rho=-0.5, xi0=0.04)
+        mc = MCConfig(n_paths=1 << 12, n_steps=10, path_block=2048)
+        Sp, vp = simulate_rbergomi(jax.random.key(1), S0, T, rb, mc, rate=R,
+                                   return_paths=True, return_variance=True)
+        pol, _ = fit_lsm_policy(Sp, H_SPEC, T, v_paths=vp)
+        with pytest.raises(ValueError, match="rb_hist"):
+            dual_upper_from_policy(jax.random.key(2), Sp, H_SPEC, T, pol,
+                                   model="rbergomi", rbergomi=rb, v_paths=vp)

@@ -31,7 +31,9 @@ P_ROUGH = RBergomiParams(H=0.1, eta=1.5, rho=-0.7, xi0=0.04)
 
 class TestHybridWeights:
     def test_h_half_kernel_is_brownian(self):
-        W, c1, c2 = _hybrid_weights(16, 0.5, 1.0 / 16)
+        W, c1, c2, var = _hybrid_weights(16, 0.5, 1.0 / 16)
+        # H = 1/2: the scheme is exact, discrete Var(Y_{t_k}) == t_k
+        np.testing.assert_allclose(var, np.arange(17) / 16.0, atol=1e-12)
         # kernel == 1: every strictly-lower entry 1, exact term = the
         # increment itself
         assert c1 == pytest.approx(1.0) and c2 == pytest.approx(0.0)
@@ -42,11 +44,14 @@ class TestHybridWeights:
         """sum of squared scheme weights ~ Var Y_{t_k} = t_k^{2H} (the BLP
         scheme is L2-optimal per interval; <2% off at 50 steps)."""
         H, n, dt = 0.1, 50, 1.0 / 50
-        W, c1, c2 = _hybrid_weights(n, H, dt)
+        W, c1, c2, var_grid = _hybrid_weights(n, H, dt)
         for k in (1, 5, 25, 50):
             row = W[k - 1, : k - 1]
             var = 2 * H * (np.sum(row**2) * dt + (c1**2) * dt + c2**2)
             assert var == pytest.approx((k * dt) ** (2 * H), rel=0.02), k
+            # the returned discrete-variance grid is exactly this sum (it
+            # feeds the compensator so E[v_t] = xi0 holds under the scheme)
+            assert var_grid[k] == pytest.approx(var, rel=1e-12), k
 
 
 class TestExactIdentities:
