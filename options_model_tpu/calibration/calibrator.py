@@ -216,7 +216,11 @@ def _residuals_core(x, strikes, expiries, market_ivs, S0, rate,
     else:
         w = jnp.ones_like(market_ivs)
     resid = jnp.sqrt(w / jnp.sum(w)) * (model_ivs - market_ivs)
-    pen = 10.0 * jnp.maximum(gap, 0.0)  # squared by the solver -> 100*gap^2
+    # sqrt so the solver's sum r^2 reproduces the scalar objective's LINEAR
+    # 100*max(gap,0) penalty exactly (_objective_core:153) — a quadratic
+    # 100*gap^2 here let TRF converge to near-boundary points the scalar
+    # acceptance gate then rejected, wasting the polish (ADVICE r4).
+    pen = jnp.sqrt(100.0 * jnp.maximum(gap, 0.0))
     return jnp.concatenate([resid, pen[None]])
 
 

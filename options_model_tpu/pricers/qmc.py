@@ -2,10 +2,14 @@
 
 Beyond-reference capability (the reference's engines are pseudo-random MC
 throughout, options_model_3/options_model_3.py:471-480): at equal path budget,
-RQMC cuts the European/Asian error by an order of magnitude or more (measured
-in tests/test_qmc.py and bench.py's ``qmc_stderr_ratio`` detail), because the
-O(N^-1 (log N)^d) discrepancy bound beats O(N^-1/2) once the Brownian bridge
-compresses the payoff's effective dimension into the leading Sobol coordinates.
+RQMC's O(N^-1 (log N)^d) discrepancy bound beats MC's O(N^-1/2) once the
+Brownian bridge compresses the payoff's effective dimension into the leading
+Sobol coordinates. Measured on the Asian leg (bench.py): ~20x stderr reduction
+on the RAW payoff (``qmc_asian_stderr_ratio_raw``); the pricers AS SHIPPED
+also compose the Kemna-Vorst control variate, and on that rougher residual
+RQMC's remaining edge is ~4x (``qmc_asian_stderr_ratio_vs_mc``) — the
+combined RQMC+CV estimator sits ~175x below raw MC
+(scripts/exp_qmc_ratio.py decomposes the three ratios).
 
 Statistics: K independent Matousek scrambles -> K i.i.d. unbiased replicate
 means -> stderr over replicates (core/qmc.replicate_stats). No antithetic
