@@ -220,26 +220,53 @@ def main():
         from options_model_tpu.pricers.american import price_american_richardson
         from options_model_tpu.pricers.fd_heston import heston_fd_price
         spec_h = OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=None)
-        # 2^21 paths on-chip: the Richardson statistic's stderr is ~0.06% of
-        # the price there (0.12% at 2^19 left the single-seed leg able to
-        # draw a 2-sigma -0.26% print over a <=0.1% bias; measured across 6
-        # seeds at 2^17: mean -0.08% +- 0.06%).
-        p_h, se_h = price_american_richardson(
-            jax.random.key(2026), 100.0, 0.5, spec_h,
-            MCConfig(n_paths=1 << 21 if on_tpu else 1 << 15, n_steps=50,
-                     path_block=4096),
-            LSMConfig(regressor="poly"), model="heston", heston=hp,
-            engine="xla")
+        # POOLED seeds (VERDICT r4 #2): the single-seed leg could never
+        # demonstrate the <=0.1% bar it checks (r1-r4 printed 0.16-0.21%).
+        # 4 seeds x 2^20 paths on-chip -> pooled stderr ~0.04%, and the
+        # pooled mean is the bias statistic. The estimator runs the
+        # deg-5 x cubic-(u,w) basis: the r5 decomposition isolated the old
+        # -0.165% as pure POLICY bias (LSM Bermudan@50 vs the date-matched
+        # extrapolated ADI Bermudan was -0.153%; the date-Richardson is
+        # exact to +0.004% on the PDE itself; Euler-vs-QE and 50-vs-100
+        # steps moved nothing), and the richer basis — made safe by the
+        # _BASIS_CLAMP tail guard — recovers it: pooled 6-seed measurement
+        # -0.056% +- 0.035% (deg3/vdeg2 -0.168%, deg3/vdeg3 -0.131%,
+        # deg5/vdeg3 -0.056%).
+        n_seeds = 4 if on_tpu else 2
+        mc_h = MCConfig(n_paths=1 << 20 if on_tpu else 1 << 15, n_steps=50,
+                        path_block=4096)
+        lsm_h = LSMConfig(regressor="poly", poly_degree=5,
+                          variance_basis_degree=3)
+        ps_h, ses_h = [], []
+        for s in range(n_seeds):
+            p_s, se_s = price_american_richardson(
+                jax.random.fold_in(jax.random.key(2026), s), 100.0, 0.5,
+                spec_h, mc_h, lsm_h, model="heston", heston=hp,
+                engine="xla")
+            ps_h.append(float(p_s))
+            ses_h.append(float(se_s))
+        p_h = float(np.mean(ps_h))
+        pooled_se = float(np.sqrt(np.sum(np.square(ses_h)))) / n_seeds
         details["heston_american_mc_stderr_pct"] = round(
-            float(se_h) / float(p_h) * 100.0, 4)
+            pooled_se / p_h * 100.0, 4)
+        details["heston_american_pooled_seeds"] = n_seeds
+        details["heston_american_seed_spread_pct"] = round(
+            float(np.std(ps_h)) / p_h * 100.0, 4)
         fd_coarse = heston_fd_price(100.0, 100.0, 0.5, 0.05, hp, cp=-1.0,
                                     american=True, n_s=300, n_v=150, n_t=300)
         fd_fine = heston_fd_price(100.0, 100.0, 0.5, 0.05, hp, cp=-1.0,
                                   american=True, n_s=600, n_v=300, n_t=600)
         p_order = 1.7
         fd = fd_fine + (fd_fine - fd_coarse) / (2.0 ** p_order - 1.0)
+        # signed pooled bias; the tolerance on it composes the pooled MC
+        # stderr with the oracle's own extrapolation uncertainty (the
+        # 300/600 vs 600/900 Richardson disagreement, +-3e-4 absolute)
         details["heston_american_rel_err_vs_fd"] = round(
-            abs(float(p_h) - fd) / fd, 6)
+            abs(p_h - fd) / fd, 6)
+        details["heston_american_rel_err_signed_pct"] = round(
+            (p_h / fd - 1.0) * 100.0, 4)
+        details["heston_american_fd_extrap_uncertainty_pct"] = round(
+            3e-4 / fd * 100.0, 4)
         details["heston_american_fd_oracle"] = round(fd, 6)
         details["heston_american_fd_grids"] = [round(fd_coarse, 6),
                                                round(fd_fine, 6)]
@@ -320,6 +347,37 @@ def main():
         details["qmc_asian_stderr_ratio_qmccv_vs_rawmc"] = round(
             float(se_a0) / max(float(se_q), 1e-12), 2)
 
+        # RQMC on the newest family (VERDICT r4 stretch #9): the rBergomi
+        # hybrid scheme consumes 3*n_steps normals; the two Brownian
+        # factors ride the bridge on the interleaved leading dims, the
+        # singular-interval corrections take the tail raw. Both ratios per
+        # the r4 lesson: raw payoff, and on the conditional-Black CV
+        # residual (CV composed on BOTH sides at beta=1).
+        from options_model_tpu.core.config import RBergomiParams
+        from options_model_tpu.models.rbergomi import rbergomi_european_mc
+        from options_model_tpu.pricers.qmc import price_european_qmc
+        rb_q = RBergomiParams(H=0.1, eta=1.5, rho=-0.7, xi0=0.04)
+        rq_steps = 64
+        mc_rb = MCConfig(n_paths=q_reps * q_paths, n_steps=rq_steps,
+                         path_block=4096)
+        _, se_rq, _ = price_european_qmc(
+            17, "rbergomi", 100.0, spec_h, 0.5, rbergomi=rb_q,
+            n_paths=q_paths, n_steps=rq_steps, replicates=q_reps)
+        _, se_rq0, _ = price_european_qmc(
+            17, "rbergomi", 100.0, spec_h, 0.5, rbergomi=rb_q,
+            n_paths=q_paths, n_steps=rq_steps, replicates=q_reps,
+            rbergomi_cv=False)
+        p_rm, se_rm = rbergomi_european_mc(
+            jax.random.key(17), 100.0, 100.0, 0.05, 0.5, rb_q, mc_rb,
+            cp=-1.0)
+        _, se_rm0 = rbergomi_european_mc(
+            jax.random.key(17), 100.0, 100.0, 0.05, 0.5, rb_q, mc_rb,
+            cp=-1.0, control_variate=False)
+        details["qmc_rbergomi_stderr_ratio_raw"] = round(
+            float(se_rm0) / max(float(se_rq0), 1e-12), 2)
+        details["qmc_rbergomi_stderr_ratio_vs_mc"] = round(
+            float(se_rm) / max(float(se_rq), 1e-12), 2)
+
         # Synthetic Heston calibration round trip (VERDICT r2 next #4):
         # wall time + recovered-parameter RMSE. The objective runs in f64
         # (on CPU where the accelerator toolchain lacks complex128 — see
@@ -373,6 +431,34 @@ def main():
         details["calibration_noisy_iv_rmse"] = round(
             float(summary_n["error"]), 8)
 
+        # rBergomi calibration round trip (VERDICT r4 #4): no char-fn
+        # exists for H<1/2, so the objective prices by jitted hybrid-scheme
+        # MC with the conditional-Black CV under CRN; (H, eta) ride the
+        # TANGENT ATM-skew term structure (quadratic fit — the wide-window
+        # secant reads 3x flat at short expiry and drags H to ~0.25).
+        # On-chip only: the MC objective wants the chip (cached compiles
+        # make the whole fit ~1 min warm).
+        if on_tpu:
+            import time as _time
+            from options_model_tpu.calibration import (
+                calibrate_rbergomi_to_data, create_synthetic_rbergomi_surface)
+            from options_model_tpu.core.config import RBergomiParams
+            rb_true = RBergomiParams(H=0.1, eta=1.5, rho=-0.7, xi0=0.04)
+            K_rb, T_rb, iv_rb = create_synthetic_rbergomi_surface(rb_true)
+            t_rb = _time.time()
+            rb_fit, rb_summ = calibrate_rbergomi_to_data(
+                K_rb, T_rb, iv_rb, 100.0, 0.05, rho=-0.7)
+            details["calibration_rbergomi_seconds"] = round(
+                _time.time() - t_rb, 2)
+            details["calibration_rbergomi_H_rel_err"] = round(
+                abs(rb_fit.H / rb_true.H - 1.0), 4)
+            details["calibration_rbergomi_eta_rel_err"] = round(
+                abs(rb_fit.eta / rb_true.eta - 1.0), 4)
+            details["calibration_rbergomi_xi0_rel_err"] = round(
+                abs(rb_fit.xi0 / rb_true.xi0 - 1.0), 4)
+            details["calibration_rbergomi_iv_rmse"] = round(
+                float(rb_summ["error"]), 6)
+
         # Bates SVJ (beyond reference): the independent jump overlay composes
         # with the fused QE-M Heston kernel; accuracy pinned to the
         # factorized COS closed form (models/bates.py, charfn.bates_cos_price).
@@ -411,17 +497,28 @@ def main():
         from options_model_tpu.core.config import MertonParams
         from options_model_tpu.pricers.cos_bermudan import cos_bermudan_price
         mp_b = MertonParams(sigma=0.2, lam=1.0, mu_j=-0.10, sigma_j=0.15)
-        p_mj, _ = price_american_with_control_variate(
-            jax.random.key(33), 100.0, 0.5,
-            OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=0.2),
-            MCConfig(n_paths=1 << 17 if on_tpu else 1 << 14, n_steps=50,
-                     path_block=4096),
-            LSMConfig(regressor="poly"), model="merton", merton=mp_b,
-            engine="xla")
+        # POOLED seeds (VERDICT r4 #6): r4's recorded 0.48% was a single
+        # seed (key 33, 2^17) ~2.4-sigma draw, not a bias — the r5 budget
+        # decomposition measured the COS oracle truncation-stable to 1e-6
+        # across (n_terms, L) in {512..2048}x{10..14} and the deg-3
+        # estimator at -0.08% +- 0.07% over 4 seeds x 2^18. Pooling makes
+        # the leg report the bias, not one draw.
+        ps_mj = []
+        for s in range(4):
+            p_mj, _ = price_american_with_control_variate(
+                jax.random.fold_in(jax.random.key(33), s), 100.0, 0.5,
+                OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=0.2),
+                MCConfig(n_paths=1 << 17 if on_tpu else 1 << 14, n_steps=50,
+                         path_block=4096),
+                LSMConfig(regressor="poly"), model="merton", merton=mp_b,
+                engine="xla")
+            ps_mj.append(float(p_mj))
         berm_mj = cos_bermudan_price(100.0, 100.0, 0.5, 0.05, "merton",
                                      merton=mp_b, cp=-1.0, n_dates=50)
         details["merton_american_rel_err_vs_cos_bermudan"] = round(
-            abs(float(p_mj) - berm_mj) / berm_mj, 6)
+            abs(float(np.mean(ps_mj)) - berm_mj) / berm_mj, 6)
+        details["merton_american_seed_spread_pct"] = round(
+            float(np.std(ps_mj)) / berm_mj * 100.0, 4)
         details["merton_american_cos_bermudan_oracle"] = round(berm_mj, 6)
 
     if on_tpu and not args.quick:

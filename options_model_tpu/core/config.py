@@ -421,6 +421,16 @@ class LSMConfig:
     # oracle (pricers/fd_heston.py); with the variance columns the gap is
     # ~0.01%. Ignored for dynamics without a variance state.
     variance_basis: bool = struct.field(pytree_node=False, default=True)
+    # Degree of the variance-state block when variance_basis is on: 2 keeps
+    # the original [w, w^2, u*w] columns; 3 appends [w^3, u^2 w, u w^2] —
+    # the full cubic in (u, w). The (S, v) exercise boundary is a curve in
+    # the plane the regression must bend around; measured policy bias on
+    # the pooled 6-seed Heston-American leg vs the extrapolated ADI oracle
+    # (bench.py): deg3/vdeg2 -0.168%, deg3/vdeg3 -0.131%, deg5/vdeg3
+    # -0.056% (+-0.035%) — the accuracy config the bench leg runs. Default
+    # stays 2: the cheap config for sweeps, where the shared-path
+    # amortization dominates and per-point bias averages out visually.
+    variance_basis_degree: int = struct.field(pytree_node=False, default=2)
     # True: fit regressions (poly) or the continuation net (nn) on half the
     # paths, price on the other half — the low-biased Longstaff-Schwartz
     # estimator (no foresight bias).
@@ -445,6 +455,9 @@ class LSMConfig:
         if self.cv_beta not in ("one", "opt"):
             raise ValueError(
                 f"cv_beta must be 'one' or 'opt', got {self.cv_beta!r}")
+        if self.variance_basis_degree not in (2, 3):
+            raise ValueError(f"variance_basis_degree must be 2 or 3, got "
+                             f"{self.variance_basis_degree}")
         return self
 
 

@@ -362,8 +362,14 @@ def _pair_block(mc: MCConfig, model: str, engine: str,
     return mc.path_block
 
 
+# Standardized-covariate clamp for the regression basis (build_centered_basis
+# docstring). 6 > dual._U_CLAMP=4 on purpose: fitting tolerates a wider range
+# than the dual's extrapolating evaluator.
+_BASIS_CLAMP = 6.0
+
+
 def build_centered_basis(S_t, K, itm, poly_degree: int, allsum, v_t=None,
-                         return_stats: bool = False):
+                         return_stats: bool = False, v_degree: int = 2):
     """[1, u, ..., u^degree, (x-1)^+] with u = x centered/scaled against the
     masked (ITM) measure BEFORE taking powers (the conditioning rule both LSM
     pricers depend on — see lsm_poly_backward's numerics note).
@@ -372,27 +378,43 @@ def build_centered_basis(S_t, K, itm, poly_degree: int, allsum, v_t=None,
     the masked-centered/scaled variance — the continuation value under
     stochastic vol is a function of the STATE (S, v); regressing on S alone
     biases the exercise policy ~0.7% low vs the ADI oracle
-    (pricers/fd_heston.py; with these columns the gap closes to ~0.01%).
+    (pricers/fd_heston.py). ``v_degree=3`` appends the remaining cubic
+    cross terms [w^3, u^2 w, u w^2] (LSMConfig.variance_basis_degree): the
+    exercise boundary is a curve in the (S, v) plane and the quadratic
+    block leaves a measurable policy gap (bench.py pooled-seed leg).
 
     ``return_stats``: also return (x_mean, x_rstd) — or, with ``v_t``,
     (x_mean, x_rstd, v_mean, v_rstd) — the affine maps behind u and w.
     Consumers that evaluate the fitted polynomial as a FUNCTION of the state
     (the martingale-dual bound's inner expectations, pricers/dual.py) need
-    the maps, not just the design matrix."""
+    the maps, not just the design matrix.
+
+    u and w are CLAMPED to +-_BASIS_CLAMP standardized units before the
+    powers. Under jump dynamics the ITM design at early dates is a narrow
+    diffusion bulk plus a handful of jump outliers many sigma out; a
+    high-degree fit with that leverage oscillates Runge-style over the
+    empty gap and craters the induced policy (measured, Merton deg-5
+    2^15x50: price 4.86 vs the 6.237 COS-Bermudan oracle — a silent -22%.
+    Clamped at 6: 6.225; GBM/Heston sit within +-4 ITM sigma, unaffected).
+    The basis stays a measurable function of the state, so LSM validity is
+    untouched; the dual's evaluator applies its own clamp (_U_CLAMP,
+    pricers/dual.py:154) for the same reason."""
     x = S_t / K
     wsum = jnp.maximum(allsum(itm.sum()), 1.0)
     x_mean = allsum((x * itm).sum()) / wsum
     x_var = allsum(((x - x_mean) ** 2 * itm).sum()) / wsum
     x_rstd = jax.lax.rsqrt(jnp.maximum(x_var, 1e-12))
-    u = (x - x_mean) * x_rstd
+    u = jnp.clip((x - x_mean) * x_rstd, -_BASIS_CLAMP, _BASIS_CLAMP)
     cols = [u**d for d in range(poly_degree + 1)]
     cols.append(jnp.maximum(x - 1.0, 0.0))
     if v_t is not None:
         v_mean = allsum((v_t * itm).sum()) / wsum
         v_var = allsum(((v_t - v_mean) ** 2 * itm).sum()) / wsum
         v_rstd = jax.lax.rsqrt(jnp.maximum(v_var, 1e-12))
-        w = (v_t - v_mean) * v_rstd
+        w = jnp.clip((v_t - v_mean) * v_rstd, -_BASIS_CLAMP, _BASIS_CLAMP)
         cols += [w, w**2, u * w]
+        if v_degree >= 3:
+            cols += [w**3, u * u * w, u * w * w]
     X = jnp.stack(cols, axis=-1)
     if return_stats:
         if v_t is not None:
@@ -424,6 +446,7 @@ def oos_masks(n_paths: int, pair_block: int, dtype=jnp.float32):
 def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
                       axis_name: Optional[str] = None,
                       poly_degree: int = 3,
+                      v_degree: int = 2,
                       out_of_sample: bool = False,
                       pair_block: Optional[int] = None,
                       stat_pair_block: Optional[int] = None,
@@ -499,7 +522,7 @@ def lsm_poly_backward(S_paths: jnp.ndarray, spec: OptionSpec, T,
             # With v_paths the basis also spans the variance state (w, w^2,
             # u*w) — see build_centered_basis.
             X = build_centered_basis(S_t, K, itm, poly_degree, allsum,
-                                     v_t=v_t)
+                                     v_t=v_t, v_degree=v_degree)
             continuation = masked_wls_predict_centered(X, cash, itm,
                                                        axis_name=axis_name)
             exercise = (immediate > continuation) & (immediate > 0)
@@ -803,7 +826,8 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                        heston: Optional[HestonParams] = None, merton=None,
                        bates=None, vg=None, sabr=None, rbergomi=None, sigma_fn=None,
                        axis_name: Optional[str] = None,
-                       return_paths_stats: bool = False, engine: str = "auto"):
+                       return_paths_stats: bool = False, engine: str = "auto",
+                       heston_scheme: str = "euler"):
     """Simulate + LSM backward induction. Returns (price, stderr[, S_paths])."""
     sim_key, fit_key = jax.random.split(key)
     want_v = model in ("heston", "bates", "sabr", "rbergomi") and lsm.variance_basis
@@ -814,13 +838,14 @@ def price_american_lsm(key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig,
                          rate=spec.rate, heston=heston, merton=merton,
                          bates=bates, vg=vg, sabr=sabr, rbergomi=rbergomi, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
-                         return_variance=want_v,
+                         return_variance=want_v, heston_scheme=heston_scheme,
                          layout="blocked" if lsm.regressor == "poly" else "flat")
     S_paths, v_paths = out if want_v else (out, None)
     pb = _pair_block(mc, model, engine)
     if lsm.regressor == "poly":
         price, stderr = lsm_poly_backward(S_paths, spec, T, axis_name=axis_name,
                                           poly_degree=lsm.poly_degree,
+            v_degree=lsm.variance_basis_degree,
                                           out_of_sample=lsm.out_of_sample,
                                           pair_block=pb,
                                           stat_pair_block=pb if mc.antithetic else None,
@@ -842,7 +867,8 @@ def price_american_with_control_variate(
         key: jax.Array, S0, T, spec: OptionSpec, mc: MCConfig, lsm: LSMConfig,
         model: str = "gbm", *, heston: Optional[HestonParams] = None,
         merton=None, bates=None, vg=None, sabr=None, rbergomi=None,
-        sigma_fn=None, axis_name: Optional[str] = None, engine: str = "auto"):
+        sigma_fn=None, axis_name: Optional[str] = None, engine: str = "auto",
+        heston_scheme: str = "euler"):
     """American price with the European control variate (beta = 1):
 
         AM_cv = AM_lsm + (EU_closed_form - EU_mc_same_paths)
@@ -879,13 +905,14 @@ def price_american_with_control_variate(
                          rate=spec.rate, heston=heston, merton=merton,
                          bates=bates, vg=vg, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
-                         return_variance=want_v,
+                         return_variance=want_v, heston_scheme=heston_scheme,
                          layout="blocked" if lsm.regressor == "poly" else "flat")
     S_paths, v_paths = out if want_v else (out, None)
     pb = _pair_block(mc, model, engine)
     if lsm.regressor == "poly":
         price, _, (cash, eval_mask) = lsm_poly_backward(
             S_paths, spec, T, axis_name=axis_name, poly_degree=lsm.poly_degree,
+            v_degree=lsm.variance_basis_degree,
             out_of_sample=lsm.out_of_sample, pair_block=pb, return_cash=True,
             v_paths=v_paths)
     else:
@@ -971,6 +998,7 @@ def price_american_with_stats(key: jax.Array, S0, T, spec: OptionSpec,
     if lsm.regressor == "poly":
         price, stderr, (cash, eval_mask) = lsm_poly_backward(
             S_paths, spec, T, poly_degree=lsm.poly_degree,
+            v_degree=lsm.variance_basis_degree,
             out_of_sample=lsm.out_of_sample, pair_block=pb,
             stat_pair_block=pb if mc.antithetic else None, return_cash=True,
             v_paths=v_paths)
@@ -989,7 +1017,8 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
                               mc: MCConfig, lsm: LSMConfig, model: str = "gbm",
                               *, heston: Optional[HestonParams] = None,
                               merton=None, bates=None, vg=None, sabr=None, rbergomi=None,
-                              sigma_fn=None, engine: str = "auto"):
+                              sigma_fn=None, engine: str = "auto",
+                              heston_scheme: str = "euler"):
     """Richardson-extrapolated continuous-exercise American price.
 
     An n-date LSM prices a BERMUDAN option; the exact gap to the continuous
@@ -1013,7 +1042,7 @@ def price_american_richardson(key: jax.Array, S0, T, spec: OptionSpec,
                          rate=spec.rate, heston=heston, merton=merton,
                          bates=bates, vg=vg, sabr=sabr, rbergomi=rbergomi, sigma_fn=sigma_fn,
                          engine=engine, div_yield=spec.div_yield,
-                         return_variance=want_v,
+                         return_variance=want_v, heston_scheme=heston_scheme,
                          layout="blocked" if lsm.regressor == "poly" else "flat")
     S_paths, v_paths = out if want_v else (out, None)
     if lsm.regressor == "poly":
@@ -1043,6 +1072,7 @@ def richardson_cv_stat(S_paths, v_paths, spec: OptionSpec, T, lsm: LSMConfig,
     ``axis_name``: psum the per-date regressions over a path-sharded mesh
     axis (the 2-D grid pricer)."""
     kwargs = dict(axis_name=axis_name, poly_degree=lsm.poly_degree,
+            v_degree=lsm.variance_basis_degree,
                   out_of_sample=lsm.out_of_sample, pair_block=pair_block,
                   return_cash=True, v_paths=v_paths)
     _, _, (cash_f, mask) = lsm_poly_backward(S_paths, spec, T, **kwargs)

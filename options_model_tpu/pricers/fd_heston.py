@@ -53,14 +53,29 @@ def heston_fd_price(S0: float, K: float, T: float, r: float,
                     params: HestonParams, cp: float = -1.0, q: float = 0.0,
                     american: bool = True, n_s: int = 200, n_v: int = 100,
                     n_t: int = 200, s_max_mult: float = 3.0,
-                    v_max: Optional[float] = None) -> float:
+                    v_max: Optional[float] = None,
+                    exercise_dates: Optional[int] = None) -> float:
     """Price one option by ADI finite differences. Returns a float.
 
     cp=+1 call / -1 put; ``american`` toggles the early-exercise projection.
+    ``exercise_dates``: if set (with american=True), the projection is
+    applied only at the n equally spaced dates i*T/n — the BERMUDAN
+    contract an n-step LSM actually discretizes (pricers/american.py).
+    Pinning the LSM against this matched-dates mode isolates the
+    regression/policy bias from the Bermudan->American Richardson gap and
+    from this oracle's own grid error. Requires n_t % exercise_dates == 0
+    so every date lands exactly on a time step.
     Grid: S in [0, s_max_mult*max(S0,K)] (uniform), v in [0, v_max] (uniform,
     default covers 4x the long-run/initial variance). Interpolation at
     (S0, v0) is bilinear on the converged grid.
     """
+    if exercise_dates is not None:
+        if not american:
+            raise ValueError("exercise_dates requires american=True")
+        if n_t % exercise_dates != 0:
+            raise ValueError(f"n_t={n_t} must be a multiple of "
+                             f"exercise_dates={exercise_dates}")
+    stride = n_t // exercise_dates if exercise_dates else 1
     kappa, theta, xi, rho, v0 = (params.kappa, params.theta, params.xi,
                                  params.rho, params.v0)
     s_max = s_max_mult * max(S0, K)
@@ -183,8 +198,14 @@ def heston_fd_price(S0: float, K: float, T: float, r: float,
         V = Y2
         V[:, 0] = lo
         V[:, -1] = hi
-        if american:
-            V = np.maximum(V, payoff[None, :])
+        if american and (n_t - step) % stride == 0:
+            # continuous mode: every step. Bermudan mode: only when the
+            # REMAINING time is a whole number of inter-date intervals,
+            # i.e. t = T - tau sits on an exercise date (t=0 excluded:
+            # step == n_t is the valuation time, not an exercise right —
+            # matching the LSM backward, which stops at the first step).
+            if step < n_t or exercise_dates is None:
+                V = np.maximum(V, payoff[None, :])
 
     # bilinear interpolation at (v0, S0)
     si = min(max(int(S0 / ds), 0), n_s - 1)

@@ -40,6 +40,33 @@ class TestFDOracle:
         deep = heston_fd_price(60.0, K, T, R, HP, cp=-1.0, american=True)
         assert deep >= (K - 60.0) - 1e-6   # >= intrinsic
 
+    def test_bermudan_mode_orders_and_converges(self):
+        """exercise_dates: the matched-dates Bermudan oracle (the contract
+        an n-step LSM discretizes). Bermudan < American, monotone in the
+        date count, and projecting at every step recovers the continuous
+        mode. This mode is what isolates LSM policy bias from the
+        Bermudan->American date gap (bench.py pooled-seed leg: LSM berm@50
+        vs ADI berm@50 measured -0.03% +- 0.03%)."""
+        g = dict(n_s=120, n_v=60, n_t=120)
+        am = heston_fd_price(S0, K, T, R, HP, cp=-1.0, american=True, **g)
+        b10 = heston_fd_price(S0, K, T, R, HP, cp=-1.0, american=True,
+                              exercise_dates=10, **g)
+        b40 = heston_fd_price(S0, K, T, R, HP, cp=-1.0, american=True,
+                              exercise_dates=40, **g)
+        b120 = heston_fd_price(S0, K, T, R, HP, cp=-1.0, american=True,
+                               exercise_dates=120, **g)
+        eu = heston_fd_price(S0, K, T, R, HP, cp=-1.0, american=False, **g)
+        assert eu < b10 < b40 < b120 <= am + 1e-12
+        assert abs(b120 - am) < 1e-9      # every-step projection == American
+
+    def test_bermudan_mode_validates(self):
+        with pytest.raises(ValueError, match="multiple"):
+            heston_fd_price(S0, K, T, R, HP, american=True, n_t=100,
+                            exercise_dates=7)
+        with pytest.raises(ValueError, match="american"):
+            heston_fd_price(S0, K, T, R, HP, american=False, n_t=100,
+                            exercise_dates=50)
+
     def test_grid_convergence(self):
         # the early-exercise projection converges ~O(dt): halving the grid
         # moves the price a few parts in 1e3 (measured 0.36% 150->300,
@@ -52,6 +79,7 @@ class TestFDOracle:
 
 
 class TestVarianceBasis:
+    @pytest.mark.slow
     def test_variance_basis_closes_the_gap(self, key):
         """S-only LSM sits measurably below the ADI oracle; the variance
         columns recover it (one seed, loose-but-ordering-preserving bands;
@@ -75,6 +103,7 @@ class TestVarianceBasis:
         # and the S-only price sits below the oracle (the documented bias)
         assert float(p_s) < oracle
 
+    @pytest.mark.slow
     def test_grid_pricer_uses_variance_basis(self, key, devices8):
         from options_model_tpu.parallel import make_mesh, price_american_grid
 
@@ -147,6 +176,7 @@ class TestVarianceKernels:
             simulate_paths(key, 100.0, 0.5, mc, "gbm", sigma=0.2, rate=0.05,
                            return_variance=True)
 
+    @pytest.mark.slow
     def test_nn_regressor_gets_variance_feature(self, key):
         """The NN two-pass scheme also receives v as an input feature under
         Heston (8-dim instead of 7-dim): prices stay finite and inside a

@@ -114,6 +114,31 @@ class TestAmericanMerton:
         assert abs(float(p_cv) - float(p_pl)) < max(tol, 5e-3)
         assert float(se_cv) < float(se_pl)
 
+    def test_high_degree_basis_survives_jump_outliers(self):
+        """Regression test for the basis clamp (_BASIS_CLAMP,
+        pricers/american.build_centered_basis): before it, a degree-5 fit
+        under jump dynamics oscillated Runge-style over the gap between the
+        ITM diffusion bulk and the multi-sigma jump outliers, silently
+        pricing the 6.24 Merton put at 4.86 (-22%). The clamp must keep
+        every degree on the oracle."""
+        from options_model_tpu.core.config import LSMConfig
+        from options_model_tpu.pricers.american import (
+            price_american_with_control_variate)
+        from options_model_tpu.pricers.cos_bermudan import cos_bermudan_price
+
+        mp = MertonParams(sigma=0.2, lam=1.0, mu_j=-0.10, sigma_j=0.15)
+        spec = OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=0.2)
+        n_steps = 16
+        berm = cos_bermudan_price(S0, 100.0, 0.5, 0.05, "merton", merton=mp,
+                                  cp=-1.0, n_dates=n_steps)
+        for deg in (3, 5):
+            p, se = price_american_with_control_variate(
+                jax.random.key(7), S0, 0.5, spec,
+                MCConfig(n_paths=1 << 12, n_steps=n_steps, path_block=1024),
+                LSMConfig(regressor="poly", poly_degree=deg),
+                model="merton", merton=mp)
+            assert abs(float(p) / berm - 1.0) < 0.04, (deg, float(p), berm)
+
     def test_exotics_and_barrier_run_under_merton(self):
         from options_model_tpu.pricers.barrier import price_barrier_mc
         from options_model_tpu.pricers.exotics import price_asian_mc
