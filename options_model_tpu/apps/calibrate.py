@@ -27,12 +27,23 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--ticker", type=str, default="AAPL",
                    help="Stock ticker to fetch the option chain for")
     p.add_argument("--model", type=str, default="heston",
-                   choices=["heston", "bates", "vg"],
+                   choices=["heston", "bates", "vg", "rbergomi"],
                    help="bates adds the lognormal jump triple (lam, mu_j, "
                         "sigma_j) to the fit — beyond-reference; include "
                         "short-dated expiries, jumps are identified there. "
                         "vg fits the 3-param Variance Gamma pure-jump Levy "
-                        "family (sigma, theta, nu)")
+                        "family (sigma, theta, nu). rbergomi fits "
+                        "(xi0, eta, H) at fixed --rho by variance level + "
+                        "ATM-skew term structure + CRN MC polish "
+                        "(calibration/rbergomi.py) — no char-fn exists for "
+                        "H<1/2, so the objective prices by hybrid-scheme MC")
+    p.add_argument("--rho", type=float, default=-0.7,
+                   help="rbergomi only: spot-vol correlation, held fixed "
+                        "(on one surface rho and eta enter the skew only "
+                        "through their product)")
+    p.add_argument("--polish-evals", type=int, default=160,
+                   help="rbergomi only: Nelder-Mead evaluation budget for "
+                        "the CRN full-surface polish")
     p.add_argument("--test", action="store_true",
                    help="Calibrate against the synthetic Heston oracle "
                         "(no network)")
@@ -59,10 +70,63 @@ def parse_args(argv=None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def _run_rbergomi(args) -> dict:
+    """rBergomi branch: no characteristic function exists for H<1/2, so the
+    fit rides the MC machinery (calibration/rbergomi.py) rather than the
+    COS cascade the other families share."""
+    import numpy as np
+
+    from options_model_tpu.calibration.rbergomi import (
+        calibrate_rbergomi_to_data, create_synthetic_rbergomi_surface)
+    from options_model_tpu.core.config import RBergomiParams
+
+    if args.test:
+        true = RBergomiParams(H=0.1, eta=1.5, rho=args.rho, xi0=0.04)
+        K, T, iv = create_synthetic_rbergomi_surface(
+            true, S0=100.0, rate=args.rate, noise_std=args.noise,
+            seed=args.seed)
+        S0 = 100.0
+        log.info(f"Synthetic rBergomi calibration test: true {true}")
+    else:
+        from options_model_tpu.data.market import fetch_option_chain
+        Kq, Tq, ivq, S0 = fetch_option_chain(args.ticker)
+        # the fitter wants a rectangular (expiry, strike) grid: bucket the
+        # chain by expiry and interpolate each slice onto common moneyness
+        Tu = np.unique(np.round(np.asarray(Tq), 6))
+        mny = np.linspace(0.85, 1.15, 7)
+        K = mny * S0
+        iv = np.zeros((len(Tu), len(K)))
+        for i, t in enumerate(Tu):
+            m = np.isclose(np.asarray(Tq), t)
+            order = np.argsort(np.asarray(Kq)[m])
+            iv[i] = np.interp(K, np.asarray(Kq)[m][order],
+                              np.asarray(ivq)[m][order])
+        T = Tu
+        log.info(f"Calibrating rBergomi to {iv.size} gridded {args.ticker} "
+                 f"quotes, S0={S0:.2f}")
+    params, summary = calibrate_rbergomi_to_data(
+        K, T, iv, S0, args.rate, rho=args.rho, seed=args.seed,
+        max_polish_evals=args.polish_evals)
+    summary["params"] = params
+    if args.test:
+        summary["true_params"] = true
+        summary["param_errors"] = {
+            "H": abs(params.H - true.H), "eta": abs(params.eta - true.eta),
+            "xi0": abs(params.xi0 - true.xi0)}
+    return summary
+
+
 def run(args) -> dict:
     from options_model_tpu.calibration.calibrator import (
         calibrate_bates_to_data, calibrate_heston_to_data,
         calibrate_vg_to_data)
+
+    if args.model == "rbergomi":
+        if args.price_surface:
+            raise SystemExit("--price-surface supports heston/bates (the "
+                             "shared-path surface backward rides the (S, v) "
+                             "variance state)")
+        return _run_rbergomi(args)
 
     cfg = CalibrationConfig(
         use_vega_weighting=not args.no_vega_weighting,

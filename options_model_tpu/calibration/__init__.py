@@ -24,6 +24,10 @@ from options_model_tpu.calibration.calibrator import (
     calibrate_vg_to_data,
     detect_regime,
 )
+from options_model_tpu.calibration.rbergomi import (
+    calibrate_rbergomi_to_data,
+    create_synthetic_rbergomi_surface,
+)
 from options_model_tpu.calibration.synthetic import (
     create_synthetic_bates_surface,
     create_synthetic_heston_surface,
@@ -39,7 +43,9 @@ __all__ = [
     "calibrate_bates_to_data",
     "calibrate_heston_to_data",
     "calibrate_heston_to_ticker",
+    "calibrate_rbergomi_to_data",
     "calibrate_vg_to_data",
+    "create_synthetic_rbergomi_surface",
     "detect_regime",
     "create_synthetic_bates_surface",
     "create_synthetic_heston_surface",

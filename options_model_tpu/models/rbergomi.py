@@ -231,6 +231,75 @@ def simulate_rbergomi(key: jax.Array, S0, T, params: RBergomiParams,
     return merge(out)
 
 
+def terminal_cv_core(key: jax.Array, S0, r, T, H, eta, rho, xi0,
+                     W_mat, c1, c2, var_left, *, n_steps: int,
+                     path_block: int, nb: int, antithetic: bool,
+                     dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully-traceable core of rbergomi_terminal_cv: every parameter —
+    including H, eta, rho, xi0 and the host-precomputed hybrid weights
+    (W_mat, c1, c2, var_left = _hybrid_weights(...)[...][:-1]) — is a
+    DYNAMIC argument, so a jit of this function compiles once per
+    (n_steps, paths) shape and serves every candidate parameter vector of
+    a calibration loop (calibration/rbergomi.py jits it per expiry; the
+    eager path paid ~100 dispatches per evaluation)."""
+    half = path_block // 2
+    dt = jnp.asarray(T, dtype) / n_steps
+    sqrt_dt = jnp.sqrt(dt)
+    W_mat = jnp.asarray(W_mat, dtype)
+    c1 = jnp.asarray(c1, dtype)
+    c2 = jnp.asarray(c2, dtype)
+    sqrt2H = jnp.sqrt(2.0 * jnp.asarray(H, dtype))
+    eta = jnp.asarray(eta, dtype)
+    rho = jnp.asarray(rho, dtype)
+    xi0 = jnp.asarray(xi0, dtype)
+    rho_bar = jnp.sqrt(1.0 - rho**2)
+    rr = jnp.asarray(r, dtype)
+    comp = 0.5 * eta**2 * jnp.asarray(var_left, dtype)
+    sig_cv = jnp.sqrt(xi0)
+
+    def sim_block(block_key):
+        def draw(t):
+            return block_normals(block_key, t, half, 3, antithetic, dtype)
+        z1, z2, zp = jax.vmap(draw)(jnp.arange(n_steps))
+        dW = sqrt_dt * z1
+        G = jnp.matmul(W_mat, dW, precision=jax.lax.Precision.HIGHEST)
+        Y_tail = sqrt2H * (G[:-1] + c1 * dW[:-1] + c2 * z2[:-1])
+        Y_left = jnp.concatenate(
+            [jnp.zeros((1, path_block), dtype), Y_tail], axis=0)
+        v_left = xi0 * jnp.exp(eta * Y_left - comp[:, None])
+        dB = rho * dW + rho_bar * sqrt_dt * zp   # the price Brownian
+        dlogS = (rr - 0.5 * v_left) * dt + jnp.sqrt(v_left) * dB
+        dlogG = (rr - 0.5 * sig_cv**2) * dt + sig_cv * dB
+        logS0 = jnp.log(jnp.asarray(S0, dtype))
+        return (jnp.exp(logS0 + jnp.sum(dlogS, axis=0)),
+                jnp.exp(logS0 + jnp.sum(dlogG, axis=0)))
+
+    block_keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(
+        jnp.arange(nb))
+    S_T, G_T = jax.vmap(sim_block)(block_keys)
+    return S_T.reshape(-1), G_T.reshape(-1)
+
+
+def rbergomi_terminal_cv(key: jax.Array, S0, r, T, params: RBergomiParams,
+                         cfg: MCConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(S_T, G_T): terminal rBergomi spots plus the conditional-Black
+    control-variate leg's terminal spots — the frozen-variance (v = xi0)
+    lognormal driven by the IDENTICAL price Brownian, whose European price
+    is Black-Scholes(sqrt(xi0)) exactly. One simulation serves every strike
+    of an expiry (the surface calibrator's pricing engine,
+    calibration/rbergomi.py) and rbergomi_european_mc composes the CV at
+    the pair-mean optimal beta."""
+    dtype = cfg.dtype
+    n_steps = cfg.n_steps
+    dt = float(T) / n_steps
+    W_np, c1, c2, var_np = _hybrid_weights(n_steps, float(params.H), dt)
+    return terminal_cv_core(key, S0, r, T, params.H, params.eta, params.rho,
+                            params.xi0, W_np, c1, c2, var_np[:-1],
+                            n_steps=n_steps, path_block=cfg.path_block,
+                            nb=num_blocks(cfg), antithetic=cfg.antithetic,
+                            dtype=dtype)
+
+
 def rbergomi_european_mc(key: jax.Array, S0, K, r, T,
                          params: RBergomiParams, cfg: MCConfig, cp=1.0,
                          control_variate: bool = True
@@ -245,43 +314,9 @@ def rbergomi_european_mc(key: jax.Array, S0, K, r, T,
     from options_model_tpu.pricers.blackscholes import bs_price
 
     dtype = cfg.dtype
-    n_steps = cfg.n_steps
-    nb = num_blocks(cfg)
-    half = cfg.path_block // 2
-    dt = float(T) / n_steps
-    W_np, c1, c2, var_np = _hybrid_weights(n_steps, float(params.H), dt)
-    W_mat = jnp.asarray(W_np, dtype)
-    sqrt2H = jnp.asarray(np.sqrt(2.0 * params.H), dtype)
-    sqrt_dt = jnp.asarray(np.sqrt(dt), dtype)
-    rho = jnp.asarray(params.rho, dtype)
-    rho_bar = jnp.sqrt(1.0 - rho**2)
-    rr = jnp.asarray(r, dtype)
-    dt_a = jnp.asarray(dt, dtype)
-    var_left = var_np[:-1]
+    S_T, G_T = rbergomi_terminal_cv(key, S0, r, T, params, cfg)
     sig_cv = jnp.sqrt(jnp.asarray(params.xi0, dtype))
-
-    def sim_block(block_key):
-        def draw(t):
-            return block_normals(block_key, t, half, 3, cfg.antithetic,
-                                 dtype)
-        z1, z2, zp = jax.vmap(draw)(jnp.arange(n_steps))
-        dW = sqrt_dt * z1
-        G = jnp.matmul(W_mat, dW, precision=jax.lax.Precision.HIGHEST)
-        Y_tail = sqrt2H * (G[:-1] + c1 * dW[:-1] + c2 * z2[:-1])
-        Y_left = jnp.concatenate(
-            [jnp.zeros((1, cfg.path_block), dtype), Y_tail], axis=0)
-        v_left = _variance_grid(params, Y_left, var_left, dtype)
-        dB = rho * dW + rho_bar * sqrt_dt * zp   # the price Brownian
-        dlogS = (rr - 0.5 * v_left) * dt_a + jnp.sqrt(v_left) * dB
-        dlogG = (rr - 0.5 * sig_cv**2) * dt_a + sig_cv * dB
-        logS0 = jnp.log(jnp.asarray(S0, dtype))
-        return (jnp.exp(logS0 + jnp.sum(dlogS, axis=0)),
-                jnp.exp(logS0 + jnp.sum(dlogG, axis=0)))
-
-    block_keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(
-        jnp.arange(nb))
-    S_T, G_T = jax.vmap(sim_block)(block_keys)
-    S_T, G_T = S_T.reshape(-1), G_T.reshape(-1)
+    rr = jnp.asarray(r, dtype)
 
     disc = jnp.exp(-rr * jnp.asarray(T, dtype))
     pay = disc * jnp.maximum(cp * (S_T - K), 0.0)
