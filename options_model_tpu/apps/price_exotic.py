@@ -293,14 +293,23 @@ def run(args: argparse.Namespace) -> dict:
                                  "and american contracts")
             if args.contract == "european":
                 from options_model_tpu.core.config import RBergomiParams
-                from options_model_tpu.models.rbergomi import (
-                    rbergomi_european_mc)
                 rp = args.rbergomi or (0.1, 1.5, -0.7, 0.04)
                 rbp = RBergomiParams(H=rp[0], eta=rp[1], rho=rp[2],
                                      xi0=rp[3]).validate()
-                price, se = rbergomi_european_mc(
-                    key, args.spot, args.strike, args.r, args.t, rbp, mc,
-                    cp=cp)
+                if getattr(args, "sampler", "mc") == "sobol":
+                    from options_model_tpu.pricers.qmc import (
+                        price_european_qmc)
+                    price, se, n = price_european_qmc(
+                        args.seed, "rbergomi", args.spot, spec, args.t,
+                        rbergomi=rbp, n_paths=max(args.paths // 16, 1 << 10),
+                        n_steps=args.steps, replicates=16)
+                    out["n_paths"] = int(n)
+                else:
+                    from options_model_tpu.models.rbergomi import (
+                        rbergomi_european_mc)
+                    price, se = rbergomi_european_mc(
+                        key, args.spot, args.strike, args.r, args.t, rbp,
+                        mc, cp=cp)
                 out["price"] = float(price)
                 out["stderr"] = float(se)
                 return out

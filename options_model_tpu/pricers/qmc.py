@@ -184,7 +184,8 @@ def _run_replicates(seed: int, dim: int, replicates: int, jitted_rep):
 
 def price_european_qmc(seed: int, model: str, S0, spec: OptionSpec, T, *,
                        heston: Optional[HestonParams] = None,
-                       merton=None, bates=None, vg=None,
+                       merton=None, bates=None, vg=None, rbergomi=None,
+                       rbergomi_cv: bool = True,
                        n_paths: int = 1 << 14, n_steps: int = 64,
                        replicates: int = 16, dtype=jnp.float32
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
@@ -200,6 +201,16 @@ def price_european_qmc(seed: int, model: str, S0, spec: OptionSpec, T, *,
     models/bates.py's terminal collapse). model='vg' is EXACT in 2 Sobol
     dims (conditional normal + the gamma time increment via _gamma_icdf —
     the terminal VG law is one gamma clock draw, models/vg.py).
+    model='rbergomi' drives the BLP hybrid scheme with 3*n_steps Sobol
+    coordinates: the vol-driving dW and the orthogonal price normals are
+    Brownian-bridged on the interleaved leading 2*n_steps dims (the
+    bridge owns the coarse shape BOTH factors share), the singular-interval
+    correction normals take the trailing block raw (small variance share);
+    ``rbergomi_cv`` composes the same-path conditional-Black control
+    variate at beta=1 (the frozen-variance lognormal on the identical
+    price Brownian prices by Black-Scholes exactly — models/rbergomi.py's
+    CV discipline; the bench reports the RQMC edge both raw and on the CV
+    residual, the r4 lesson).
     """
     n_paths = _pow2(n_paths)
     r = spec.rate
@@ -310,9 +321,55 @@ def price_european_qmc(seed: int, model: str, S0, spec: OptionSpec, T, *,
                                            spec.cp)) * disc
 
         dim = 2
+    elif model == "rbergomi":
+        if rbergomi is None:
+            raise ValueError("rbergomi params required for model='rbergomi'")
+        from options_model_tpu.models.rbergomi import _hybrid_weights
+        from options_model_tpu.pricers.blackscholes import bs_price
+
+        W_np, c1_f, c2_f, var_np = _hybrid_weights(
+            n_steps, float(rbergomi.H), float(T) / n_steps)
+        W_mat = jnp.asarray(W_np, dtype)
+        comp = (0.5 * float(rbergomi.eta) ** 2
+                * jnp.asarray(var_np[:-1], dtype))
+        sqrt2H = float(np.sqrt(2.0 * rbergomi.H))
+        eta = jnp.asarray(rbergomi.eta, dtype)
+        rho_p = jnp.asarray(rbergomi.rho, dtype)
+        rho_bar = jnp.sqrt(1.0 - rho_p ** 2)
+        xi0 = jnp.asarray(rbergomi.xi0, dtype)
+        sig_cv = jnp.sqrt(xi0)
+        dt = jnp.asarray(T, dtype) / n_steps
+        dr = jnp.asarray(drift, dtype)
+        logS0 = jnp.log(jnp.asarray(S0, dtype))
+        cv_mean = bs_price(S0, spec.strike, T, r, sig_cv, spec.cp,
+                           q=spec.div_yield)
+
+        @jax.jit
+        def rep_mean(sv, shift):
+            Z = sobol_normals(sv, shift, 0, n_paths, dtype)  # (P, 3n)
+            dW = bb_increments(Z[:, 0:2 * n_steps:2], T)     # vol driver
+            dWp = bb_increments(Z[:, 1:2 * n_steps:2], T)    # orthogonal
+            z2 = Z[:, 2 * n_steps:].T                        # (n, P) raw
+            G = jnp.matmul(W_mat, dW, precision=jax.lax.Precision.HIGHEST)
+            Y_tail = sqrt2H * (G[:-1] + c1_f * dW[:-1] + c2_f * z2[:-1])
+            Y_left = jnp.concatenate(
+                [jnp.zeros((1, n_paths), dtype), Y_tail], axis=0)
+            v_left = xi0 * jnp.exp(eta * Y_left - comp[:, None])
+            dB = rho_p * dW + rho_bar * dWp
+            dlogS = (dr - 0.5 * v_left) * dt + jnp.sqrt(v_left) * dB
+            S_T = jnp.exp(logS0 + jnp.sum(dlogS, axis=0))
+            pay = disc * vanilla_payoff(S_T, spec.strike, spec.cp)
+            if not rbergomi_cv:
+                return jnp.mean(pay)
+            dlogG = (dr - 0.5 * sig_cv ** 2) * dt + sig_cv * dB
+            G_T = jnp.exp(logS0 + jnp.sum(dlogG, axis=0))
+            cv_pay = disc * vanilla_payoff(G_T, spec.strike, spec.cp)
+            return jnp.mean(pay - (cv_pay - cv_mean))
+
+        dim = 3 * n_steps
     else:
-        raise ValueError(f"model must be 'gbm', 'heston', 'merton', 'bates' "
-                         f"or 'vg', got {model!r}")
+        raise ValueError(f"model must be 'gbm', 'heston', 'merton', 'bates', "
+                         f"'vg' or 'rbergomi', got {model!r}")
 
     price, stderr = _run_replicates(seed, dim, replicates, rep_mean)
     return price, stderr, replicates * n_paths

@@ -154,6 +154,47 @@ class TestQMCPricing:
             price_asian_qmc(0, S0, T, CALL_SPEC, average="harmonic")
         with pytest.raises(ValueError):
             price_european_qmc(0, "heston", S0, CALL_SPEC, T)
+        with pytest.raises(ValueError):
+            price_european_qmc(0, "rbergomi", S0, CALL_SPEC, T)
+
+    def test_rbergomi_matches_mc_same_grid(self):
+        """The RQMC rBergomi estimates the SAME hybrid-scheme discretized
+        law as models/rbergomi.rbergomi_european_mc — prices must agree
+        within combined replicate/MC error (they share n_steps, so the
+        discretization bias cancels in the comparison)."""
+        from options_model_tpu.core.config import MCConfig, RBergomiParams
+        from options_model_tpu.models.rbergomi import rbergomi_european_mc
+
+        rb = RBergomiParams(H=0.1, eta=1.5, rho=-0.7, xi0=0.04)
+        pq, seq, _ = price_european_qmc(3, "rbergomi", S0, PUT_SPEC, T,
+                                        rbergomi=rb, n_paths=1 << 11,
+                                        n_steps=32, replicates=8)
+        pm, sem = rbergomi_european_mc(
+            jax.random.key(5), S0, PUT_SPEC.strike, PUT_SPEC.rate, T, rb,
+            MCConfig(n_paths=1 << 15, n_steps=32, path_block=4096),
+            cp=-1.0)
+        z = abs(float(pq) - float(pm)) / np.sqrt(
+            float(seq) ** 2 + float(sem) ** 2)
+        assert z < 4.0, (float(pq), float(pm), z)
+
+    def test_rbergomi_qmc_beats_mc_raw(self):
+        """At equal path budget the bridged Sobol net must cut the RAW
+        payoff stderr vs pseudo-random MC (the bench measures the exact
+        ratio on-chip; here just the ordering, loose)."""
+        from options_model_tpu.core.config import MCConfig, RBergomiParams
+        from options_model_tpu.models.rbergomi import rbergomi_european_mc
+
+        rb = RBergomiParams(H=0.1, eta=1.5, rho=-0.7, xi0=0.04)
+        n_total = 1 << 14
+        _, seq, _ = price_european_qmc(4, "rbergomi", S0, PUT_SPEC, T,
+                                       rbergomi=rb, n_paths=n_total // 8,
+                                       n_steps=32, replicates=8,
+                                       rbergomi_cv=False)
+        _, sem = rbergomi_european_mc(
+            jax.random.key(6), S0, PUT_SPEC.strike, PUT_SPEC.rate, T, rb,
+            MCConfig(n_paths=n_total, n_steps=32, path_block=4096),
+            cp=-1.0, control_variate=False)
+        assert float(seq) < float(sem), (float(seq), float(sem))
 
 
 class TestJumpFamilyQMC:
