@@ -26,6 +26,7 @@ def test_entry_compiles_and_runs():
     assert float(price) > 0.0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     # Executes the full multi-chip step: task-sharded American grid,
     # path-sharded LSM with psum Grams, data-parallel surface train step.

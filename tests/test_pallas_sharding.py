@@ -17,11 +17,13 @@ mesh:
 So the invariance of the PLUMBING — _path_shard_geometry's tile alignment,
 simulate_paths' pallas_global_tiles offset arithmetic, the shard bodies'
 first_block wiring, pair-block statistics — is proven here against an XLA
-"semantic twin" of the kernels: a stand-in with the exact calling convention
-and stream discipline (tile t draws from fold_in(seed, first_tile + t),
-antithetic mirroring within the tile) monkeypatched over the real kernel.
-The kernels' own first_tile seeding is proven bitwise on real TPU hardware by
-the chunk-equality tests in test_pallas_kernels.py (on_tpu) and exercised
+"semantic twin" of the kernels (ops/xla_twins.py, shared with
+__graft_entry__.dryrun_multichip so the driver record certifies the same
+path): a stand-in with the exact calling convention and stream discipline
+(tile t draws from fold_in(seed, first_tile + t), antithetic mirroring
+within the tile) monkeypatched over the real kernel. The kernels' own
+first_tile seeding is proven bitwise on real TPU hardware by the
+chunk-equality tests in test_pallas_kernels.py (on_tpu) and exercised
 end-to-end by scripts/drive_tpu.py and bench.py.
 """
 
@@ -52,54 +54,7 @@ S0, K, T, R, SIG = 100.0, 100.0, 0.5, 0.05, 0.2
 PUT_SPEC = OptionSpec(strike=K, rate=R, cp=PUT, sigma=SIG)
 
 
-def _twin_normals(seed, first_tile, tile_idx, rows, n_steps, antithetic):
-    """Tile-local standard normals with the kernels' stream discipline: a pure
-    function of (seed, GLOBAL tile id), antithetic mirror in the tile's top
-    half."""
-    k = jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(17), seed),
-                           first_tile + tile_idx)
-    if antithetic:
-        zh = jax.random.normal(k, (n_steps, rows // 2), jnp.float32)
-        return jnp.concatenate([zh, -zh], axis=1)
-    return jax.random.normal(k, (n_steps, rows), jnp.float32)
-
-
-def twin_gbm_paths(seed, S0, r, sigma, T, n_paths, n_steps,
-                   antithetic=True, interpret=False, first_tile=0):
-    """XLA semantic twin of ops.pallas_gbm.gbm_paths_pallas (same signature,
-    same tile geometry and global-tile stream keying; different — but equally
-    valid — draws)."""
-    tile = PATH_TILE
-    grid = -(-n_paths // tile)
-    dt = jnp.float32(T) / n_steps
-    drift = (r - 0.5 * sigma**2) * dt
-    vol = sigma * jnp.sqrt(dt)
-
-    def one(t):
-        z = _twin_normals(seed, first_tile, t, tile, n_steps, antithetic)
-        logS = jnp.concatenate(
-            [jnp.zeros((1, tile), jnp.float32),
-             jnp.cumsum(drift + vol * z, axis=0)])
-        return S0 * jnp.exp(logS)                     # (n_steps+1, tile)
-
-    out = jax.vmap(one, out_axes=1)(jnp.arange(grid))  # (n_steps+1, grid, tile)
-    return out.reshape(n_steps + 1, grid * tile)
-
-
-def twin_gbm_terminal(seed, S0, r, sigma, T, n_paths, n_steps,
-                      antithetic=True, interpret=False, first_tile=0):
-    """XLA semantic twin of ops.pallas_gbm.gbm_terminal_pallas."""
-    tile = TERMINAL_TILE
-    grid = -(-n_paths // tile)
-    dt = jnp.float32(T) / n_steps
-    drift = (r - 0.5 * sigma**2) * dt
-    vol = sigma * jnp.sqrt(dt)
-
-    def one(t):
-        z = _twin_normals(seed, first_tile, t, tile, n_steps, antithetic)
-        return S0 * jnp.exp(drift * n_steps + vol * z.sum(axis=0))
-
-    return jax.vmap(one)(jnp.arange(grid)).reshape(-1)
+from options_model_tpu.ops.xla_twins import twin_gbm_paths, twin_gbm_terminal
 
 
 @pytest.fixture
