@@ -109,6 +109,7 @@ class TestCLI:
         out = run(args)
         assert out["greeks"]["Delta"] == 0.5
 
+    @pytest.mark.slow
     def test_synthetic_nn_iv_run(self):
         # --iv nn with --synthetic: surface net trained on the smile oracle,
         # then local-vol curves (exercises the whole NN-IV pipeline offline).
@@ -268,6 +269,7 @@ class TestNewCLIFlags:
 
 
 class TestBracketFlag:
+    @pytest.mark.slow
     def test_cli_bracket(self, caplog):
         """--bracket reports a live-spot primal-dual interval with
         low <= high and both finite (pricers/dual.py through the CLI)."""
@@ -284,6 +286,7 @@ class TestBracketFlag:
         assert 0.0 < br["low"] <= br["high"]
         assert br["low_stderr"] > 0 and br["high_stderr"] > 0
 
+    @pytest.mark.slow
     def test_cli_bracket_heston(self):
         """--bracket under --model heston routes the variance-basis policy
         and the Euler-replicating dual (out['bracket_heston'])."""
@@ -303,6 +306,7 @@ class TestBracketFlag:
 
 
 class TestNNLSMEndToEnd:
+    @pytest.mark.slow
     def test_grid_nn_regressor_agrees_with_poly_and_crr(self, key, devices8):
         """The NN-LSM regressor reached through the grid pricer agrees with
         the poly regressor and the CRR oracle on a GBM put (VERDICT r1 #3)."""
@@ -331,6 +335,7 @@ class TestNNLSMEndToEnd:
         assert abs(float(p_nn[0]) / crr - 1.0) < 0.03
         assert abs(float(p_nn[0]) / float(p_poly[0]) - 1.0) < 0.03
 
+    @pytest.mark.slow
     def test_cli_lsm_regressor_nn(self):
         from options_model_tpu.apps.cli import parse_args, run
         args = parse_args([
@@ -594,6 +599,7 @@ class TestExoticCLI:
             self._run(["basket", "--spots", "100", "95", "--sigmas",
                        "0.2", "0.3", "--corr", "1", "0.4", "0.4"])
 
+    @pytest.mark.slow
     def test_american_cli_with_cos_oracle(self):
         out = self._run(["american", "--model", "merton", "--option-type",
                          "put", "--paths", "16384", "--steps", "25",
@@ -693,6 +699,7 @@ class TestBatesCLI:
                          "down-out", "--paths", "8192", "--steps", "16"])
         assert out["price"] > 0.0
 
+    @pytest.mark.slow
     def test_calibrate_cli_bates_test_mode(self):
         from options_model_tpu.apps.calibrate import parse_args, run
         summary = run(parse_args(["--test", "--model", "bates",
@@ -701,6 +708,45 @@ class TestBatesCLI:
         assert "lam" in summary["param_errors"]
         assert summary["param_errors"]["lam"] < 0.05
 
+    def test_calibrate_cli_rbergomi_wiring(self, monkeypatch):
+        """--model rbergomi routes to calibration/rbergomi.py with the CLI's
+        rho/seed/budget knobs and reports recovery errors. The MC fit itself
+        is exercised by tests/test_rbergomi_calibration.py (and on-chip by
+        the bench leg); here the full-budget engine is stubbed so the CLI
+        wiring test stays CPU-fast."""
+        import options_model_tpu.apps.calibrate as cal
+        from options_model_tpu.core.config import RBergomiParams
+
+        calls = {}
+
+        def fake_surface(true, S0=100.0, rate=0.05, noise_std=0.0, seed=42):
+            calls["true"] = true
+            K = np.array([90.0, 100.0, 110.0])
+            T = np.array([0.25, 1.0])
+            return K, T, np.full((2, 3), 0.2)
+
+        def fake_fit(K, T, iv, S0, rate, *, rho, seed, max_polish_evals):
+            calls["rho"] = rho
+            calls["evals"] = max_polish_evals
+            p = RBergomiParams(H=0.12, eta=1.4, rho=rho, xi0=0.041)
+            return p, {"error": 0.002, "fitted": {"H": p.H, "eta": p.eta,
+                                                  "xi0": p.xi0}}
+
+        import options_model_tpu.calibration.rbergomi as crb
+        monkeypatch.setattr(crb, "create_synthetic_rbergomi_surface",
+                            fake_surface)
+        monkeypatch.setattr(crb, "calibrate_rbergomi_to_data", fake_fit)
+        summary = cal.run(cal.parse_args(
+            ["--test", "--model", "rbergomi", "--rho", "-0.6",
+             "--polish-evals", "40"]))
+        assert calls["rho"] == -0.6 and calls["evals"] == 40
+        assert calls["true"].rho == -0.6
+        assert summary["param_errors"]["H"] == pytest.approx(0.02)
+        with pytest.raises(SystemExit, match="price-surface"):
+            cal.run(cal.parse_args(["--test", "--model", "rbergomi",
+                                    "--price-surface", "x.csv"]))
+
+    @pytest.mark.slow
     def test_calibrate_cli_bates_price_surface(self, tmp_path):
         """Calibrate -> price: the fitted Bates dynamics drive the American
         surface workload (jump overlay composed with the (S, v) backward)."""
@@ -749,6 +795,7 @@ class TestJumpFamilySweeps:
 
 
 class TestJumpBracketCLI:
+    @pytest.mark.slow
     def test_cli_bracket_merton(self):
         from options_model_tpu.apps.cli import parse_args, run
         args = parse_args([

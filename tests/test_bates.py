@@ -196,6 +196,7 @@ class TestBatesAmerican:
         cos = float(bates_cos_price(S0, 100.0, T, 0.03, BP, cp=-1.0))
         assert abs(float(p) - cos) < 4 * float(se) + 0.03
 
+    @pytest.mark.slow
     def test_nn_regressor_route(self):
         from options_model_tpu.pricers.american import price_american
         mc = MCConfig(n_paths=1 << 14, n_steps=25, path_block=4096)
@@ -217,6 +218,7 @@ class TestBatesCalibration:
         with pytest.raises(ValueError, match="model"):
             HestonCalibrator(model="svj2")
 
+    @pytest.mark.slow
     def test_round_trip_f64_recovers_all_eight_params(self):
         from options_model_tpu.calibration import (
             calibrate_bates_to_data, create_synthetic_bates_surface)

@@ -61,11 +61,13 @@ class TestOracleEuropeanLimits:
 
 
 class TestOracleAmericanLimit:
+    @pytest.mark.slow
     def test_gbm_put_matches_crr(self):
         cos = cos_american_price(S0, K, T, R, "gbm", sigma=SIG, cp=PUT)
         crr = crr_price(S0, K, T, R, SIG, cp=-1.0, n_steps=4096)
         assert abs(cos - crr) / crr < 5e-4, (cos, crr)
 
+    @pytest.mark.slow
     def test_gbm_dividend_call_matches_crr(self):
         # q > r makes early exercise of the CALL optimal — exercises the
         # call-side (right-region) branch of the recursion end to end.
@@ -76,6 +78,7 @@ class TestOracleAmericanLimit:
         assert cos > euro + 1e-3          # genuine early-exercise premium
         assert abs(cos - crr) / crr < 5e-4, (cos, crr)
 
+    @pytest.mark.slow
     def test_bermudan_increases_to_american(self):
         b25 = cos_bermudan_price(S0, K, T, R, "gbm", sigma=SIG, cp=PUT,
                                  n_dates=25)
@@ -84,6 +87,7 @@ class TestOracleAmericanLimit:
         am = cos_american_price(S0, K, T, R, "gbm", sigma=SIG, cp=PUT)
         assert b25 <= b50 + 1e-9 <= am + 1e-6
 
+    @pytest.mark.slow
     def test_jump_families_dominate_european(self):
         for model, kw in (("merton", {"merton": MP}), ("vg", {"vg": VG})):
             am = cos_american_price(S0, K, T, R, model, cp=PUT, **kw)
@@ -150,6 +154,7 @@ class TestRichardsonContinuousLimit:
         return price_american(KEY, S0, T, spec, self.MC,
                               LSMConfig(richardson=True), model, **kw)
 
+    @pytest.mark.slow
     def test_merton_richardson(self):
         price, se = self._rich("merton", merton=MP)
         oracle = cos_american_price(S0, K, T, R, "merton", merton=MP, cp=PUT)
@@ -157,6 +162,7 @@ class TestRichardsonContinuousLimit:
                                                 4.0 * float(se)), (
             float(price), oracle, float(se))
 
+    @pytest.mark.slow
     def test_vg_richardson(self):
         price, se = self._rich("vg", vg=VG)
         oracle = cos_american_price(S0, K, T, R, "vg", vg=VG, cp=PUT)

@@ -234,6 +234,7 @@ class TestShardedBracket:
         np.testing.assert_allclose(float(br_s.high), float(br_u.high),
                                    rtol=2e-5)
 
+    @pytest.mark.slow
     def test_odd_blocks_per_device(self, devices8):
         """3 blocks/device: the global OOS parity alternates across ranks —
         the local-parity bug this test exists to catch would split 2/1 the
@@ -297,6 +298,7 @@ class TestNNBracket:
         width = float(bracket_nn.high) - float(bracket_nn.low)
         assert width < oracle * 0.03
 
+    @pytest.mark.slow
     def test_heston_contains_adi(self):
         hp_fd = heston_fd_price(S0, K, T, R, HP, cp=-1.0, american=True)
         br = price_american_bracket(jax.random.key(0), S0, T, H_SPEC,
@@ -382,6 +384,7 @@ class TestJumpFamilyBrackets:
         bp = BatesParams(heston=HP, lam=0.3, mu_j=-0.1, sigma_j=0.15)
         return mp, bp
 
+    @pytest.mark.slow
     def test_merton_bracket_contains_cv_estimate(self, key):
         from options_model_tpu.core.config import LSMConfig
         from options_model_tpu.pricers import price_american
@@ -408,6 +411,7 @@ class TestJumpFamilyBrackets:
         eu = float(merton_price(S0, K, T, R, mp, cp=-1.0))
         assert float(br.high) + 3 * float(br.high_stderr) > eu
 
+    @pytest.mark.slow
     def test_bates_bracket_contains_cv_estimate(self, key):
         from options_model_tpu.core.config import LSMConfig
         from options_model_tpu.pricers import price_american
@@ -470,6 +474,7 @@ class TestSABRBracket:
         from options_model_tpu.core.config import SABRParams
         return SABRParams(alpha=0.2, beta=1.0, rho=-0.4, nu=0.6)
 
+    @pytest.mark.slow
     def test_contains_fd_oracle(self, key):
         from options_model_tpu.pricers.fd_sabr import sabr_fd_price
         mc = MCConfig(n_paths=1 << 15, n_steps=40, path_block=2048)
@@ -517,6 +522,7 @@ class TestRBergomiBracket:
         assert lo <= fd <= hi, (lo, fd, hi)
         assert (hi - lo) / fd < 0.05
 
+    @pytest.mark.slow
     def test_rough_bracket_ordered_and_finite(self, key):
         """H = 0.1: no oracle exists — the bracket itself is the evidence.
         It is VALID (exact inner law) but honestly wide: the (S, v)

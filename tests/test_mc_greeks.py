@@ -71,6 +71,7 @@ class TestAmericanADGreeks:
 class TestHestonGreeks:
     HP = None  # set below
 
+    @pytest.mark.slow
     def test_cos_greeks_exact_vs_fd(self):
         from options_model_tpu.core.config import HestonParams
         from options_model_tpu.pricers.greeks import cos_greeks_heston
@@ -142,6 +143,7 @@ class TestJumpFamilyGreeks:
               - float(merton_price(100.0, 100.0, 1.0, 0.05, dn, cp=1.0))) / (2 * h)
         np.testing.assert_allclose(float(g["dLam"]), fd, rtol=0.02, atol=5e-3)
 
+    @pytest.mark.slow
     def test_bates_greeks_lam_zero_matches_heston(self):
         from options_model_tpu.core.config import BatesParams, HestonParams
         from options_model_tpu.pricers.greeks import (cos_greeks_bates,

@@ -87,6 +87,7 @@ class TestEstimator:
         assert res.stderr <= 2e-2  # eps contract (variance half)
         assert abs(res.price - truth) < 4 * res.stderr + res.bias_bound + 1e-3
 
+    @pytest.mark.slow
     def test_heston_european_matches_cos(self, key):
         res = price_mlmc(key, S0, K, R, T, cp=1.0, payoff="european",
                          model="heston", heston=HP, eps=2.5e-2, n0=4,
@@ -134,6 +135,7 @@ class TestEstimator:
         shd = _level_sampler(*args, heston=HP, n_blocks=16, mesh=mesh)(key, 0)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(shd))
 
+    @pytest.mark.slow
     def test_mesh_estimate_statistically_consistent(self, key, devices8):
         """The meshed estimate may draw a few extra blocks (counts round to
         whole per-device sets) but must agree within joint MC error."""

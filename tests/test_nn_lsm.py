@@ -37,6 +37,7 @@ MC = MCConfig(n_paths=16 * 2048, n_steps=12, path_block=1024)
 
 
 class TestNNControlVariate:
+    @pytest.mark.slow
     def test_cv_beats_plain_nn_stderr(self, key):
         """The composed estimator must report a smaller error than the plain
         NN estimate on the same paths. The workload is an American CALL (no
@@ -66,6 +67,7 @@ class TestNNControlVariate:
         # band is 12-date Bermudan gap + MC noise at this small config
         assert abs(float(p_cv) - oracle) / oracle < 0.02
 
+    @pytest.mark.slow
     def test_dispatcher_routes_nn_cv(self, key):
         """price_american with regressor='nn' + use_control_variate must
         return the CV-composed estimate, not silently drop the variate
@@ -77,6 +79,7 @@ class TestNNControlVariate:
         np.testing.assert_allclose(float(p_dispatch), float(p_cv), rtol=1e-6)
         np.testing.assert_allclose(float(se_dispatch), float(se_cv), rtol=1e-5)
 
+    @pytest.mark.slow
     def test_cv_statistic_construction(self, key):
         """The CV price equals mean(cash + beta*adjustment) over the same
         paths, with beta the pair-mean variance-minimizing coefficient
@@ -181,6 +184,7 @@ class TestPolicyIteration:
                     want[t, p] = disc1 ** (n_dates - t) * term[p]
         np.testing.assert_allclose(got, want, rtol=1e-6)
 
+    @pytest.mark.slow
     def test_iterated_policy_beats_reference_scheme(self, key):
         """nn_policy_iters=1 (reference-exact European targets) must price
         the ATM put measurably BELOW the iterated policy on the same paths
@@ -247,6 +251,7 @@ class TestEpochBestWeights:
 
 
 class TestNNGrid:
+    @pytest.mark.slow
     def test_grid_nn_cv_and_richardson(self, key, devices8):
         """The task-sharded grid pricer honors CV and Richardson for nn."""
         from options_model_tpu.parallel import make_mesh, price_american_grid

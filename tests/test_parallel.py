@@ -115,6 +115,7 @@ class TestAmericanGrid:
         assert prices.shape == (n,)
         assert np.all(np.isfinite(np.asarray(prices)))
 
+    @pytest.mark.slow
     def test_nn_grid_honors_grid_level_oos(self, key, devices8):
         """The grid-level lsm_out_of_sample flag must reach the NN branch
         exactly like the poly branch (review fix: it silently priced
@@ -173,6 +174,7 @@ class TestGrid2D:
     # The DETERMINISM contract (same mesh, same call -> same bits) is tested
     # separately below.
 
+    @pytest.mark.slow
     def test_mesh_shape_invariance(self, key, devices8):
         p18, s18 = self._price(key, (1, 8), devices8)
         p24, s24 = self._price(key, (2, 4), devices8)
@@ -291,6 +293,7 @@ class TestGrid2DHeston:
                                       cp=PUT, heston=self.HP, model="heston",
                                       return_stderr=True, **kw)
 
+    @pytest.mark.slow
     def test_mesh_shape_invariance(self, key, devices8):
         p18, _ = self._price(key, (1, 8), devices8)
         p24, s24 = self._price(key, (2, 4), devices8)
@@ -444,6 +447,7 @@ class TestGridJumpFamilies:
         i = 4  # S0 close to 100
         assert float(prices[i]) > eu - 4 * float(stderrs[i]) - 0.05
 
+    @pytest.mark.slow
     def test_bates_grid_1d_cv(self, key, devices8):
         mesh = make_mesh(("tasks",), devices=devices8)
         n = 4
@@ -472,6 +476,7 @@ class TestGridJumpFamilies:
                                       cp=PUT, model=model,
                                       return_stderr=True, **extra, **kw)
 
+    @pytest.mark.slow
     def test_bates_2d_mesh_shape_invariance(self, key, devices8):
         p18, _ = self._price_2d(key, (1, 8), devices8, "bates")
         p42, s42 = self._price_2d(key, (4, 2), devices8, "bates")
@@ -485,6 +490,7 @@ class TestGridJumpFamilies:
         np.testing.assert_allclose(np.asarray(p24), np.asarray(p42),
                                    rtol=3e-3)
 
+    @pytest.mark.slow
     def test_bates_2d_matches_unsharded_variance_basis(self, key, devices8):
         """The (S, v) basis must survive the path sharding for bates exactly
         as for heston — the jump overlay does not touch the variance
@@ -501,6 +507,7 @@ class TestGridJumpFamilies:
             assert abs(float(prices[i]) / float(ref) - 1.0) < 3e-3, (
                 f"task {i}: 2-D {float(prices[i])} vs unsharded {float(ref)}")
 
+    @pytest.mark.slow
     def test_bates_2d_cv_and_richardson(self, key, devices8):
         p_cv, s_cv = self._price_2d(key, (2, 4), devices8, "bates",
                                     use_control_variate=True)
@@ -526,6 +533,7 @@ class TestShardedSinglePricingJump:
         np.testing.assert_allclose(float(m_s), float(m_u), rtol=1e-5)
         assert int(n_s) == int(n_u)
 
+    @pytest.mark.slow
     def test_bates_american_sharded_matches_unsharded(self, key, devices8):
         from options_model_tpu.core.config import BatesParams
         bp = BatesParams(heston=HESTON, lam=0.3, mu_j=-0.1, sigma_j=0.15)

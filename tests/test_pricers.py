@@ -124,6 +124,7 @@ class TestAmericanLSM:
         price, _ = price_american_lsm(key, 60.0, T, PUT_SPEC, mc, lsm)
         assert float(price) > 39.5
 
+    @pytest.mark.slow
     def test_nn_put_vs_crr(self, key):
         mc = MCConfig(n_paths=2**14, n_steps=25, path_block=4096)
         lsm = LSMConfig(regressor="nn", nn_epochs=8, nn_hidden=64,

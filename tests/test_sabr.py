@@ -254,6 +254,7 @@ class TestAmericanLSM:
         m = float(pair_mean_reduce(S[-1], 1024).mean())
         assert abs(m - 100.0 * np.exp(R * T)) < 1.5
 
+    @pytest.mark.slow
     def test_european_sampler_dispatch(self, key):
         from options_model_tpu.core.config import OptionSpec, PUT
         from options_model_tpu.pricers.european import (make_terminal_sampler,

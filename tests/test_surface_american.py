@@ -200,6 +200,7 @@ class TestSharedCurveFastPath:
         np.testing.assert_array_equal(df_auto["Option Value"].values,
                                       df_on["Option Value"].values)
 
+    @pytest.mark.slow
     def test_shared_mesh_equals_single_device(self, key, devices8):
         """The point-sharded shared engine must reproduce the single-device
         result: per-point RNG is keyed by the global point_id, which travels
@@ -272,6 +273,7 @@ class TestSharedCurveJumpFamilies:
     (S_T/S0 is S0-free), so the homogeneity scaling holds exactly; the CV
     legs are the Merton series and the Bates COS closed form."""
 
+    @pytest.mark.slow
     def test_merton_matches_per_task_pricer(self, key):
         from options_model_tpu.core.config import (LSMConfig, MCConfig,
                                                    MertonParams, OptionSpec,
@@ -315,6 +317,7 @@ class TestSharedCurveJumpFamilies:
             assert float(p) > eu - 4 * float(se) - 0.05, (s0, float(p), eu)
             assert float(p) < eu * 1.4 + 0.1
 
+    @pytest.mark.slow
     def test_bates_mesh_equals_single_device(self, key, devices8):
         from options_model_tpu.core.config import (BatesParams, HestonParams,
                                                    MCConfig, PUT)
@@ -358,6 +361,7 @@ class TestSharedCurveJumpFamilies:
 
 
 class TestBatesSurface:
+    @pytest.mark.slow
     def test_bates_surface_monotone_and_mesh_equal(self, key, devices8):
         from options_model_tpu.core.config import BatesParams, HestonParams, MCConfig
         from options_model_tpu.parallel import make_mesh

@@ -144,6 +144,7 @@ class TestMonteCarlo:
         # and the jump contribution is the dominant surplus over sigma^2
         assert res["var_strike"] > MP.sigma**2 + 2 * res["var_stderr"]
 
+    @pytest.mark.slow
     def test_merton_replication_strike_via_terminal_log(self, key):
         """Independent MC check of the replication closed form: estimate
         (2/T)((r-q)T - E[log(S_T/S0)]) from simulated terminal logs."""

@@ -134,6 +134,7 @@ class TestVGAmerican:
 
 
 class TestVGVarswap:
+    @pytest.mark.slow
     def test_qv_strike_matches_mc(self):
         from options_model_tpu.pricers.varswap import (varswap_mc,
                                                        varswap_strike)
@@ -159,6 +160,7 @@ class TestVGVarswap:
 
 
 class TestVGCalibration:
+    @pytest.mark.slow
     def test_round_trip_recovers_parameters(self):
         """f64 synthetic surface -> 3-param fit; the nu multi-start + long
         COS series (2048 terms on the week-dated rung — VG's char-fn decays
@@ -208,6 +210,7 @@ class TestVGParallel:
     """VG on the sharded grids (parallel/batch.py) and the shared-path
     curve engine — the mesh integration the other families carry."""
 
+    @pytest.mark.slow
     def test_grid_matches_single_pricer(self):
         import numpy as np
         from options_model_tpu.parallel.batch import price_american_grid
@@ -228,6 +231,7 @@ class TestVGParallel:
         assert abs(float(p[1]) - float(p1)) < 4.0 * float(
             jnp.sqrt(se[1] ** 2 + se1 ** 2))
 
+    @pytest.mark.slow
     def test_grid_2d_factorization_invariant(self):
         import numpy as np
         from jax.sharding import Mesh
@@ -252,6 +256,7 @@ class TestVGParallel:
         assert float(jnp.max(jnp.abs(p24 - p42))) < 5e-3 * float(
             jnp.max(jnp.abs(p24)))
 
+    @pytest.mark.slow
     def test_shared_path_curves_agree_with_task_per_cell(self):
         import numpy as np
         from options_model_tpu.apps.curves import (CurveRequest,
@@ -286,6 +291,7 @@ class TestVGParallel:
 
 
 class TestVGBracket:
+    @pytest.mark.slow
     def test_bracket_contains_lsm_and_gap_small(self):
         from options_model_tpu.pricers.dual import price_american_bracket
 
@@ -307,6 +313,7 @@ class TestVGBracket:
 
 
 class TestVGGreeks:
+    @pytest.mark.slow
     def test_cos_greeks_match_finite_differences(self):
         from options_model_tpu.pricers.greeks import cos_greeks_vg
 
