@@ -11,6 +11,7 @@ import pathlib
 import sys
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))

@@ -9,6 +9,7 @@ epoch-level best-weights criterion (reference :599-613).
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
