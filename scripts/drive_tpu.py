@@ -400,6 +400,28 @@ def main():
         log(f"64x64 surface: {time.time()-t0:.1f}s warm, "
             f"monotone-K {bool(np.all(np.diff(P, 1) > -1e-3))}")
 
+        # 12. rBergomi calibration round trip (no char-fn: jitted CRN MC
+        # objective, calibration/rbergomi.py) + the rBergomi RQMC pricer.
+        from options_model_tpu.calibration import (
+            calibrate_rbergomi_to_data, create_synthetic_rbergomi_surface)
+        from options_model_tpu.core.config import RBergomiParams
+        rb_true = RBergomiParams(H=0.1, eta=1.5, rho=-0.7, xi0=0.04)
+        K_rb, T_rb, iv_rb = create_synthetic_rbergomi_surface(rb_true)
+        rb_fit, rb_summ = calibrate_rbergomi_to_data(
+            K_rb, T_rb, iv_rb, 100.0, 0.05, rho=-0.7)
+        log(f"rBergomi calibration: H {rb_fit.H:.4f} eta {rb_fit.eta:.3f} "
+            f"xi0 {rb_fit.xi0:.4f} (true 0.1/1.5/0.04) "
+            f"rmse {rb_summ['error']:.5f}")
+        assert abs(rb_fit.H - 0.1) < 0.08 and abs(rb_fit.xi0 - 0.04) < 0.01
+        from options_model_tpu.pricers.qmc import price_european_qmc
+        p_rq, se_rq, _ = price_european_qmc(
+            17, "rbergomi", 100.0, OptionSpec(strike=K, rate=r, cp=PUT,
+                                              sigma=None),
+            0.5, rbergomi=rb_true, n_paths=1 << 13, n_steps=64,
+            replicates=8)
+        log(f"rBergomi RQMC EU put: {float(p_rq):.4f} +- {float(se_rq):.5f}")
+        assert float(se_rq) < 0.02
+
     log(f"ALL DRIVES OK in {time.time()-t_start:.0f}s")
 
 

@@ -677,6 +677,7 @@ class TestBatesCLI:
         from options_model_tpu.apps.price_exotic import parse_args, run
         return run(parse_args(argv))
 
+    @pytest.mark.slow
     def test_exotic_bates_asian_and_european(self):
         out = self._run(["asian", "--model", "bates", "--paths", "8192",
                          "--steps", "16"])
@@ -785,6 +786,7 @@ class TestJumpFamilySweeps:
         v = far.sort_values("S0")["Option Value"].to_numpy()
         assert v[0] > v[-1]
 
+    @pytest.mark.slow
     def test_bates_sweep_with_explicit_jump(self):
         out = self._run("bates", ("--bates-params", "0.5", "-0.12", "0.2",
                                   "--heston-params", "2.0", "0.04", "0.3",

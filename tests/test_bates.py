@@ -151,6 +151,7 @@ class TestBatesSimulator:
 class TestBatesAmerican:
     MC = MCConfig(n_paths=1 << 16, n_steps=50, path_block=4096)
 
+    @pytest.mark.slow
     def test_american_above_european_and_cv_composes(self):
         from options_model_tpu.pricers.american import price_american
         eu = float(bates_cos_price(S0, 100.0, T, 0.03, BP, cp=-1.0))
@@ -175,6 +176,7 @@ class TestBatesAmerican:
         tol = 4 * float(jnp.sqrt(seh**2 + seb**2)) + 0.02
         assert abs(float(ph) - float(pb)) < tol
 
+    @pytest.mark.slow
     def test_richardson_and_stats_routes(self):
         from options_model_tpu.pricers.american import (
             price_american, price_american_with_stats)

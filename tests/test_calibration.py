@@ -415,6 +415,7 @@ class TestCosLKnob:
         assert wide < 1e-3
         assert narrow > wide * 5.0
 
+    @pytest.mark.slow
     def test_cos_l_flows_from_config(self):
         """The calibrator's jitted objective closes over cfg.cos_L."""
         from options_model_tpu.calibration.calibrator import (

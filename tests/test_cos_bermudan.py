@@ -111,6 +111,7 @@ class TestLSMAnchors:
         return price_american_with_control_variate(
             KEY, S0, T, spec, self.MC, LSMConfig(), model, **kw)
 
+    @pytest.mark.slow
     def test_merton_american_put(self):
         price, se = self._lsm("merton", merton=MP)
         oracle = cos_bermudan_price(S0, K, T, R, "merton", merton=MP, cp=PUT,

@@ -18,6 +18,7 @@ FAST_SURFACE = SurfaceTrainConfig(epochs=30, batch_size=256, hidden_dim=16,
 
 
 class TestTrainingDiagnostics:
+    @pytest.mark.slow
     def test_train_emits_png(self, tmp_path):
         from options_model_tpu.data.synthetic import synthetic_smile_surface
         from options_model_tpu.surface.train import train_iv_surface
@@ -28,6 +29,7 @@ class TestTrainingDiagnostics:
         png = tmp_path / "iv_surface_training.png"
         assert png.exists() and png.stat().st_size > 10_000
 
+    @pytest.mark.slow
     def test_train_surface_cli(self, tmp_path):
         from options_model_tpu.apps.train_surface import main
 
@@ -43,6 +45,7 @@ class TestTrainingDiagnostics:
 
 
 class TestCalibrationDiagnostics:
+    @pytest.mark.slow
     def test_calibrate_emits_png(self, tmp_path):
         from options_model_tpu.calibration.calibrator import (
             calibrate_heston_to_data)
@@ -79,6 +82,7 @@ class TestCalibrationDiagnostics:
 
 
 class TestCalibrateThenPrice:
+    @pytest.mark.slow
     def test_calibrate_cli_prices_surface(self, tmp_path):
         """--price-surface runs the headline American surface workload under
         the freshly calibrated parameters (calibrate -> price pipeline)."""

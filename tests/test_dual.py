@@ -160,6 +160,7 @@ class TestHestonBracket:
         assert policy.betas.shape == (mc.n_steps - 1, 8)  # degree 3 + 2 + 3
         assert policy.v_mean is not None and policy.v_rstd is not None
 
+    @pytest.mark.slow
     def test_deterministic(self, bracket_h):
         br2 = price_american_bracket(jax.random.key(0), S0, T, H_SPEC, MC,
                                      model="heston", heston=HP)
@@ -204,6 +205,7 @@ class TestShardedBracket:
         from options_model_tpu.parallel import make_mesh
         return make_mesh(("paths",), devices=devices8)
 
+    @pytest.mark.slow
     def test_equals_single_device_gbm(self, devices8):
         from options_model_tpu.parallel import price_american_bracket_sharded
         mc = MCConfig(n_paths=8 * 2048, n_steps=20, path_block=1024)
@@ -220,6 +222,7 @@ class TestShardedBracket:
         np.testing.assert_allclose(float(br_s.high_stderr),
                                    float(br_u.high_stderr), rtol=1e-3)
 
+    @pytest.mark.slow
     def test_equals_single_device_heston(self, devices8):
         from options_model_tpu.parallel import price_american_bracket_sharded
         mc = MCConfig(n_paths=8 * 2048, n_steps=20, path_block=1024)
@@ -308,6 +311,7 @@ class TestNNBracket:
         assert float(br.high) + 4 * float(br.high_stderr) >= hp_fd * 0.9985
         assert float(br.high) <= hp_fd * 1.025
 
+    @pytest.mark.slow
     def test_heston_rejects_gbm_net(self, key):
         """A net trained without the variance feature (7 inputs) cannot
         drive the Heston dual — its continuation ignores the vol state."""
@@ -401,6 +405,7 @@ class TestJumpFamilyBrackets:
         assert lo <= float(p) <= hi, (lo, float(p), hi)
         assert (float(br.high) - float(br.low)) / float(p) < 0.05
 
+    @pytest.mark.slow
     def test_merton_upper_above_european(self, key):
         from options_model_tpu.models.merton import merton_price
         mp, _ = self._params()
@@ -428,6 +433,7 @@ class TestJumpFamilyBrackets:
         assert lo <= float(p) <= hi, (lo, float(p), hi)
         assert (float(br.high) - float(br.low)) / float(p) < 0.06
 
+    @pytest.mark.slow
     def test_bates_lam_zero_matches_heston_dual(self, key):
         """lam=0 bates dual must equal the heston dual on the same paths
         (the jump layer degenerates: Poisson(0) counts, zero compensator)."""

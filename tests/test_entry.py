@@ -34,6 +34,7 @@ def test_dryrun_multichip_8():
     graft_entry.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_never_touches_non_cpu_devices(monkeypatch):
     """The dryrun must be CPU-hermetic: jax.devices() without an explicit
     'cpu' argument initializes the DEFAULT backend (the TPU under the

@@ -134,6 +134,7 @@ class TestVarianceBasis:
         # would stack on the gap).
         assert abs(float(prices[0]) / oracle - 1.0) < 0.01
 
+    @pytest.mark.slow
     def test_sharded_paths_variance_psum(self, key, devices8):
         """Path-sharded 2-D grid with the variance basis: psum'ed Grams over
         the bigger (S, v) basis still match the unsharded backward."""

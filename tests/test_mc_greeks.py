@@ -86,6 +86,7 @@ class TestHestonGreeks:
         assert abs(float(g["Delta"]) - fd) < 1e-3
         assert float(g["dV0"]) > 0 and float(g["Gamma"]) > 0
 
+    @pytest.mark.slow
     def test_cos_bs_limit_matches_bs_greeks(self):
         from options_model_tpu.core.config import HestonParams
         from options_model_tpu.pricers.greeks import cos_greeks_heston
@@ -96,6 +97,7 @@ class TestHestonGreeks:
         assert abs(float(g["Delta"]) - float(cf["Delta"])) < 0.01
         assert abs(float(g["Gamma"]) - float(cf["Gamma"])) < 0.005
 
+    @pytest.mark.slow
     def test_mc_heston_american_sensitivities(self, key):
         from options_model_tpu.core.config import HestonParams
         from options_model_tpu.pricers.greeks import mc_greeks_heston
@@ -156,6 +158,7 @@ class TestJumpFamilyGreeks:
             np.testing.assert_allclose(float(gb[k]), float(gh[k]),
                                        rtol=0.02, atol=5e-3, err_msg=k)
 
+    @pytest.mark.slow
     def test_bates_dlam_matches_finite_difference(self):
         from options_model_tpu.core.config import BatesParams, HestonParams
         from options_model_tpu.calibration.charfn import bates_cos_price

@@ -114,6 +114,7 @@ class TestAmericanMerton:
         assert abs(float(p_cv) - float(p_pl)) < max(tol, 5e-3)
         assert float(se_cv) < float(se_pl)
 
+    @pytest.mark.slow
     def test_high_degree_basis_survives_jump_outliers(self):
         """Regression test for the basis clamp (_BASIS_CLAMP,
         pricers/american.build_centered_basis): before it, a degree-5 fit

@@ -98,6 +98,7 @@ class TestEstimator:
         # the sample allocation must be multilevel, not flat
         assert res.n_per_level[0] > 4 * res.n_per_level[-1]
 
+    @pytest.mark.slow
     def test_variance_decay_measured(self, key):
         res = price_mlmc(key, S0, K, R, T, cp=1.0, payoff="european",
                          model="heston", heston=HP, eps=2.5e-2, n0=4,
@@ -106,6 +107,7 @@ class TestEstimator:
         assert v[1] > v[2] > v[3]  # geometric decay across corrections
         assert res.beta > 0.5
 
+    @pytest.mark.slow
     def test_put_and_asian_routes(self, key):
         res = price_mlmc(key, S0, K, R, T, cp=-1.0, payoff="asian",
                          model="gbm", sigma=0.2, eps=3e-2, n_pilot=4096,

@@ -59,6 +59,7 @@ class TestNNControlVariate:
         bs = float(bs_price(S0, K, T, R, SIG, 1.0))  # call AM = EU here
         assert abs(float(p_cv) - bs) / bs < 0.01
 
+    @pytest.mark.slow
     def test_put_accuracy_vs_crr(self, key):
         p_cv, _ = price_american_with_control_variate(
             key, S0, T, PUT_SPEC, MC, NN, engine="xla")
@@ -108,6 +109,7 @@ class TestNNControlVariate:
 
 
 class TestNNStats:
+    @pytest.mark.slow
     def test_with_stats_nn(self, key):
         price, se, stats = price_american_with_stats(
             key, S0, T, PUT_SPEC, MC, NN, engine="xla")
@@ -280,6 +282,7 @@ class TestNNGrid:
             lsm=nn.replace(richardson=True))
         assert np.isfinite(np.asarray(p_rich)).all()
 
+    @pytest.mark.slow
     def test_grid_nn_heston_variance_feature(self, key, devices8):
         """nn + Heston routes the variance path matrix as the 8th feature."""
         from options_model_tpu.parallel import make_mesh, price_american_grid

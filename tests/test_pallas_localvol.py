@@ -117,6 +117,7 @@ class TestTableSamplerBackendConsistency:
             simulate_paths(key, 100.0, 0.5, MCConfig(n_paths=1024), "heston",
                            rate=0.05, heston=hp, heston_scheme="milstein")
 
+    @pytest.mark.slow
     def test_richardson_supports_nn(self, key):
         # r2 rejected the nn regressor here; r3 reads both Richardson levels
         # off one shared continuation net (american.richardson_nn_stat).

@@ -97,6 +97,7 @@ class TestShardedPathsPallasInvariance:
     """price_american_sharded_paths(engine='pallas') equals the unsharded
     twin pricing and is invariant to the device count."""
 
+    @pytest.mark.slow
     def test_matches_unsharded_and_device_count(self, key, devices8,
                                                 twin_kernels):
         cfg = MCConfig(n_paths=8 * 4096, n_steps=12, path_block=4096)

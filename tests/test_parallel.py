@@ -484,6 +484,7 @@ class TestGridJumpFamilies:
                                    rtol=3e-3)
         assert np.all(np.asarray(s42) > 0)
 
+    @pytest.mark.slow
     def test_merton_2d_mesh_shape_invariance(self, key, devices8):
         p24, _ = self._price_2d(key, (2, 4), devices8, "merton")
         p42, _ = self._price_2d(key, (4, 2), devices8, "merton")

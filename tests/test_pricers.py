@@ -348,6 +348,7 @@ class TestOOSPairIntegrity:
         with pytest.raises(ValueError):
             lsm_poly_backward(S, PUT_SPEC, T, out_of_sample=True)
 
+    @pytest.mark.slow
     def test_nn_oos_supported(self, key):
         # r2 rejected the nn regressor here; r3 trains the net on alternating
         # path blocks and prices on the rest (lsm_nn_backward out_of_sample).

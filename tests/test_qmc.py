@@ -1,5 +1,6 @@
 """Randomized QMC: Sobol net correctness, bridge covariance, variance wins."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

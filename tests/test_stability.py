@@ -119,6 +119,7 @@ class TestPricerStability:
 
 
 class TestSurfaceNetStability:
+    @pytest.mark.slow
     def test_training_on_extreme_ivs_stays_finite(self):
         from options_model_tpu.core.config import SurfaceTrainConfig
         from options_model_tpu.surface.train import train_iv_surface

@@ -6,6 +6,7 @@ r1 findings: the grid pricer's european_approximation and control-variate
 branches, and the NN-LSM backward, all report the pair-mean stderr.
 """
 
+import pytest
 import jax
 import numpy as np
 
@@ -45,6 +46,7 @@ def _task0_paths(key):
 
 
 class TestGridEuropeanApproxStderr:
+    @pytest.mark.slow
     def test_equals_pair_mean_stderr(self, key, devices8):
         mesh = make_mesh(("tasks",), devices=devices8)
         k, S0s, Ks, Ts = _grid_args(key)

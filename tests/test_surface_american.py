@@ -144,6 +144,7 @@ class TestSharedCurveFastPath:
                 key, np.array([100.0]), 100.0, 0.5, 0.05,
                 MCConfig(n_paths=4096), model="localvol")
 
+    @pytest.mark.slow
     def test_curves_shared_routing_and_s0_stability(self):
         """compute_curves routes eligible sweeps through the fast path. A
         spot's RNG stream is keyed by the grid index, so growing the S0 list
@@ -296,6 +297,7 @@ class TestSharedCurveJumpFamilies:
                 model="merton", merton=mp, engine="xla")
             assert abs(float(p) - float(ref)) < 6.0 * float(se) + 0.03
 
+    @pytest.mark.slow
     def test_bates_cv_shared_vs_cos_floor(self, key):
         from options_model_tpu.calibration import bates_cos_price
         from options_model_tpu.core.config import (BatesParams, HestonParams,

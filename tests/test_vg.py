@@ -327,6 +327,7 @@ class TestVGGreeks:
                    - (up - 2 * mid + dn) / eps**2) < 2e-3
         assert abs(float(g["Price"]) - mid) < 1e-4
 
+    @pytest.mark.slow
     def test_bs_limit_delta(self):
         from options_model_tpu.pricers.blackscholes import bs_greeks
         from options_model_tpu.pricers.greeks import cos_greeks_vg
