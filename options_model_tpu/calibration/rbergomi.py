@@ -48,13 +48,13 @@ recovery errors measure the fit, not shared noise.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from options_model_tpu.core.config import MCConfig, RBergomiParams
+from options_model_tpu.core.config import RBergomiParams
 from options_model_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
