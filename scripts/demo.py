@@ -5,6 +5,11 @@ finds. Safe offline — synthetic data only.
     python scripts/demo.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 

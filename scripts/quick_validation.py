@@ -6,8 +6,13 @@ pass over the main subsystems, runnable on CPU or TPU in under a minute.
     python scripts/quick_validation.py
 """
 
+import pathlib
 import sys
 import time
+
+# repo-root import without installation: `python scripts/x.py` puts scripts/
+# (not the cwd) on sys.path, so the package is invisible unless added here
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
