@@ -178,6 +178,18 @@ class TestQMCPricing:
             float(seq) ** 2 + float(sem) ** 2)
         assert z < 4.0, (float(pq), float(pm), z)
 
+    @pytest.mark.slow
+    def test_rbergomi_sobol_cli_route(self):
+        """price_exotic european --model rbergomi --sampler sobol dispatches
+        to the RQMC pricer (apps/price_exotic.py branch) and prices near
+        the MC estimate."""
+        from options_model_tpu.apps.price_exotic import parse_args, run
+        out = run(parse_args(["european", "--model", "rbergomi",
+                              "--sampler", "sobol", "--paths", "8192",
+                              "--steps", "16", "--option-type", "put"]))
+        assert out["n_paths"] == 16 * max(8192 // 16, 1 << 10)
+        assert 3.0 < out["price"] < 5.5 and 0 < out["stderr"] < 0.1
+
     def test_rbergomi_qmc_beats_mc_raw(self):
         """At equal path budget the bridged Sobol net must cut the RAW
         payoff stderr vs pseudo-random MC (the bench measures the exact
