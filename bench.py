@@ -497,21 +497,22 @@ def main():
         from options_model_tpu.core.config import MertonParams
         from options_model_tpu.pricers.cos_bermudan import cos_bermudan_price
         mp_b = MertonParams(sigma=0.2, lam=1.0, mu_j=-0.10, sigma_j=0.15)
-        # POOLED seeds (VERDICT r4 #6): r4's recorded 0.48% was a single
-        # seed (key 33, 2^17) ~2.4-sigma draw, not a bias — the r5 budget
-        # decomposition measured the COS oracle truncation-stable to 1e-6
-        # across (n_terms, L) in {512..2048}x{10..14} and the deg-3
-        # estimator at -0.08% +- 0.07% over 4 seeds x 2^18. Pooling makes
-        # the leg report the bias, not one draw.
+        # POOLED seeds (VERDICT r4 #6). The r5 budget decomposition: the
+        # COS oracle is truncation-stable to 1e-6 across (n_terms, L) in
+        # {512..2048}x{10..14}; the deg-3 estimator carries the SAME
+        # under-resolved-boundary policy bias as Heston's (~-0.14% pooled
+        # over two 4-seed families at 2^18); the clamp-enabled deg-5 basis
+        # removes it (measured 0.011% pooled, 0.036% spread — r4's
+        # recorded single-seed 0.48% was that bias plus a 2-sigma draw).
         ps_mj = []
         for s in range(4):
             p_mj, _ = price_american_with_control_variate(
                 jax.random.fold_in(jax.random.key(33), s), 100.0, 0.5,
                 OptionSpec(strike=100.0, rate=0.05, cp=PUT, sigma=0.2),
-                MCConfig(n_paths=1 << 17 if on_tpu else 1 << 14, n_steps=50,
+                MCConfig(n_paths=1 << 18 if on_tpu else 1 << 14, n_steps=50,
                          path_block=4096),
-                LSMConfig(regressor="poly"), model="merton", merton=mp_b,
-                engine="xla")
+                LSMConfig(regressor="poly", poly_degree=5), model="merton",
+                merton=mp_b, engine="xla")
             ps_mj.append(float(p_mj))
         berm_mj = cos_bermudan_price(100.0, 100.0, 0.5, 0.05, "merton",
                                      merton=mp_b, cp=-1.0, n_dates=50)
