@@ -34,8 +34,15 @@ def sabr_fd_price(S0: float, K: float, T: float, r: float,
                   american: bool = True, n_f: int = 300, n_a: int = 120,
                   n_t: int = 300, f_max_mult: float = 4.0,
                   a_max_sigmas: float = 4.0,
-                  alpha_drift: float = 0.0) -> float:
+                  alpha_drift: float = 0.0,
+                  exercise_dates=None) -> float:
     """Price one option by ADI finite differences. Returns a float.
+
+    ``exercise_dates``: if set (with american=True), the early-exercise
+    projection applies only at the n equally spaced dates i*T/n — the
+    BERMUDAN contract an n-step LSM discretizes, same contract and
+    stride rule as pricers/fd_heston.py (requires n_t % exercise_dates
+    == 0; the valuation time t=0 is not an exercise right).
 
     beta must be 1 (the simulator's log-Euler backbone; CEV backbones would
     need a different F-operator). Grid: F in [0, f_max_mult*max(F0,K)]
@@ -54,6 +61,13 @@ def sabr_fd_price(S0: float, K: float, T: float, r: float,
     if abs(float(params.beta) - 1.0) > 1e-12:
         raise ValueError("sabr_fd_price covers the beta=1 backbone "
                          f"(models/sabr.py simulator), got beta={params.beta}")
+    if exercise_dates is not None:
+        if not american:
+            raise ValueError("exercise_dates requires american=True")
+        if n_t % exercise_dates != 0:
+            raise ValueError(f"n_t={n_t} must be a multiple of "
+                             f"exercise_dates={exercise_dates}")
+    stride = n_t // exercise_dates if exercise_dates else 1
     alpha0, rho, nu = float(params.alpha), float(params.rho), float(params.nu)
     drift = r - q
     F0 = S0 * np.exp(drift * T)
@@ -168,7 +182,8 @@ def sabr_fd_price(S0: float, K: float, T: float, r: float,
         V = Y2
         V[:, 0] = lo
         V[:, -1] = hi
-        if american:
+        if american and step % stride == 0 and (
+                step < n_t or exercise_dates is None):
             V = np.maximum(V, payoff(tau)[None, :])
 
     fi = min(max(int(F0 / df), 0), n_f - 1)

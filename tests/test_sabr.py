@@ -198,6 +198,27 @@ class TestFDOracle:
             sabr_fd_price(100.0, 100.0, T, R,
                           SABRParams(alpha=0.2, beta=0.7, rho=0.0, nu=0.3))
 
+    def test_bermudan_mode_orders_and_converges(self):
+        """exercise_dates: the matched-dates Bermudan oracle, same contract
+        and stride rule as fd_heston's (the mode that isolates LSM policy
+        bias from the date gap). Bermudan < American, monotone in dates,
+        every-step projection == the continuous mode."""
+        from options_model_tpu.pricers.fd_sabr import sabr_fd_price
+        g = dict(n_f=120, n_a=48, n_t=120)
+        am = sabr_fd_price(100.0, 100.0, T, R, P, cp=-1.0, **g)
+        b10 = sabr_fd_price(100.0, 100.0, T, R, P, cp=-1.0,
+                            exercise_dates=10, **g)
+        b40 = sabr_fd_price(100.0, 100.0, T, R, P, cp=-1.0,
+                            exercise_dates=40, **g)
+        b120 = sabr_fd_price(100.0, 100.0, T, R, P, cp=-1.0,
+                             exercise_dates=120, **g)
+        eu = sabr_fd_price(100.0, 100.0, T, R, P, cp=-1.0, american=False,
+                           **g)
+        assert eu < b10 < b40 < b120 <= am + 1e-12
+        assert abs(b120 - am) < 1e-9
+        with pytest.raises(ValueError, match="multiple"):
+            sabr_fd_price(100.0, 100.0, T, R, P, n_t=100, exercise_dates=7)
+
 
 class TestAmericanLSM:
     """model='sabr' through the flagship dispatcher: forward simulation,
