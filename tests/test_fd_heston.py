@@ -135,6 +135,26 @@ class TestVarianceBasis:
         assert abs(float(prices[0]) / oracle - 1.0) < 0.01
 
     @pytest.mark.slow
+    def test_cubic_variance_block_and_degree_knob(self, key):
+        """variance_basis_degree=3 appends the cubic (u, w) cross terms —
+        the accuracy config that closed the pooled -0.165% policy bias to
+        -0.056% (bench.py; decomposition in ROUND_NOTES r5). Same paths,
+        richer basis: the induced policy must not lose value beyond noise,
+        and the knob must validate."""
+        from options_model_tpu.pricers import price_american
+
+        spec = OptionSpec(strike=K, rate=R, cp=PUT, sigma=None)
+        mc = MCConfig(n_paths=32768, n_steps=25, path_block=4096)
+        p2, se2 = price_american(key, S0, T, spec, mc,
+                                 LSMConfig(variance_basis_degree=2),
+                                 model="heston", heston=HP, engine="xla")
+        p3, se3 = price_american(key, S0, T, spec, mc,
+                                 LSMConfig(variance_basis_degree=3),
+                                 model="heston", heston=HP, engine="xla")
+        assert float(p3) > float(p2) - 0.5 * float(se2)
+        with pytest.raises(ValueError, match="variance_basis_degree"):
+            LSMConfig(variance_basis_degree=4).validate()
+
     def test_sharded_paths_variance_psum(self, key, devices8):
         """Path-sharded 2-D grid with the variance basis: psum'ed Grams over
         the bigger (S, v) basis still match the unsharded backward."""
